@@ -1,0 +1,264 @@
+"""Pure-numpy geometry kernels — the vectorized heart of the engine.
+
+These reproduce the reference's (jnnr/gregor) rasterization / containment
+semantics without GDAL/GEOS, derived from its golden test matrices
+(/root/reference/test/test_belongs_to.py:13-50):
+
+* Raster-assignment rule (GDAL ``geometry_mask`` at pixel centers,
+  reference ``src/gregor/disaggregate.py:112-147``):
+  a pixel center claims a polygon iff it is strictly inside, OR on the
+  closed boundary EXCEPT when it lies on a vertical "west wall" (a
+  vertical boundary segment whose interior is to the +x side).  Multiple
+  claims resolve last-id-wins (reference ``disaggregate.py:145``).
+  This exactly reproduces all three golden matrices: centers on a shared
+  vertical edge go to the LEFT polygon; on a shared horizontal edge both
+  polygons claim and the higher id (the lower polygon in the 3x3 fixture)
+  wins; the grid's outer left-edge centers are excluded while top/bottom
+  edge centers are included.
+
+* ``within`` rule (shapely strict interior, reference
+  ``aggregate.py:121``, ``disaggregate.py:184-186``): even-odd ray cast,
+  boundary points excluded.
+
+Everything is vectorized over points: O(E) passes of O(N) numpy work for
+E polygon edges, N points.  Designed to be called from Arrow-batched
+pandas UDFs (no per-row Python anywhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-12
+
+
+def signed_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Signed area of a ring (positive = counter-clockwise).
+
+    Accepts open or closed rings (first point repeated or not).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    return float(np.sum(xs * y2 - x2 * ys) / 2.0)
+
+
+def _ring_edges(xs: np.ndarray, ys: np.ndarray):
+    """Yield edge endpoint arrays (x1, y1, x2, y2) for a ring, dropping
+    a duplicated closing vertex if present."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    return xs, ys, x2, y2
+
+
+def points_strictly_inside(
+    px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray-cast interior test (boundary points undefined; use the
+    on_boundary mask to resolve them).  Vectorized over points."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1, x2, y2 = _ring_edges(xs, ys)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(len(x1)):
+        a_y, b_y = y1[i], y2[i]
+        if a_y == b_y:
+            continue  # horizontal edge never crosses a +x ray test
+        cond = (a_y > py) != (b_y > py)
+        if not cond.any():
+            continue
+        xint = x1[i] + (py - a_y) * (x2[i] - x1[i]) / (b_y - a_y)
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def on_boundary_masks(
+    px: np.ndarray,
+    py: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    eps: float = 1e-9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (on_any_boundary, on_excluded_west_wall) masks.
+
+    A "west wall" is a vertical boundary segment whose polygon interior is
+    on its +x side; centers exactly on it are excluded (this is what makes
+    a shared vertical edge belong to the LEFT polygon, per the 3x3 golden
+    matrix in the reference test/test_belongs_to.py:27-32).  West-wall
+    exclusion dominates at corners (verified against the golden corner
+    (0.5, 11.0) -> zone 3, not 4).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1, x2, y2 = _ring_edges(xs, ys)
+    ccw = signed_area(xs, ys) > 0
+    on_any = np.zeros(px.shape, dtype=bool)
+    on_west = np.zeros(px.shape, dtype=bool)
+    for i in range(len(x1)):
+        ax, ay, bx, by = x1[i], y1[i], x2[i], y2[i]
+        minx, maxx = (ax, bx) if ax <= bx else (bx, ax)
+        miny, maxy = (ay, by) if ay <= by else (by, ay)
+        inbox = (
+            (px >= minx - eps)
+            & (px <= maxx + eps)
+            & (py >= miny - eps)
+            & (py <= maxy + eps)
+        )
+        if not inbox.any():
+            continue
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        scale = max(abs(bx - ax), abs(by - ay), 1.0)
+        on_seg = inbox & (np.abs(cross) <= eps * scale)
+        on_any |= on_seg
+        if ax == bx and ay != by:
+            going_down = by < ay
+            # CCW ring: interior is left of travel; going down => left is +x.
+            interior_right = going_down if ccw else not going_down
+            if interior_right:
+                on_west |= on_seg
+    return on_any, on_west
+
+
+def claims_raster_cell(
+    px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Raster-assignment claim mask for one polygon (see module docstring)."""
+    on_any, on_west = on_boundary_masks(px, py, xs, ys)
+    inside = points_strictly_inside(px, py, xs, ys)
+    return (inside & ~on_any) | (on_any & ~on_west)
+
+
+def assign_cells(
+    px: np.ndarray,
+    py: np.ndarray,
+    zone_ids: np.ndarray,
+    zone_xs: list[np.ndarray],
+    zone_ys: list[np.ndarray],
+) -> np.ndarray:
+    """Assign each point to a zone id (-1 = unassigned), last-id-wins.
+
+    Polygons are applied in ascending-id order so later (higher) ids
+    overwrite, matching the reference loop (disaggregate.py:136-145).
+    Deterministic regardless of input order.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.full(px.shape, -1, dtype=np.int64)
+    order = np.argsort(np.asarray(zone_ids, dtype=np.int64), kind="stable")
+    for k in order:
+        mask = claims_raster_cell(px, py, zone_xs[k], zone_ys[k])
+        out[mask] = zone_ids[k]
+    return out
+
+
+def assign_points_within(
+    px: np.ndarray,
+    py: np.ndarray,
+    zone_ids: np.ndarray,
+    zone_xs: list[np.ndarray],
+    zone_ys: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Strict-interior (``within``) assignment.
+
+    Returns (zone_id_of_first_hit_by_ascending_id, n_hits).  The caller
+    enforces the reference's cardinality semantics: O4 asserts exactly one
+    hit per point (disaggregate.py:189-192); O6 drops misses (inner sjoin,
+    aggregate.py:121).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.full(px.shape, -1, dtype=np.int64)
+    hits = np.zeros(px.shape, dtype=np.int64)
+    order = np.argsort(np.asarray(zone_ids, dtype=np.int64), kind="stable")
+    for k in order[::-1]:  # reverse so the FIRST (lowest id) hit wins
+        mask = points_strictly_inside(px, py, zone_xs[k], zone_ys[k])
+        out[mask] = zone_ids[k]
+        hits += mask.astype(np.int64)
+    return out, hits
+
+
+def polygon_bbox(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float, float, float]:
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def clip_polygon_rect(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman clip of a simple polygon by an axis-aligned rect.
+
+    Used for intersection-area apportioning (polygon→polygon disaggregation)
+    and for polyfill cell-cover tests.  Returns possibly-empty ring arrays.
+    """
+    pts = list(zip(np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)))
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def clip_edge(points, inside_fn, intersect_fn):
+        if not points:
+            return points
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur, nxt = points[i], points[(i + 1) % n]
+            cin, nin = inside_fn(cur), inside_fn(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect_fn(cur, nxt))
+            elif nin:
+                out.append(intersect_fn(cur, nxt))
+        return out
+
+    def ix_at_x(p, q, xv):
+        t = (xv - p[0]) / (q[0] - p[0])
+        return (xv, p[1] + t * (q[1] - p[1]))
+
+    def ix_at_y(p, q, yv):
+        t = (yv - p[1]) / (q[1] - p[1])
+        return (p[0] + t * (q[0] - p[0]), yv)
+
+    pts = clip_edge(pts, lambda p: p[0] >= minx, lambda p, q: ix_at_x(p, q, minx))
+    pts = clip_edge(pts, lambda p: p[0] <= maxx, lambda p, q: ix_at_x(p, q, maxx))
+    pts = clip_edge(pts, lambda p: p[1] >= miny, lambda p, q: ix_at_y(p, q, miny))
+    pts = clip_edge(pts, lambda p: p[1] <= maxy, lambda p, q: ix_at_y(p, q, maxy))
+    if not pts:
+        return np.empty(0), np.empty(0)
+    arr = np.asarray(pts, dtype=np.float64)
+    return arr[:, 0], arr[:, 1]
+
+
+def intersection_area_rect(
+    xs: np.ndarray, ys: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> float:
+    """Area of polygon ∩ axis-aligned rect (always >= 0)."""
+    cx, cy = clip_polygon_rect(xs, ys, minx, miny, maxx, maxy)
+    if len(cx) < 3:
+        return 0.0
+    return abs(signed_area(cx, cy))
+
+
+def rect_intersects_polygon(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    pad: float = 1e-9,
+) -> bool:
+    """Conservative rect-vs-polygon intersection (false positives OK — used
+    for polyfill candidate covers that are refined by exact PIP)."""
+    cx, _cy = clip_polygon_rect(xs, ys, minx - pad, miny - pad, maxx + pad, maxy + pad)
+    return len(cx) >= 3
