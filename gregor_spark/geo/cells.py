@@ -1,0 +1,186 @@
+"""Hierarchical Morton (Z-order) cell index — the engine's H3/S2 stand-in.
+
+Pure numpy, fully vectorized.  A cell id packs (resolution, morton code)
+into one positive int64:
+
+    cell_id = (res << 56) | interleave_bits(ix, iy)      res in [0, 26]
+
+At resolution r the world bbox (default the whole lon/lat plane) is a
+2^r x 2^r grid.  Morton codes are hierarchical: ``parent`` truncates two
+bits, ``children`` appends them, so coarser covers are prefix ranges —
+exactly the property the spatial hash join and the Iceberg-style layout
+partitioning rely on.  Z-order also gives 1-D spatial locality, so
+range-partitioning by cell_id co-locates neighboring tiles.
+
+API mirrors H3 (cell/parent/children/polyfill/disk) per SURVEY.md §2.2;
+correctness does not depend on hexagons, only on a consistent
+hierarchical cover (SURVEY.md §7 hard-part (b)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels as K
+
+MAX_RES = 26
+_RES_SHIFT = 56
+
+# Default world bounds (lon/lat).  All cell functions accept an explicit
+# bounds for planar/test grids.
+WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between bits of the low 32 bits (classic magic masks)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact1by1(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def morton_encode(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return (_part1by1(np.asarray(ix)) | (_part1by1(np.asarray(iy)) << np.uint64(1))).astype(
+        np.int64
+    )
+
+
+def morton_decode(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    m = np.asarray(m).astype(np.uint64)
+    return (
+        _compact1by1(m).astype(np.int64),
+        _compact1by1(m >> np.uint64(1)).astype(np.int64),
+    )
+
+
+def xy_to_tile(
+    x: np.ndarray, y: np.ndarray, res: int, bounds: tuple[float, float, float, float] = WORLD
+) -> tuple[np.ndarray, np.ndarray]:
+    """Integer tile coords (ix, iy) at resolution ``res`` (iy 0 at miny)."""
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
+    fx = (np.asarray(x, dtype=np.float64) - minx) / (maxx - minx)
+    fy = (np.asarray(y, dtype=np.float64) - miny) / (maxy - miny)
+    ix = np.clip(np.floor(fx * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor(fy * n).astype(np.int64), 0, n - 1)
+    return ix, iy
+
+
+def cell(
+    x: np.ndarray, y: np.ndarray, res: int, bounds: tuple[float, float, float, float] = WORLD
+) -> np.ndarray:
+    """Point -> cell_id at resolution ``res`` (H3 ``latlng_to_cell`` analog)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    ix, iy = xy_to_tile(x, y, res, bounds)
+    return (np.int64(res) << np.int64(_RES_SHIFT)) | morton_encode(ix, iy)
+
+
+def cell_res(cell_id: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell_id, dtype=np.int64) >> np.int64(_RES_SHIFT)).astype(np.int64)
+
+
+def cell_tile(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    m = np.asarray(cell_id, dtype=np.int64) & ((np.int64(1) << np.int64(_RES_SHIFT)) - 1)
+    return morton_decode(m)
+
+
+def parent(cell_id: np.ndarray, parent_res: int | None = None) -> np.ndarray:
+    """Truncate to a coarser resolution (H3 ``cell_to_parent`` analog)."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res = cell_res(cid)
+    pres = np.asarray(res - 1 if parent_res is None else parent_res, dtype=np.int64)
+    m = cid & ((np.int64(1) << np.int64(_RES_SHIFT)) - 1)
+    shift = np.asarray(2 * (res - pres), dtype=np.int64)
+    return (pres << np.int64(_RES_SHIFT)) | (m >> shift)
+
+
+def children(cell_id: int) -> np.ndarray:
+    """The four child cells one resolution finer."""
+    cid = np.int64(cell_id)
+    res = int(cell_res(cid))
+    m = cid & ((np.int64(1) << np.int64(_RES_SHIFT)) - 1)
+    base = (np.int64(res + 1) << np.int64(_RES_SHIFT)) | (m << np.int64(2))
+    return base + np.arange(4, dtype=np.int64)
+
+
+def cell_bounds(
+    cell_id: np.ndarray, bounds: tuple[float, float, float, float] = WORLD
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(minx, miny, maxx, maxy) arrays for each cell."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res = cell_res(cid)
+    ix, iy = cell_tile(cid)
+    minx, miny, maxx, maxy = bounds
+    n = (np.int64(1) << res).astype(np.float64)
+    w = (maxx - minx) / n
+    h = (maxy - miny) / n
+    return minx + ix * w, miny + iy * h, minx + (ix + 1) * w, miny + (iy + 1) * h
+
+
+def neighbors(cell_id: np.ndarray, ring: int = 1) -> np.ndarray:
+    """All cells within a (2*ring+1)^2 Moore neighborhood, clipped to the
+    grid — the kNN ring-expansion primitive.  Returns unique ids."""
+    cid = np.asarray(cell_id, dtype=np.int64).ravel()
+    res = cell_res(cid)
+    n = np.int64(1) << res
+    ix, iy = cell_tile(cid)
+    offs = np.arange(-ring, ring + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs)
+    nx = ix[:, None] + dx.ravel()[None, :]
+    ny = iy[:, None] + dy.ravel()[None, :]
+    valid = (nx >= 0) & (ny >= 0) & (nx < n[:, None]) & (ny < n[:, None])
+    res_b = np.broadcast_to(res[:, None], nx.shape)
+    out = (res_b << np.int64(_RES_SHIFT)) | morton_encode(
+        np.where(valid, nx, 0), np.where(valid, ny, 0)
+    )
+    return np.unique(out[valid])
+
+
+def polyfill(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    res: int,
+    bounds: tuple[float, float, float, float] = WORLD,
+) -> np.ndarray:
+    """Cells at resolution ``res`` whose tile rectangle intersects the
+    polygon (conservative cover; refined later by exact PIP).
+
+    Driver-side: polygons (zones) are small and broadcastable
+    (SURVEY.md §2.2).  Cost is O(bbox tiles); resolution choice bounds it.
+    """
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
+    w = (maxx - minx) / n
+    h = (maxy - miny) / n
+    bxmin, bymin, bxmax, bymax = K.polygon_bbox(xs, ys)
+    ix0 = max(0, int(np.floor((bxmin - minx) / w)))
+    iy0 = max(0, int(np.floor((bymin - miny) / h)))
+    ix1 = min(n - 1, int(np.floor((bxmax - minx) / w + 1e-12)))
+    iy1 = min(n - 1, int(np.floor((bymax - miny) / h + 1e-12)))
+    out_ix, out_iy = [], []
+    for iy in range(iy0, iy1 + 1):
+        cminy = miny + iy * h
+        for ix in range(ix0, ix1 + 1):
+            cminx = minx + ix * w
+            if K.rect_intersects_polygon(xs, ys, cminx, cminy, cminx + w, cminy + h):
+                out_ix.append(ix)
+                out_iy.append(iy)
+    if not out_ix:
+        return np.empty(0, dtype=np.int64)
+    return (np.int64(res) << np.int64(_RES_SHIFT)) | morton_encode(
+        np.asarray(out_ix, dtype=np.int64), np.asarray(out_iy, dtype=np.int64)
+    )
