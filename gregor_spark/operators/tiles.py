@@ -1,0 +1,70 @@
+"""Document tiling — geo-bearing spans drive tile/zone assignment
+(the north-rule pipeline over the interleaved corpus).
+
+Span extraction stays entirely JVM-side (higher-order ``filter`` +
+``posexplode`` + ``split``/``cast`` — whole-stage codegen, zero Python);
+only the Morton encode and the exact PIP refine cross into Arrow-batched
+pandas UDFs.  Documents themselves are never mutated: tile assignment is
+a SIDE TABLE keyed by (doc_id, offset), so per-doc span-sequence equality
+holds by construction and is verified explicitly in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo import cells as C
+from ..model.zones import ZoneSet
+from .spatial_join import spatial_hash_join, with_cell_id
+
+
+def extract_geo_points(docs: DataFrame, spans: str = "spans") -> DataFrame:
+    """(doc_id, offset, lon, lat) for every geo-bearing span.
+
+    ``filter`` prunes non-geo spans before the explode (array shrink
+    happens inside codegen, so the exploded row count is only the geo
+    spans).  Span order within the doc is preserved by ``offset``.
+    """
+    geo = F.filter(F.col(spans), lambda s: s["kind"] == F.lit("geo"))
+    ex = docs.select(
+        "doc_id", F.explode(geo).alias("span")
+    )
+    parts = F.split(F.col("span.text"), ",")
+    return ex.select(
+        "doc_id",
+        F.col("span.offset").alias("offset"),
+        parts.getItem(0).cast("double").alias("lon"),
+        parts.getItem(1).cast("double").alias("lat"),
+    )
+
+
+def assign_tiles(
+    docs: DataFrame,
+    res: int,
+    bounds: tuple[float, float, float, float] = C.WORLD,
+    zones: ZoneSet | None = None,
+    **join_kwargs,
+) -> DataFrame:
+    """Tile (and optionally zone) assignment for every geo span.
+
+    Returns (doc_id, offset, lon, lat, cell_id[, zone_id]).  With a zone
+    layer the spatial hash join (broadcast or salted-partitioned) refines
+    the cell candidates by exact PIP, deterministic last-id-wins.
+    """
+    pts = extract_geo_points(docs)
+    if zones is None:
+        return with_cell_id(pts, res, bounds, x="lon", y="lat")
+    assigned = spatial_hash_join(
+        pts, zones, res, bounds, x="lon", y="lat", fact_key="doc_id", **join_kwargs
+    )
+    return with_cell_id(assigned, res, bounds, x="lon", y="lat", out="cell_id")
+
+
+def tile_histogram(tiled: DataFrame) -> DataFrame:
+    """Docs and spans per tile — the rollup consumers read; partial-agg
+    shuffle of O(distinct tiles) rows."""
+    return tiled.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.approx_count_distinct("doc_id").alias("n_docs"),
+    )
