@@ -1,38 +1,79 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (doc-derived geo points →
+Morton tiles → salted spatial hash join → zone assignment) on sf0.001.
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with independent DuckDB oracles (see
+gregor_spark/entry_queries.py for the derivation rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_PYFILES_READY = False
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship gregor_spark to executors (pandas-UDF closures unpickle by
+    module reference).  Local mode usually resolves via cwd; the zip makes
+    it robust to any launch directory and mirrors spark-submit --py-files."""
+    global _PYFILES_READY
+    if _PYFILES_READY:
+        return
+    try:
+        import zipfile
+
+        build = os.path.join(_REPO, ".build")
+        os.makedirs(build, exist_ok=True)
+        zpath = os.path.join(build, "gregor_spark.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as zf:
+                pkg = os.path.join(_REPO, "gregor_spark")
+                for root, _dirs, files in os.walk(pkg):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            zf.write(full, os.path.relpath(full, _REPO))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context, or cwd-resolution suffices
+    _PYFILES_READY = True
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ensure_workers_can_import(spark)
+    from gregor_spark.entry_queries import REGISTRY
+
+    return REGISTRY["doc_tiles"][0](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from gregor_spark.entry_queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (omitted for the non-SQL ops:
+    north_pipeline, media_features, ann_lsh → rows-only checks)."""
+    from gregor_spark.entry_queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

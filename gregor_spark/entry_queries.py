@@ -1,0 +1,701 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+(spark_callable, duckdb_oracle_sql) pair.
+
+Design rule for oracles: the SQL is an INDEPENDENT re-derivation of the
+semantics (rect containment predicates, arithmetic apportioning, window
+top-k …), never a dump of expected rows — so a kernel bug can't hide.
+Where a result value is produced by an identical IEEE op-tree on both
+sides it is left unrounded; order-dependent float sums are rounded to 6
+decimals on BOTH sides.
+
+Fixture queries synthesize the reference fixtures in-code (FIXTURES.md)
+on the Spark side and as VALUES CTEs in SQL.  Corpus queries run over the
+driver's parquet tables (documents/embeddings/lineitem), with geo points
+derived deterministically from doc_id by integer arithmetic expressible
+in both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .model import fixtures as FX
+from .model.raster import RasterMeta, raster_df, uniform_proxy_df, clip_bbox
+from .model.zones import ZoneSet
+from .operators.aggregate import aggregate_point_to_polygon, aggregate_raster_to_polygon
+from .operators.assign import assign_cells_df
+from .operators.disaggregate import (
+    disaggregate_polygon_to_point,
+    disaggregate_polygon_to_polygon,
+    disaggregate_polygon_to_raster,
+)
+from .operators.knn import knn_broadcast
+from .ops import dedup as D
+from .ops import text as TX
+from .ops.similarity import cosine_topk
+
+META = RasterMeta(**FX.RASTER_META)
+BOUNDS = (-0.25, 9.75, 1.75, 11.75)
+
+# ------------------------------------------------------------------ SQL CTEs
+
+
+def _cells_cte() -> str:
+    rows = ",".join(
+        f"({r},{c},{x!r},{y!r},{v!r})" for r, c, x, y, v in FX.raster_long_form()
+    )
+    return f"cells(r, c, x, y, value) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def _boxes_cte(name: str, zones, values: dict | None = None) -> str:
+    rows = []
+    for z in zones:
+        minx, miny, maxx, maxy = z.bbox
+        v = f",{float(values[z.zone_id])!r}" if values else ""
+        rows.append(f"({z.zone_id},{minx!r},{miny!r},{maxx!r},{maxy!r}{v})")
+    cols = "zone_id, minx, miny, maxx, maxy" + (", value" if values else "")
+    return f"{name}({cols}) AS (SELECT * FROM (VALUES {','.join(rows)}))"
+
+
+# raster-assignment rule on axis-aligned boxes (derived in SURVEY.md §5:
+# vertical edges left-exclusive/right-inclusive, horizontal edges both
+# inclusive, last-id-wins == max(zone_id))
+_RECT = "p.x > z.minx AND p.x <= z.maxx AND p.y >= z.miny AND p.y <= z.maxy"
+# strict-interior (within) rule for points
+_WITHIN = "p.x > z.minx AND p.x < z.maxx AND p.y > z.miny AND p.y < z.maxy"
+
+
+def _belongs_sql(zones) -> str:
+    return f"""
+WITH {_cells_cte()}, {_boxes_cte('zones', zones)}
+SELECT p.r AS row, p.c AS col, CAST(max(z.zone_id) AS BIGINT) AS zone_id
+FROM cells p LEFT JOIN zones z ON {_RECT}
+GROUP BY p.r, p.c
+"""
+
+
+_BELONGS_OVERLAP_SQL = f"""
+WITH {_cells_cte()}, cand AS (
+  SELECT r, c, 0 AS zone_id FROM cells
+   WHERE y >= 9.75 AND x >= -0.25 AND x <= 1.75 AND y <= 11.75 - (x + 0.25) * 0.5
+  UNION ALL
+  SELECT r, c, 1 FROM cells
+   WHERE x >= -0.25 AND y >= 9.75 + (x + 0.25) * 0.5
+     AND y <= 11.75 - (x + 0.25) * 0.5
+)
+SELECT p.r AS row, p.c AS col, CAST(max(cand.zone_id) AS BIGINT) AS zone_id
+FROM cells p LEFT JOIN cand ON p.r = cand.r AND p.c = cand.c
+GROUP BY p.r, p.c
+"""
+
+
+def _points_cte() -> str:
+    rows = ",".join(f"({p},{x!r},{y!r},{w!r})" for p, x, y, w in FX.POINTS)
+    return f"pts(point_id, x, y, w) AS (SELECT * FROM (VALUES {rows}))"
+
+
+# deterministic geo point per document, identical arithmetic both engines
+_DOCPTS = """
+docpts AS (
+  SELECT doc_id,
+         -0.25 + 2.0 * (((doc_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         9.75  + 2.0 * (((doc_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM documents
+)
+"""
+
+_TOKS = "regexp_extract_all(text, '[^ ]+')"
+_TOKINT = "CAST(ascii({t}) * 961 + ascii(substr({t}, -1, 1)) * 31 + length({t}) AS BIGINT)"
+
+KNN_PROXIES = [
+    (int(i), -0.25 + (2 * (i % 4) + 1) * 0.25, 9.75 + (2 * (i // 4) + 1) * 0.25 * 2)
+    for i in range(12)
+]
+
+
+def _doc_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("doc_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    return docs.select(
+        "doc_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_belongs(seg):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cells = raster_df(spark, META, FX.RASTER_VALUES)
+        zones = ZoneSet.from_fixture(seg)
+        return assign_cells_df(cells, zones).select(
+            F.col("row").cast("int").alias("row"),
+            F.col("col").cast("int").alias("col"),
+            F.col("zone_id").cast("long").alias("zone_id"),
+        )
+
+    return fn
+
+
+def q_zonal_stats_3x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    zones = ZoneSet.from_fixture(FX.SEG_3X3)
+    s = aggregate_raster_to_polygon(cells, zones, "sum", out="sum_value")
+    c = aggregate_raster_to_polygon(cells, zones, "count", out="cnt_value")
+    m = aggregate_raster_to_polygon(cells, zones, "mean", out="mean_value")
+    return (
+        s.join(c, "zone_id")
+        .join(m, "zone_id")
+        .select("zone_id", "sum_value", F.col("cnt_value").cast("long").alias("cnt_value"), "mean_value")
+    )
+
+
+_ZONAL_3X3_SQL = f"""
+WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_3X3)}, asg AS (
+  SELECT p.r, p.c, p.value, max(z.zone_id) AS zid
+  FROM cells p JOIN zones z ON {_RECT}
+  GROUP BY p.r, p.c, p.value
+), agg AS (
+  SELECT zid, sum(value) AS s, count(*) AS n, avg(value) AS m
+  FROM asg WHERE value != 0.0 GROUP BY zid
+)
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, agg.s AS sum_value,
+       CAST(agg.n AS BIGINT) AS cnt_value, agg.m AS mean_value
+FROM zones z LEFT JOIN agg ON z.zone_id = agg.zid
+"""
+
+
+def q_zonal_sum_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    return aggregate_raster_to_polygon(cells, zones, "sum", nodata=None, out="sum_value")
+
+
+_ZONAL_2X2_SQL = f"""
+WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_2X2)}, asg AS (
+  SELECT p.r, p.c, p.value, max(z.zone_id) AS zid
+  FROM cells p JOIN zones z ON {_RECT}
+  GROUP BY p.r, p.c, p.value
+), agg AS (SELECT zid, sum(value) AS s FROM asg GROUP BY zid)
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, agg.s AS sum_value
+FROM zones z LEFT JOIN agg ON z.zone_id = agg.zid
+"""
+
+
+def q_disagg_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    zones = ZoneSet.from_fixture(FX.SEG_2X2, values={z: 2.0 for z in range(4)})
+    out = disaggregate_polygon_to_raster(zones, cells)
+    return out.select(
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("int").alias("col"),
+        F.round("disaggregated", 6).alias("disagg_r"),
+    )
+
+
+_DISAGG_RASTER_SQL = f"""
+WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_2X2, {i: 2.0 for i in range(4)})},
+asg AS (
+  SELECT p.r, p.c, p.value, max(z.zone_id) AS zid
+  FROM cells p JOIN zones z ON {_RECT}
+  GROUP BY p.r, p.c, p.value
+), norm AS (SELECT zid, sum(value) AS nv FROM asg GROUP BY zid)
+SELECT asg.r AS row, asg.c AS col,
+       round(z.value * asg.value / norm.nv, 6) AS disagg_r
+FROM asg JOIN norm USING (zid) JOIN zones z ON z.zone_id = asg.zid
+"""
+
+
+def q_disagg_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = spark.createDataFrame(
+        FX.POINTS, "point_id long, x double, y double, weight double"
+    )
+    zones = ZoneSet.from_fixture(
+        [FX.SEG_2X2[0], FX.SEG_2X2[2], FX.SEG_2X2[3]], values={0: 1.0, 2: 5.0, 3: 7.0}
+    )
+    out = disaggregate_polygon_to_point(zones, points)
+    return out.select(
+        "point_id", "zone_id", F.round("disaggregated", 6).alias("disagg_r")
+    )
+
+
+_DISAGG_POINTS_SQL = f"""
+WITH {_points_cte()},
+{_boxes_cte('zones', [FX.SEG_2X2[0], FX.SEG_2X2[2], FX.SEG_2X2[3]], {0: 1.0, 2: 5.0, 3: 7.0})},
+asg AS (
+  SELECT p.point_id, p.w, z.zone_id, z.value
+  FROM pts p JOIN zones z ON {_WITHIN}
+), norm AS (SELECT zone_id, sum(w) AS sw FROM asg GROUP BY zone_id)
+SELECT asg.point_id, CAST(asg.zone_id AS BIGINT) AS zone_id,
+       round(asg.value * asg.w / norm.sw, 6) AS disagg_r
+FROM asg JOIN norm USING (zone_id)
+"""
+
+
+def q_agg_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = spark.createDataFrame(
+        FX.POINTS, "point_id long, x double, y double, weight double"
+    )
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    c = aggregate_point_to_polygon(points, zones, "count", out="cnt")
+    s = aggregate_point_to_polygon(points, zones, "sum", out="sw")
+    return c.join(s, "zone_id").select(
+        "zone_id", F.col("cnt").cast("long").alias("cnt"), F.round("sw", 6).alias("sum_w_r")
+    )
+
+
+_AGG_POINTS_SQL = f"""
+WITH {_points_cte()}, {_boxes_cte('zones', FX.SEG_2X2)}, asg AS (
+  SELECT p.point_id, p.w, z.zone_id FROM pts p JOIN zones z ON {_WITHIN}
+), agg AS (SELECT zone_id, count(*) AS n, sum(w) AS s FROM asg GROUP BY zone_id)
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, CAST(agg.n AS BIGINT) AS cnt,
+       round(agg.s, 6) AS sum_w_r
+FROM zones z LEFT JOIN agg ON z.zone_id = agg.zone_id
+"""
+
+
+def q_poly_to_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ZoneSet.from_fixture(FX.SEG_2X2, values={0: 2.0, 1: 4.0, 2: 6.0, 3: 8.0})
+    tgt = ZoneSet.from_fixture(FX.SEG_3X3)
+    return disaggregate_polygon_to_polygon(src, tgt).select(
+        "src_zone", "tgt_zone", "area", "apportioned"
+    )
+
+
+_POLY_TO_POLY_SQL = f"""
+WITH {_boxes_cte('src', FX.SEG_2X2, {0: 2.0, 1: 4.0, 2: 6.0, 3: 8.0})},
+{_boxes_cte('tgt', FX.SEG_3X3)}, pairs AS (
+  SELECT s.zone_id AS sz, t.zone_id AS tz, s.value AS sv,
+         greatest(0, least(s.maxx, t.maxx) - greatest(s.minx, t.minx))
+       * greatest(0, least(s.maxy, t.maxy) - greatest(s.miny, t.miny)) AS area
+  FROM src s CROSS JOIN tgt t
+), pos AS (SELECT * FROM pairs WHERE area > 0),
+tot AS (SELECT sz, sum(area) AS ta FROM pos GROUP BY sz)
+SELECT CAST(sz AS BIGINT) AS src_zone, CAST(tz AS BIGINT) AS tgt_zone,
+       area, sv * area / ta AS apportioned
+FROM pos JOIN tot USING (sz)
+"""
+
+
+def q_uniform_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniform_proxy_df(spark, BOUNDS, (8, 8)).select(
+        F.col("row").cast("long").alias("row"),
+        F.col("col").cast("long").alias("col"),
+        "x",
+        "y",
+        "value",
+    )
+
+
+_UNIFORM_PROXY_SQL = """
+SELECT r.g AS row, c.g AS col,
+       -0.25 + (c.g + 0.5) * 0.25 AS x,
+       11.75 - (r.g + 0.5) * 0.25 AS y,
+       1.0 AS value
+FROM generate_series(0, 7) r(g) CROSS JOIN generate_series(0, 7) c(g)
+"""
+
+
+def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    return clip_bbox(cells, 0.2, 10.2, 1.2, 11.2).select(
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("int").alias("col"),
+        "value",
+    )
+
+
+_CLIP_SQL = f"""
+WITH {_cells_cte()}
+SELECT r AS row, c AS col, value FROM cells
+WHERE x >= 0.2 AND x <= 1.2 AND y >= 10.2 AND y <= 11.2
+"""
+
+
+def q_doc_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile + zone assignment for doc-derived geo points through the real
+    engine path (Morton pandas UDF + salted spatial hash join)."""
+    from .geo import cells as C
+    from .operators.spatial_join import spatial_hash_join, with_cell_id
+
+    pts = _doc_points_df(spark, sf_dir)
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    assigned = spatial_hash_join(
+        pts,
+        zones,
+        res=6,
+        bounds=BOUNDS,
+        x="lon",
+        y="lat",
+        keep_unassigned=True,
+        fact_key="doc_id",
+    )
+    keyed = with_cell_id(assigned, 4, BOUNDS, x="lon", y="lat", out="cell_id")
+
+    @F.pandas_udf(T.LongType())
+    def tx(cell: pd.Series) -> pd.Series:
+        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[0])
+
+    @F.pandas_udf(T.LongType())
+    def ty(cell: pd.Series) -> pd.Series:
+        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[1])
+
+    return keyed.select(
+        "doc_id",
+        tx(F.col("cell_id")).alias("tile_x"),
+        ty(F.col("cell_id")).alias("tile_y"),
+        F.col("zone_id").cast("long").alias("zone_id"),
+    )
+
+
+_DOC_TILES_SQL = f"""
+WITH {_DOCPTS}, {_boxes_cte('zones', FX.SEG_2X2)}
+SELECT p.doc_id,
+       CAST(floor(((p.lon + 0.25) / 2.0) * 16) AS BIGINT) AS tile_x,
+       CAST(floor(((p.lat - 9.75) / 2.0) * 16) AS BIGINT) AS tile_y,
+       CAST(max(z.zone_id) AS BIGINT) AS zone_id
+FROM docpts p LEFT JOIN zones z ON {_RECT.replace('p.x', 'p.lon').replace('p.y', 'p.lat')}
+GROUP BY 1, 2, 3
+"""
+
+
+def q_doc_tile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = q_doc_tiles(spark, sf_dir)
+    return tiles.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_DOC_TILE_HIST_SQL = f"""
+WITH base AS ({_DOC_TILES_SQL})
+SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n_docs
+FROM base GROUP BY 1, 2
+"""
+
+
+def q_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points_df(spark, sf_dir)
+    out = knn_broadcast(pts, KNN_PROXIES, k=3, x="lon", y="lat", fact_key="doc_id")
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "proxy_id",
+        F.round("d2", 6).alias("d2_r"),
+    )
+
+
+def _knn_sql() -> str:
+    prox = ",".join(f"({p},{x!r},{y!r})" for p, x, y in KNN_PROXIES)
+    return f"""
+WITH {_DOCPTS}, prox(pid, px, py) AS (SELECT * FROM (VALUES {prox})),
+d AS (
+  SELECT doc_id, pid,
+         (lon - px) * (lon - px) + (lat - py) * (lat - py) AS d2
+  FROM docpts CROSS JOIN prox
+), r AS (
+  SELECT doc_id, pid, d2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, pid) AS rank
+  FROM d
+)
+SELECT doc_id, rank, CAST(pid AS BIGINT) AS proxy_id, round(d2, 6) AS d2_r
+FROM r WHERE rank <= 3
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_docs(spark, sf_dir)).select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"), "min_doc_id"
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_count(_docs(spark, sf_dir))
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(list_distinct(toks)) AS DOUBLE)
+         / CAST(nullif(len(toks), 0) AS DOUBLE) AS distinct_ratio,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         / CAST(nullif(len(toks), 0) AS DOUBLE) AS mean_token_len
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ ]+') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and'))) AS BIGINT) AS en_hits,
+       CASE WHEN len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and'))) >= 2
+            THEN 'en' ELSE 'und' END AS predicted
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS}, t -> {_TOKINT.format(t='t')})),
+         (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
+FROM documents
+"""
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
+)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.03).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(c.n_common AS DOUBLE) / CAST(sa.n + sb.n - c.n_common AS DOUBLE) AS jaccard
+FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n + sb.n - c.n_common AS DOUBLE) >= 0.03
+"""
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sv AS (
+  SELECT doc_id,
+         list_transform({_SHINGLES}, s -> {_TOKINT.format(t='s')}) AS vals
+  FROM t
+)
+SELECT doc_id, CAST(j.g AS BIGINT) AS perm,
+       list_min(list_transform(vals,
+         s -> ((2 * j.g + 1) * s + j.g * 12345 + 987) % 2147483647)) AS minh
+FROM sv CROSS JOIN generate_series(0, 15) j(g)
+"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+_LSH_PAIRS_SQL = f"""
+WITH base AS ({_MINHASH_SQL}),
+banded AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS BIGINT) AS band,
+         string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM base GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        s = (
+            f"CASE WHEN list_sum(list_transform(hs, x -> "
+            f"CASE WHEN (x >> {j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {2**j} ELSE 0 END"
+        )
+        terms.append(s)
+    total = " + ".join(terms)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> {_TOKINT.format(t='t')}) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, k=5, n_queries=30).select(
+        "vec_id", "rank", "nbr_id", F.round("cos", 6).alias("cos_r")
+    )
+
+
+_COSINE_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(v, v), s -> s[1] * s[2])), (a,x) -> a + x)) AS nv
+  FROM e
+), q AS (SELECT * FROM n WHERE vec_id < 30),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])), (a,x) -> a + x)
+           / (q.nv * c.nv) AS cos
+  FROM q CROSS JOIN n c WHERE q.vec_id != c.vec_id
+), r AS (
+  SELECT q_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS rank
+  FROM p
+)
+SELECT q_id AS vec_id, rank, nbr_id, round(cos, 6) AS cos_r FROM r WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------- rows-only (no SQL oracle)
+
+
+def q_north_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline over the synthetic interleaved corpus: skewed
+    generation → geo-span extraction → salted spatial join → tile rollup.
+    Not SQL-expressible (pandas-UDF Morton + polyfill machinery)."""
+    from .operators.tiles import assign_tiles, tile_histogram
+    from .sources.documents import generate_documents
+
+    docs = generate_documents(spark, 5000, BOUNDS, seed=42, skew=0.3)
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    tiled = assign_tiles(
+        docs, 6, BOUNDS, zones=zones, keep_unassigned=True,
+        broadcast_cover=False, salt_threshold=500, salt_factor=8,
+    )
+    return tile_histogram(tiled).orderBy("cell_id")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo: synthetic binary payloads → pandas-UDF
+    decode (stub) → features.  Rows-only (payload decode not in SQL)."""
+    from .ops.media import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, 500))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (rows-only; recall vs the
+    exact path is asserted in tests/test_similarity.py)."""
+    from .ops.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    return ann_lsh_topk(emb, dim=64, k=5).select(
+        "vec_id", "rank", "nbr_id", F.round("cos", 6).alias("cos_r")
+    )
+
+
+# ------------------------------------------------------------------ registry
+
+REGISTRY: dict[str, tuple] = {
+    "belongs_2x2": (q_belongs(FX.SEG_2X2), _belongs_sql(FX.SEG_2X2)),
+    "belongs_3x3": (q_belongs(FX.SEG_3X3), _belongs_sql(FX.SEG_3X3)),
+    "belongs_overlap": (q_belongs(FX.SEG_OVERLAP), _BELONGS_OVERLAP_SQL),
+    "zonal_sum_2x2": (q_zonal_sum_2x2, _ZONAL_2X2_SQL),
+    "zonal_stats_3x3": (q_zonal_stats_3x3, _ZONAL_3X3_SQL),
+    "disagg_raster_2x2": (q_disagg_raster, _DISAGG_RASTER_SQL),
+    "disagg_points": (q_disagg_points, _DISAGG_POINTS_SQL),
+    "agg_points": (q_agg_points, _AGG_POINTS_SQL),
+    "poly_to_poly": (q_poly_to_poly, _POLY_TO_POLY_SQL),
+    "uniform_proxy": (q_uniform_proxy, _UNIFORM_PROXY_SQL),
+    "clip_bbox": (q_clip, _CLIP_SQL),
+    "doc_tiles": (q_doc_tiles, _DOC_TILES_SQL),
+    "doc_tile_hist": (q_doc_tile_hist, _DOC_TILE_HIST_SQL),
+    "knn_docs": (q_knn_docs, _knn_sql()),
+    "tpch_q1": (q_tpch_q1, _TPCH_Q1_SQL),
+    "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_SQL),
+    "token_count": (q_token_count, _TOKEN_COUNT_SQL),
+    "text_quality": (q_text_quality, _TEXT_QUALITY_SQL),
+    "lang_id": (q_lang_id, _LANG_ID_SQL),
+    "fingerprint": (q_fingerprint, _FINGERPRINT_SQL),
+    "jaccard_pairs": (q_jaccard_pairs, _JACCARD_SQL),
+    "minhash_sig": (q_minhash, _MINHASH_SQL),
+    "lsh_pairs": (q_lsh_pairs, _LSH_PAIRS_SQL),
+    "simhash": (q_simhash, _simhash_sql()),
+    "cosine_topk": (q_cosine_topk, _COSINE_SQL),
+    "north_pipeline": (q_north_pipeline, None),
+    "media_features": (q_media_features, None),
+    "ann_lsh": (q_ann_lsh, None),
+}

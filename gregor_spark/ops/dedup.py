@@ -1,0 +1,170 @@
+"""Deduplication operators for training-data pipelines: exact hashing,
+n-gram Jaccard, MinHash+LSH, and SimHash.
+
+Scale shapes (the point of each variant):
+
+* exact      — one groupBy on md5(text); partial-agg shuffle.
+* jaccard    — shingle-explode equi-join: only pairs sharing ≥1 shingle
+  are ever materialized (never a cartesian); counts + two broadcast
+  joins finish the score.  Exact but O(pairs-with-overlap).
+* minhash    — fixed-width signatures (column fold, no explode), then
+  LSH banding: candidate pairs come from an equi-join on (band, key) —
+  the sub-quadratic path for corpora where even shared-shingle pairs
+  are too many.
+* simhash    — 16-bit sign-aggregated fingerprint; near-dups differ in
+  few bits; one explode + groupBy.
+
+All arithmetic is engine-neutral integer math (no murmur/xxhash) so every
+operator has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _token_int, tokens, word_shingles
+
+MERSENNE = 2147483647  # 2^31-1, modulus for the minhash permutations
+
+
+def dedup_exact(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(text_hash, n_docs, min_doc_id) per distinct content hash; rows with
+    n_docs > 1 are exact-duplicate groups (min_doc_id = canonical keep)."""
+    return (
+        docs.groupBy(F.md5(F.col(text)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def _shingle_int(s) -> "F.Column":
+    return _token_int(s)
+
+
+def shingle_table(docs: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct k-word shingles."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text), k)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, text: str = "text", k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b, jaccard) for pairs with
+    jaccard >= threshold over distinct k-word shingles.
+
+    Join-on-shingle (no cartesian): |A∩B| from the equi-join group count,
+    |A| and |B| from a per-doc size table joined back.
+    """
+    sh = shingle_table(docs, text, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text: str = "text", k: int = 3, num_perm: int = 16
+) -> DataFrame:
+    """(doc_id, perm, minh) — universal-hash MinHash over k-word shingles:
+    ``h_j(s) = ((2j+1)·s + 12345j + 987) mod (2^31-1)``, min per doc.
+    Column-only (nested transform + array_min), no explode of the corpus.
+    """
+    sh = word_shingles(F.col(text), k)
+    svals = F.transform(sh, _shingle_int)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                svals,
+                lambda s: ((F.lit(2) * j + 1) * s + j * F.lit(12345) + F.lit(987))
+                % F.lit(MERSENNE),
+            )
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(sig).alias("perm", "minh")).select(
+        "doc_id", F.col("perm").cast("long").alias("perm"), "minh"
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs agreeing on ALL
+    minhash rows within any band.  Equi-join on (band, band_key) — the
+    classic sub-quadratic LSH join; exact Jaccard re-scoring is the
+    caller's follow-up (jaccard_pairs on the candidates)."""
+    sig = minhash_signatures(docs, text, k, num_perm)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        # band key must be order-stable: sort by perm via struct collect
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minh"))).alias("rows"))
+        .withColumn(
+            "band_key",
+            F.concat_ws(",", F.transform(F.col("rows"), lambda r: r["minh"].cast("string"))),
+        )
+        .select("doc_id", "band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — sign-aggregated ``bits``-wide fingerprint over
+    token hashes; near-duplicate docs land within small Hamming distance.
+    Pure column expressions: per-bit signed sums via aggregate folds."""
+    toks = tokens(F.col(text))
+    hs = F.transform(toks, _token_int)
+
+    def bit_fold(j: int):
+        # NB: bind j via closure, not a default arg — pyspark introspects
+        # the lambda arity and would feed a Column into a third parameter
+        def step(acc, x):
+            return acc + F.when(F.shiftright(x, j) % 2 == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+
+        return F.aggregate(hs, F.lit(0).cast("long"), step)
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(bit_fold(j) > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return docs.select("doc_id", out.alias("simhash"))

@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k with JVM-side sequential
+  folds (zip_with + aggregate): the correctness baseline, with an exact
+  SQL oracle (same left-fold order ⇒ bit-identical doubles).
+* ``cosine_topk_pandas`` — the throughput variant: Arrow batches ×
+  broadcast corpus matrix, one numpy matmul per batch.  Same ranking
+  (float64), ~100× the arithmetic rate; at cluster scale the corpus side
+  is chunked per partition (mapInPandas over the big side).
+* ``ann_lsh_topk`` — approximate scale path: random-hyperplane signature
+  (deterministic seed), candidates from same-bucket equi-join (with
+  multi-probe Hamming-1 buckets), exact re-rank inside buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec: str = "embedding", out: str = "_norm") -> DataFrame:
+    v = F.col(vec).cast("array<double>")
+    return df.withColumn(out, F.sqrt(_dot(v, v)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_queries: int | None = None,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, rank, nbr_id, cos).
+
+    Queries = rows with ``key < n_queries`` (or all rows).  Sequential
+    left-fold dot product keeps the arithmetic bit-reproducible across
+    engines.  Join is query-side-broadcast × corpus — at 100 TB the
+    corpus scans once per query batch, shuffle-free.
+    """
+    base = with_norm(df.select(key, vec), vec)
+    q = base.select(
+        F.col(key).alias("q_id"),
+        F.col(vec).cast("array<double>").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    if n_queries is not None:
+        q = q.filter(F.col("q_id") < n_queries)
+    c = base.select(
+        F.col(key).alias("nbr_id"),
+        F.col(vec).cast("array<double>").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("q_id") != F.col("nbr_id"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force: queries broadcast as a dense float64 matrix
+    into the closure; each Arrow batch of the corpus does one matmul.
+    Returns (q_id, nbr_id, cos) of per-batch candidates — caller finishes
+    with a global top-k window (partial top-k per batch keeps the shuffle
+    at O(batches·q·k), not O(corpus·q))."""
+    qrows = queries.select(key, vec).collect()
+    qids = np.array([r[key] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[vec] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[key].to_numpy(np.int64)
+            mat = np.asarray(pdf[vec].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qmat @ mat.T  # (Q, B)
+            kk = min(k + 1, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qq, bb, cc = [], [], []
+            for qi in range(sims.shape[0]):
+                for bi in top[qi]:
+                    if ids[bi] != qids[qi]:
+                        qq.append(qids[qi])
+                        bb.append(ids[bi])
+                        cc.append(sims[qi, bi])
+            yield pd.DataFrame({"q_id": qq, "nbr_id": bb, "cos": cc})
+
+    cand = df.select(key, vec).mapInPandas(run, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature as an int bucket id (deterministic)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out, sig(F.col(vec)))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    seed: int = 7,
+    multiprobe: bool = True,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: same-bucket (plus Hamming-1 probe) candidates,
+    exact cosine re-rank.  Recall measured against cosine_topk in tests."""
+    b = with_lsh_bucket(df, dim, n_planes, seed, vec)
+    base = with_norm(b, vec)
+    q = base.select(
+        F.col(key).alias("q_id"),
+        F.col(vec).cast("array<double>").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[F.col("q_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        q = q.withColumn("probe", F.explode(probes))
+    else:
+        q = q.withColumn("probe", F.col("q_bucket"))
+    c = base.select(
+        F.col(key).alias("nbr_id"),
+        F.col(vec).cast("array<double>").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        F.col("bucket").alias("probe"),
+    )
+    pairs = q.join(c, ["probe"]).filter(F.col("q_id") != F.col("nbr_id"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("cos", cos)
+        .select("q_id", "nbr_id", "cos")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
+    )
