@@ -218,8 +218,10 @@ FROM asg JOIN norm USING (zid) JOIN zones z ON z.zone_id = asg.zid
 
 
 def q_disagg_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    points = spark.createDataFrame(
-        FX.POINTS, "point_id long, x double, y double, weight double"
+    from .model.localdf import local_df
+
+    points = local_df(
+        spark, FX.POINTS, "point_id long, x double, y double, weight double"
     )
     zones = ZoneSet.from_fixture(
         [FX.SEG_2X2[0], FX.SEG_2X2[2], FX.SEG_2X2[3]], values={0: 1.0, 2: 5.0, 3: 7.0}
@@ -244,8 +246,10 @@ FROM asg JOIN norm USING (zone_id)
 
 
 def q_agg_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    points = spark.createDataFrame(
-        FX.POINTS, "point_id long, x double, y double, weight double"
+    from .model.localdf import local_df
+
+    points = local_df(
+        spark, FX.POINTS, "point_id long, x double, y double, weight double"
     )
     zones = ZoneSet.from_fixture(FX.SEG_2X2)
     c = aggregate_point_to_polygon(points, zones, "count", out="cnt")

@@ -155,9 +155,16 @@ def polyfill(
     ys: np.ndarray,
     res: int,
     bounds: tuple[float, float, float, float] = WORLD,
-) -> np.ndarray:
+    classify: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Cells at resolution ``res`` whose tile rectangle intersects the
     polygon (conservative cover; refined later by exact PIP).
+
+    With ``classify=True`` also returns a boolean ``full`` mask: cells
+    wholly inside the polygon (intersection area == cell area).  Facts in
+    a full cell are strictly interior, so the exact PIP refine — the only
+    Python in the join — can skip them entirely; only the boundary band
+    (perimeter·cellsize / area, a few %) pays the Arrow round trip.
 
     Driver-side: polygons (zones) are small and broadcastable
     (SURVEY.md §2.2).  Cost is O(bbox tiles); resolution choice bounds it.
@@ -171,16 +178,30 @@ def polyfill(
     iy0 = max(0, int(np.floor((bymin - miny) / h)))
     ix1 = min(n - 1, int(np.floor((bxmax - minx) / w + 1e-12)))
     iy1 = min(n - 1, int(np.floor((bymax - miny) / h + 1e-12)))
-    out_ix, out_iy = [], []
+    # full-cell test uses an EXPANDED cell: if cell+δ is contained in the
+    # closed polygon, every point of the closed cell (incl. its edges) is
+    # strictly interior — so boundary-rule semantics (west-wall exclusion,
+    # shared-edge ties) can never apply there and the refine skip is safe
+    delta = 1e-9 * max(w, h)
+    exp_area = (w + 2 * delta) * (h + 2 * delta)
+    out_ix, out_iy, out_full = [], [], []
     for iy in range(iy0, iy1 + 1):
         cminy = miny + iy * h
         for ix in range(ix0, ix1 + 1):
             cminx = minx + ix * w
-            if K.rect_intersects_polygon(xs, ys, cminx, cminy, cminx + w, cminy + h):
+            a_exp = K.intersection_area_rect(
+                xs, ys, cminx - delta, cminy - delta, cminx + w + delta, cminy + h + delta
+            )
+            if a_exp > 0.0:
                 out_ix.append(ix)
                 out_iy.append(iy)
+                out_full.append(a_exp >= exp_area * (1.0 - 1e-12))
     if not out_ix:
-        return np.empty(0, dtype=np.int64)
-    return (np.int64(res) << np.int64(_RES_SHIFT)) | morton_encode(
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, np.empty(0, dtype=bool)) if classify else empty
+    cells = (np.int64(res) << np.int64(_RES_SHIFT)) | morton_encode(
         np.asarray(out_ix, dtype=np.int64), np.asarray(out_iy, dtype=np.int64)
     )
+    if classify:
+        return cells, np.asarray(out_full, dtype=bool)
+    return cells

@@ -52,9 +52,11 @@ def raster_df(spark: SparkSession, meta: RasterMeta, values: np.ndarray) -> Data
                     float(values[r, c]),
                 )
             )
-    return spark.createDataFrame(
-        rows, "row int, col int, x double, y double, value double"
-    )
+    from .localdf import local_df
+
+    # JVM LocalRelation, not a python RDD: fixture-sized grids must not pay
+    # python-worker round trips per scan (see localdf.py)
+    return local_df(spark, rows, "row int, col int, x double, y double, value double")
 
 
 def uniform_proxy_df(

@@ -97,28 +97,37 @@ class ZoneSet:
         )
 
     def values_df(self, spark, column: str = "value"):
+        from .localdf import local_df
+
         rows = [(int(z), float(v)) for z, v in self.values.items()]
-        return spark.createDataFrame(rows, f"zone_id long, {column} double")
+        return local_df(spark, rows, f"zone_id long, {column} double")
 
     def values_df_ids(self, spark):
         """Just the zone ids (for left joins that keep empty zones)."""
-        return spark.createDataFrame(
-            [(int(z),) for z in self.zone_ids], "zone_id long"
+        from .localdf import local_df
+
+        return local_df(
+            spark, [(int(z),) for z in self.zone_ids], "zone_id long"
         )
 
     def cover(
         self, res: int, bounds: tuple[float, float, float, float] = C.WORLD
-    ) -> list[tuple[int, int]]:
-        """(zone_id, cell_id) candidate-cover pairs at resolution ``res``."""
+    ) -> list[tuple[int, int, bool]]:
+        """(zone_id, cell_id, full) candidate-cover triples at resolution
+        ``res``; ``full`` cells are strictly interior (facts there skip the
+        exact PIP refine — see geo/cells.polyfill)."""
         out = []
         for z, x, y in zip(self.zone_ids, self.xs, self.ys):
-            for cid in C.polyfill(x, y, res, bounds):
-                out.append((int(z), int(cid)))
+            cells, full = C.polyfill(x, y, res, bounds, classify=True)
+            for cid, f in zip(cells, full):
+                out.append((int(z), int(cid), bool(f)))
         return out
 
     def cover_df(
         self, spark, res: int, bounds: tuple[float, float, float, float] = C.WORLD
     ):
-        return spark.createDataFrame(
-            self.cover(res, bounds), "zone_id long, cell_id long"
+        from .localdf import local_df
+
+        return local_df(
+            spark, self.cover(res, bounds), "zone_id long, cell_id long, _full boolean"
         )

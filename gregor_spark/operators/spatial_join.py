@@ -32,6 +32,24 @@ from ..geo import kernels as K
 from ..model.zones import ZoneSet
 
 
+_PART1BY1_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _part1by1_col(v):
+    """Interleave zeros between the low 32 bits — the same magic-mask
+    ladder as geo/cells._part1by1, as pure column bit-ops."""
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    for shift, mask in _PART1BY1_MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
 def with_cell_id(
     df: DataFrame,
     res: int,
@@ -40,15 +58,21 @@ def with_cell_id(
     y: str = "y",
     out: str = "cell_id",
 ) -> DataFrame:
-    """Add the Morton cell id — one Arrow-vectorized scalar pandas UDF."""
+    """Add the Morton cell id — pure JVM column expressions (whole-stage
+    codegen; zero Python in the hot path).  Bit-identical to the numpy
+    kernel geo/cells.cell (same IEEE op order; asserted in tests)."""
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
 
-    @F.pandas_udf(T.LongType())
-    def enc(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        return pd.Series(
-            C.cell(xs.to_numpy(np.float64), ys.to_numpy(np.float64), res, bounds)
-        )
+    def tile(coord, lo, hi):
+        f = (F.col(coord) - F.lit(lo)) / F.lit(hi - lo)
+        t = F.floor(f * F.lit(float(n))).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), t))
 
-    return df.withColumn(out, enc(F.col(x), F.col(y)))
+    morton = _part1by1_col(tile(x, minx, maxx)).bitwiseOR(
+        F.shiftleft(_part1by1_col(tile(y, miny, maxy)), 1)
+    )
+    return df.withColumn(out, F.lit(res << 56).bitwiseOR(morton))
 
 
 def _refine_claims(
@@ -58,34 +82,42 @@ def _refine_claims(
     y: str,
     rule: str,
 ) -> DataFrame:
-    """Filter candidate (point, zone) pairs by the exact geometry kernel.
+    """Null-out the zone_id of candidate (point, zone) pairs that fail the
+    exact geometry kernel (instead of dropping the row — so a downstream
+    ``max(zone_id)`` groupBy yields NULL for fully-unassigned points and
+    the whole join needs no second pass over the facts).
 
     Vectorized per zone within each Arrow batch: one kernel pass per
     DISTINCT zone present in the batch, over only that zone's candidate
     rows — O(batch) work, no per-row Python.
     """
     lookup = zones.geometry_lookup()
-    schema = joined.schema
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # slim scalar UDF: Arrow moves ONLY (x, y, zone_id, _full) — never the
+    # fact payload (doc ids etc.); everything else stays JVM-side.
+    # Interior (_full) candidates short-circuit without touching the kernel.
+    @F.pandas_udf(T.BooleanType())
+    def claims(xs: pd.Series, ys: pd.Series, zid_s: pd.Series, full_s: pd.Series) -> pd.Series:
         claim_fn = K.claims_raster_cell if rule == "raster" else (
             lambda px, py, zx, zy: K.points_strictly_inside(px, py, zx, zy)
         )
-        for pdf in batches:
-            if pdf.empty:
-                yield pdf
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[x].to_numpy(np.float64)
-            py = pdf[y].to_numpy(np.float64)
-            zid = pdf["zone_id"].to_numpy(np.int64)
-            for z in np.unique(zid):
+        notnull = zid_s.notna().to_numpy()
+        keep = full_s.fillna(False).to_numpy(bool).copy()
+        pending = notnull & ~keep
+        if pending.any():
+            px = xs.to_numpy(np.float64)
+            py = ys.to_numpy(np.float64)
+            zid = np.where(notnull, zid_s.fillna(-1).to_numpy(np.int64), -1)
+            for z in np.unique(zid[pending]):
                 zx, zy = lookup[int(z)]
-                m = zid == z
+                m = pending & (zid == z)
                 keep[m] = claim_fn(px[m], py[m], zx, zy)
-            yield pdf[keep]
+        return pd.Series(keep)
 
-    return joined.mapInPandas(run, schema=schema)
+    ok = claims(F.col(x), F.col(y), F.col("zone_id"), F.col("_full"))
+    return joined.withColumn(
+        "zone_id", F.when(ok, F.col("zone_id")).otherwise(F.lit(None).cast("long"))
+    ).drop("_full")
 
 
 def hot_cells(
@@ -127,17 +159,26 @@ def spatial_hash_join(
     """
     from ..plans.strategy import choose_broadcast
 
+    from ..model.localdf import local_df
+
     spark = facts.sparkSession
     cover_pairs = zones.cover(res, bounds)
-    cover = spark.createDataFrame(cover_pairs, "zone_id long, cell_id long")
+    cover = local_df(spark, cover_pairs, "zone_id long, cell_id long, _full boolean")
     if broadcast_cover is None:
         broadcast_cover = choose_broadcast(n_cover_rows=len(cover_pairs))
 
     keyed = with_cell_id(facts, res, bounds, x=x, y=y)
     fact_cols = facts.columns
+    how = "left" if keep_unassigned else "inner"
+    if salt_threshold is not None and not broadcast_cover:
+        # the skew histogram is a second consumer of `keyed`: persist it or
+        # the branch recomputes the upstream lineage (incl. the Arrow pass)
+        from pyspark.storagelevel import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
 
     if broadcast_cover:
-        joined = keyed.join(F.broadcast(cover), "cell_id", "inner")
+        joined = keyed.join(F.broadcast(cover), "cell_id", how)
     elif salt_threshold is not None:
         hot = hot_cells(keyed, salt_threshold).drop("_n")
         salt_src = F.col(fact_key) if fact_key else F.monotonically_increasing_id()
@@ -161,13 +202,20 @@ def spatial_hash_join(
             "_salt", F.lit(0).cast("int")
         )
         cover_salted = hot_cover.unionByName(cold_cover)
-        joined = facts_salted.join(cover_salted, ["cell_id", "_salt"], "inner").drop("_salt")
+        joined = facts_salted.join(cover_salted, ["cell_id", "_salt"], how).drop("_salt")
     else:
-        joined = keyed.join(cover, "cell_id", "inner")
+        joined = keyed.join(cover, "cell_id", how)
 
-    refined = _refine_claims(joined, zones, x=x, y=y, rule=rule)
-    # deterministic last-id-wins across multi-zone claims
-    assigned = refined.groupBy(*fact_cols).agg(F.max("zone_id").alias("zone_id"))
-    if keep_unassigned:
-        assigned = facts.join(assigned, fact_cols, "left")
+    candidates = _refine_claims(joined, zones, x=x, y=y, rule=rule)
+    # deterministic last-id-wins across multi-zone claims (max ignores the
+    # nulled-out failed candidates); cell_id (a pure function of x,y) rides
+    # along so callers need no second encode pass.  ONE join + ONE groupBy
+    # over the facts — keep_unassigned costs nothing extra (left join +
+    # NULL zone_id), no second pass; interior-cell candidates short-circuit
+    # inside the refine UDF (no kernel work, no plan branch).
+    assigned = candidates.groupBy(*fact_cols, "cell_id").agg(
+        F.max("zone_id").alias("zone_id")
+    )
+    if not keep_unassigned:
+        assigned = assigned.filter(F.col("zone_id").isNotNull())
     return assigned

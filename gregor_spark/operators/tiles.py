@@ -55,10 +55,10 @@ def assign_tiles(
     pts = extract_geo_points(docs)
     if zones is None:
         return with_cell_id(pts, res, bounds, x="lon", y="lat")
-    assigned = spatial_hash_join(
+    # the join already keyed every span by cell_id at this resolution
+    return spatial_hash_join(
         pts, zones, res, bounds, x="lon", y="lat", fact_key="doc_id", **join_kwargs
     )
-    return with_cell_id(assigned, res, bounds, x="lon", y="lat", out="cell_id")
 
 
 def tile_histogram(tiled: DataFrame) -> DataFrame:

@@ -89,22 +89,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, perm, minh) — universal-hash MinHash over k-word shingles:
     ``h_j(s) = ((2j+1)·s + 12345j + 987) mod (2^31-1)``, min per doc.
-    Column-only (nested transform + array_min), no explode of the corpus.
+
+    Shape: shingles are computed ONCE and exploded, permutations applied
+    as a compact crossJoin(range(num_perm)) + partial-agg min — Catalyst
+    cannot common-subexpression-eliminate a shingle array referenced from
+    ``num_perm`` nested lambdas, which made the pure-column form recompute
+    the (expensive) shingling 16×.  The explode form also map-side
+    combines, so the shuffle carries O(docs × num_perm) rows regardless of
+    corpus width — the 100 TB-safe shape.
     """
-    sh = word_shingles(F.col(text), k)
-    svals = F.transform(sh, _shingle_int)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                svals,
-                lambda s: ((F.lit(2) * j + 1) * s + j * F.lit(12345) + F.lit(987))
-                % F.lit(MERSENNE),
-            )
-        ),
+    spark = docs.sparkSession
+    sh = docs.select(
+        "doc_id", F.explode(F.transform(word_shingles(F.col(text), k), _shingle_int)).alias("s")
     )
-    return docs.select("doc_id", F.posexplode(sig).alias("perm", "minh")).select(
-        "doc_id", F.col("perm").cast("long").alias("perm"), "minh"
+    perms = spark.range(num_perm).select(F.col("id").alias("perm"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                ((F.lit(2) * F.col("perm") + 1) * F.col("s")
+                 + F.col("perm") * F.lit(12345) + F.lit(987)) % F.lit(MERSENNE)
+            ).alias("minh")
+        )
     )
 
 

@@ -125,3 +125,21 @@ def test_skew_salting_spreads_hot_cell(spark):
         for r in df.select("doc_id", "offset", "zone_id").collect()
     }
     assert key(a) == key(b)
+
+
+def test_jvm_cell_id_matches_numpy(spark, pts):
+    """The codegen Morton expression must be bit-identical to the numpy
+    kernel (same IEEE op order)."""
+    import numpy as np
+
+    from gregor_spark.geo import cells as C
+
+    got = {
+        r["point_id"]: r["cell_id"]
+        for r in with_cell_id(pts, 9, BOUNDS).select("point_id", "cell_id").collect()
+    }
+    rows = pts.collect()
+    want = C.cell(
+        np.array([r["x"] for r in rows]), np.array([r["y"] for r in rows]), 9, BOUNDS
+    )
+    assert [got[r["point_id"]] for r in rows] == want.tolist()
