@@ -68,10 +68,14 @@ def ensure_corpus(spark, n_docs: int) -> str:
     return path
 
 
-def _north_pipeline(spark, n_docs: int) -> int:
+def _north_pipeline(spark, n_docs: int, mode: str = "broadcast") -> int:
     """The north-rule job: read the Iceberg-shaped corpus → geo-span
-    extraction → Morton encode → salted partitioned spatial join → tile
-    histogram.  Returns documents processed (throughput numerator)."""
+    extraction → Morton encode → spatial hash join → tile histogram.
+
+    ``mode='broadcast'`` is the planner's choice for broadcastable covers
+    (map-only assignment, zero fact shuffle); ``mode='salted'`` forces the
+    partitioned path with explicit hot-cell salting (the huge-cover /
+    skew configuration).  Returns documents processed."""
     from gregor_spark.model import fixtures as FX
     from gregor_spark.model.zones import ZoneSet
     from gregor_spark.operators.tiles import assign_tiles, tile_histogram
@@ -79,11 +83,16 @@ def _north_pipeline(spark, n_docs: int) -> int:
 
     docs = read_table(spark, ensure_corpus(spark, n_docs)).select("doc_id", "spans")
     zones = ZoneSet.from_fixture(FX.SEG_2X2)
-    tiled = assign_tiles(
-        docs, 8, BOUNDS, zones=zones, keep_unassigned=True,
-        broadcast_cover=False, salt_threshold=max(50_000, n_docs // 40),
-        salt_factor=16,
+    kwargs = (
+        {"broadcast_cover": True}
+        if mode == "broadcast"
+        else {
+            "broadcast_cover": False,
+            "salt_threshold": max(50_000, n_docs // 40),
+            "salt_factor": 16,
+        }
     )
+    tiled = assign_tiles(docs, 8, BOUNDS, zones=zones, keep_unassigned=True, **kwargs)
     tile_histogram(tiled).write.format("noop").mode("overwrite").save()
     return n_docs
 
@@ -102,11 +111,12 @@ def run_headline() -> dict:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    n = _north_pipeline(spark, NORTH_DOCS)
-    north_sec = time.time() - t0
-    times["north_pipeline"] = round(north_sec, 3)
-    times["north_docs_per_sec"] = round(n / north_sec, 1)
+    for mode in ("broadcast", "salted"):
+        t0 = time.time()
+        n = _north_pipeline(spark, NORTH_DOCS, mode)
+        north_sec = time.time() - t0
+        times[f"north_{mode}"] = round(north_sec, 3)
+        times[f"north_{mode}_docs_per_sec"] = round(n / north_sec, 1)
     spark.stop()
     return times
 
@@ -121,21 +131,24 @@ def run_scaling() -> dict:
     # seconds total) don't mask the parallel region; best-of-3 damps the
     # sandbox's bursty steal time
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "8000000"))
-    out = {}
+    out = {"n_docs": n_docs}
     for cpus in (8, 32):
         spark = get_spark(app=f"gregor-scale-{cpus}", master=f"local[{cpus}]")
         ensure_corpus(spark, n_docs)
-        _north_pipeline(spark, n_docs)  # warmup (JIT + page cache)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            n = _north_pipeline(spark, n_docs)
-            best = min(best, time.time() - t0)
-        out[f"rate_{cpus}"] = n / best
-        out[f"sec_{cpus}"] = best
+        for mode in ("broadcast", "salted"):
+            _north_pipeline(spark, n_docs, mode)  # warmup (JIT + page cache)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                n = _north_pipeline(spark, n_docs, mode)
+                best = min(best, time.time() - t0)
+            out[f"{mode}_rate_{cpus}"] = n / best
+            out[f"{mode}_sec_{cpus}"] = best
         spark.stop()
-    out["efficiency"] = (out["rate_32"] / out["rate_8"]) / 4.0
-    out["n_docs"] = n_docs
+    for mode in ("broadcast", "salted"):
+        out[f"{mode}_efficiency"] = (
+            out[f"{mode}_rate_32"] / out[f"{mode}_rate_8"]
+        ) / 4.0
     return out
 
 

@@ -120,6 +120,68 @@ def _refine_claims(
     ).drop("_full")
 
 
+def _assign_indexed(
+    keyed: DataFrame,
+    zones: ZoneSet,
+    cover_pairs: list[tuple[int, int, bool]],
+    x: str,
+    y: str,
+    rule: str,
+) -> DataFrame:
+    """Broadcast-path assignment as ONE scalar pandas UDF — zero shuffle.
+
+    The zone cover ships in the closure as per-zone sorted cell arrays;
+    per Arrow batch each zone claims via ``searchsorted`` membership on
+    the fact's cell_id (full cells directly, boundary cells through the
+    exact kernel), ascending zone order → last-id-wins by overwrite.
+    Equivalent to join+refine+groupBy but with no join duplication and no
+    dedup shuffle: the assignment stage is map-only, so it scales with
+    cores/executors and leaves only O(tiles) rows for any downstream agg.
+    """
+    by_zone: dict[int, tuple[list[int], list[int]]] = {}
+    for zid, cid, full in cover_pairs:
+        fulls, bnds = by_zone.setdefault(zid, ([], []))
+        (fulls if full else bnds).append(cid)
+    zone_cells = [
+        (
+            zid,
+            np.sort(np.asarray(by_zone[zid][0], dtype=np.int64)),
+            np.sort(np.asarray(by_zone[zid][1], dtype=np.int64)),
+        )
+        for zid in sorted(by_zone)
+    ]
+    lookup = zones.geometry_lookup()
+
+    def _member(cells: np.ndarray, sorted_cells: np.ndarray) -> np.ndarray:
+        if len(sorted_cells) == 0:
+            return np.zeros(len(cells), dtype=bool)
+        idx = np.searchsorted(sorted_cells, cells)
+        idx = np.clip(idx, 0, len(sorted_cells) - 1)
+        return sorted_cells[idx] == cells
+
+    @F.pandas_udf(T.LongType())
+    def assign(xs: pd.Series, ys: pd.Series, cell_s: pd.Series) -> pd.Series:
+        claim_fn = K.claims_raster_cell if rule == "raster" else (
+            lambda px, py, zx, zy: K.points_strictly_inside(px, py, zx, zy)
+        )
+        cells = cell_s.to_numpy(np.int64)
+        px = xs.to_numpy(np.float64)
+        py = ys.to_numpy(np.float64)
+        out = np.full(len(cells), -1, dtype=np.int64)
+        for zid, fulls, bnds in zone_cells:
+            claimed = _member(cells, fulls)
+            bmask = _member(cells, bnds)
+            if bmask.any():
+                zx, zy = lookup[zid]
+                claimed[bmask] = claim_fn(px[bmask], py[bmask], zx, zy)
+            out[claimed] = zid
+        res = pd.Series(out, dtype="Int64")
+        res[out < 0] = pd.NA
+        return res
+
+    return keyed.withColumn("zone_id", assign(F.col(x), F.col(y), F.col("cell_id")))
+
+
 def hot_cells(
     facts: DataFrame, threshold: int, cell: str = "cell_id"
 ) -> DataFrame:
@@ -170,16 +232,18 @@ def spatial_hash_join(
     keyed = with_cell_id(facts, res, bounds, x=x, y=y)
     fact_cols = facts.columns
     how = "left" if keep_unassigned else "inner"
-    if salt_threshold is not None and not broadcast_cover:
-        # the skew histogram is a second consumer of `keyed`: persist it or
-        # the branch recomputes the upstream lineage (incl. the Arrow pass)
-        from pyspark.storagelevel import StorageLevel
-
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    # NB: the skew histogram makes `keyed` dual-consumed, but it is NOT
+    # persisted: the encode is pure codegen, so recomputing the scan
+    # lineage costs seconds while a deserialized MEMORY_AND_DISK persist
+    # of the fact table causes an allocation/GC storm that anti-scales
+    # with task threads (measured: 85 s at local[32] vs 4 s recompute).
 
     if broadcast_cover:
-        joined = keyed.join(F.broadcast(cover), "cell_id", how)
-    elif salt_threshold is not None:
+        assigned = _assign_indexed(keyed, zones, cover_pairs, x, y, rule)
+        if not keep_unassigned:
+            assigned = assigned.filter(F.col("zone_id").isNotNull())
+        return assigned
+    if salt_threshold is not None:
         hot = hot_cells(keyed, salt_threshold).drop("_n")
         salt_src = F.col(fact_key) if fact_key else F.monotonically_increasing_id()
         facts_salted = (

@@ -157,14 +157,24 @@ def ann_lsh_topk(
     df: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     seed: int = 7,
     multiprobe: bool = True,
     key: str = "vec_id",
     vec: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: same-bucket (plus Hamming-1 probe) candidates,
-    exact cosine re-rank.  Recall measured against cosine_topk in tests."""
+    exact cosine re-rank.  Recall measured against cosine_topk in tests.
+
+    ``n_planes`` defaults to log2(corpus / target_bucket): buckets hold
+    ~target_bucket vectors, so multiprobe candidate sets stay ~10·target
+    regardless of corpus size — the knob that trades recall for cost."""
+    import math
+
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(2, int(math.log2(max(n / target_bucket, 4))))
     b = with_lsh_bucket(df, dim, n_planes, seed, vec)
     base = with_norm(b, vec)
     q = base.select(
