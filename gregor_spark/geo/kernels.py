@@ -249,6 +249,62 @@ def intersection_area_rect(
     return abs(signed_area(cx, cy))
 
 
+def clip_polygon_convex(
+    xs: np.ndarray, ys: np.ndarray, cxs: np.ndarray, cys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman clip of a simple polygon by a CONVEX polygon.
+
+    Generalizes ``clip_polygon_rect`` to arbitrary convex clip windows
+    (used by polygon→polygon apportioning with non-box targets)."""
+    cxs = np.asarray(cxs, dtype=np.float64)
+    cys = np.asarray(cys, dtype=np.float64)
+    if len(cxs) > 1 and cxs[0] == cxs[-1] and cys[0] == cys[-1]:
+        cxs, cys = cxs[:-1], cys[:-1]
+    if signed_area(cxs, cys) < 0:  # normalize to CCW (interior left)
+        cxs, cys = cxs[::-1], cys[::-1]
+    pts = list(zip(np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)))
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    m = len(cxs)
+    for i in range(m):
+        ax, ay = cxs[i], cys[i]
+        bx, by = cxs[(i + 1) % m], cys[(i + 1) % m]
+        if not pts:
+            break
+        out = []
+        n = len(pts)
+
+        def side(p):
+            return (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax)
+
+        for j in range(n):
+            cur, nxt = pts[j], pts[(j + 1) % n]
+            sc, sn = side(cur), side(nxt)
+            if sc >= 0:
+                out.append(cur)
+                if sn < 0:
+                    t = sc / (sc - sn)
+                    out.append((cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1])))
+            elif sn >= 0:
+                t = sc / (sc - sn)
+                out.append((cur[0] + t * (nxt[0] - cur[0]), cur[1] + t * (nxt[1] - cur[1])))
+        pts = out
+    if len(pts) < 3:
+        return np.empty(0), np.empty(0)
+    arr = np.asarray(pts, dtype=np.float64)
+    return arr[:, 0], arr[:, 1]
+
+
+def intersection_area_convex(
+    xs: np.ndarray, ys: np.ndarray, cxs: np.ndarray, cys: np.ndarray
+) -> float:
+    """Area of polygon ∩ convex polygon (>= 0)."""
+    px, py = clip_polygon_convex(xs, ys, cxs, cys)
+    if len(px) < 3:
+        return 0.0
+    return abs(signed_area(px, py))
+
+
 def rect_intersects_polygon(
     xs: np.ndarray,
     ys: np.ndarray,

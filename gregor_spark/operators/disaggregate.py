@@ -135,14 +135,22 @@ def disaggregate_polygon_to_polygon(
 
     from ..geo import kernels as K
 
+    def _is_box(tx, ty, minx, miny, maxx, maxy):
+        return len(tx) == 4 and set(map(float, tx)) <= {minx, maxx} and set(
+            map(float, ty)
+        ) <= {miny, maxy}
+
     rows = []
     for sz, sx, sy in zip(src_zones.zone_ids, src_zones.xs, src_zones.ys):
         for tz, tx, ty in zip(tgt_zones.zone_ids, tgt_zones.xs, tgt_zones.ys):
             minx, miny, maxx, maxy = K.polygon_bbox(tx, ty)
-            # exact only when the target is its own bbox (axis-aligned);
-            # general polygon∩polygon uses the rect clip per target edge —
-            # fixtures and tiling targets are axis-aligned tiles
-            a = K.intersection_area_rect(sx, sy, minx, miny, maxx, maxy)
+            if _is_box(tx, ty, minx, miny, maxx, maxy):
+                a = K.intersection_area_rect(sx, sy, minx, miny, maxx, maxy)
+            else:
+                # exact for convex targets (Sutherland–Hodgman clip);
+                # concave targets would need triangulation — not present
+                # in the reference's data model (tiles/admin cells)
+                a = K.intersection_area_convex(sx, sy, tx, ty)
             if a > 0:
                 rows.append((int(sz), int(tz), float(a)))
     if not rows:

@@ -97,3 +97,23 @@ def test_intersection_area():
 def test_signed_area_orientation():
     assert K.signed_area([0, 1, 1, 0], [0, 0, 1, 1]) == pytest.approx(1.0)  # CCW
     assert K.signed_area([0, 0, 1, 1], [0, 1, 1, 0]) == pytest.approx(-1.0)  # CW
+
+
+def test_convex_clip_triangle_target():
+    """polygon ∩ convex target: unit square ∩ right triangle = half."""
+    sq_x = np.array([0.0, 1.0, 1.0, 0.0])
+    sq_y = np.array([0.0, 0.0, 1.0, 1.0])
+    tri_x = np.array([0.0, 1.0, 0.0])
+    tri_y = np.array([0.0, 0.0, 1.0])
+    assert K.intersection_area_convex(sq_x, sq_y, tri_x, tri_y) == pytest.approx(0.5)
+    # CW clip ring normalizes to the same answer
+    assert K.intersection_area_convex(sq_x, sq_y, tri_x[::-1], tri_y[::-1]) == pytest.approx(0.5)
+    # disjoint
+    assert K.intersection_area_convex(sq_x, sq_y, tri_x + 5, tri_y) == 0.0
+    # convex clip of the overlap fixture polygons reproduces rect behavior
+    from gregor_spark.model import fixtures as FX
+    z = FX.SEG_OVERLAP[1]  # triangle
+    a_rect = K.intersection_area_rect(np.asarray(z.xs), np.asarray(z.ys), -0.25, 9.75, 0.75, 10.75)
+    box_x = np.array([-0.25, 0.75, 0.75, -0.25]); box_y = np.array([9.75, 9.75, 10.75, 10.75])
+    a_conv = K.intersection_area_convex(np.asarray(z.xs), np.asarray(z.ys), box_x, box_y)
+    assert a_conv == pytest.approx(a_rect)
