@@ -111,6 +111,7 @@ def run_headline() -> dict:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    ensure_corpus(spark, NORTH_DOCS)  # data prep excluded from timings
     for mode in ("broadcast", "salted"):
         t0 = time.time()
         n = _north_pipeline(spark, NORTH_DOCS, mode)
@@ -158,7 +159,9 @@ if __name__ == "__main__":
         print(json.dumps({k: round(v, 3) for k, v in s.items()}))
         sys.exit(0)
     times = run_headline()
-    total = round(sum(v for k, v in times.items() if k != "north_docs_per_sec"), 3)
+    total = round(
+        sum(v for k, v in times.items() if not k.endswith("_docs_per_sec")), 3
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
