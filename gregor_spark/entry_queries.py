@@ -703,3 +703,169 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
     "ann_lsh": (q_ann_lsh, None),
 }
+
+
+# ------------------------------------------------------------ extra queries
+
+
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-sum downsampling (the reference conservation-test op)."""
+    from .model.raster import coarsen_cells
+
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    return coarsen_cells(cells, 2)
+
+
+_COARSEN_SQL = f"""
+WITH {_cells_cte()}
+SELECT CAST(floor(r / 2) AS INT) AS row, CAST(floor(c / 2) AS INT) AS col,
+       sum(value) AS sum_value
+FROM cells GROUP BY 1, 2
+"""
+
+
+def q_zonal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    lo = aggregate_raster_to_polygon(cells, zones, "min", out="min_value")
+    hi = aggregate_raster_to_polygon(cells, zones, "max", out="max_value")
+    return lo.join(hi, "zone_id").select("zone_id", "min_value", "max_value")
+
+
+_ZONAL_MINMAX_SQL = f"""
+WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_2X2)}, asg AS (
+  SELECT p.r, p.c, p.value, max(z.zone_id) AS zid
+  FROM cells p JOIN zones z ON {_RECT}
+  GROUP BY p.r, p.c, p.value
+), agg AS (
+  SELECT zid, min(value) AS lo, max(value) AS hi
+  FROM asg WHERE value != 0.0 GROUP BY zid
+)
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, agg.lo AS min_value, agg.hi AS max_value
+FROM zones z LEFT JOIN agg ON z.zone_id = agg.zid
+"""
+
+
+def q_knn_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kNN task as knn_docs, through the DISTRIBUTED cell-join path —
+    the oracle cross-checks the ring-escalation machinery exactly."""
+    from .model.localdf import local_df
+    from .operators.knn import knn_cell_join
+
+    pts = _doc_points_df(spark, sf_dir)
+    prox = local_df(spark, KNN_PROXIES, "proxy_id long, x double, y double")
+    out = knn_cell_join(
+        pts, prox, k=3, bounds=BOUNDS, x="lon", y="lat", px="x", py="y",
+        fact_key="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "proxy_id",
+        F.round("d2", 6).alias("d2_r"),
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value sum + event rank (window functions)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_r"),
+    )
+
+
+_EVENTS_WINDOW_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_r
+FROM events
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp(F.col("ts"))  # truncated epoch seconds
+    gap = F.when((es - F.lag(es).over(w)) > 1800, 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value_r"),
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+), s AS (
+  SELECT user_id, value,
+         CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value_r
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style 3-way join + agg (generic engine proof)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_TPCH_Q3ISH_SQL = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+"""
+
+
+REGISTRY.update(
+    {
+        "coarsen_2x2": (q_coarsen, _COARSEN_SQL),
+        "zonal_minmax": (q_zonal_minmax, _ZONAL_MINMAX_SQL),
+        "knn_cell_join": (q_knn_cell_join, _knn_sql()),
+        "events_window": (q_events_window, _EVENTS_WINDOW_SQL),
+        "events_sessions": (q_events_sessions, _EVENTS_SESSIONS_SQL),
+        "tpch_q3ish": (q_tpch_q3ish, _TPCH_Q3ISH_SQL),
+    }
+)

@@ -95,6 +95,21 @@ def collect_to_grid(df: DataFrame, meta: RasterMeta, column: str = "value") -> n
     return grid
 
 
+def coarsen_cells(
+    df: DataFrame, factor: int, value: str = "value", out: str | None = None
+) -> DataFrame:
+    """Block-sum downsampling (xarray ``coarsen(x=f, y=f).sum()``, used by
+    the reference's conservation test, test_disaggregate.py:29-31):
+    one partial-agg groupBy on integer-divided grid coords."""
+    out = out or f"sum_{value}"
+    return (
+        df.groupBy(
+            F.floor(F.col("row") / factor).cast("int").alias("row"),
+            F.floor(F.col("col") / factor).cast("int").alias("col"),
+        ).agg(F.sum(value).alias(out))
+    )
+
+
 def clip_bbox(
     df: DataFrame,
     minx: float,

@@ -1,0 +1,97 @@
+"""CLI round trip + CRS reprojection kernels."""
+
+import json
+
+import numpy as np
+import pytest
+
+from gregor_spark.geo import crs
+from gregor_spark.model import fixtures as FX
+
+
+def test_reproject_roundtrip():
+    rng = np.random.RandomState(2)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-80, 80, 500)
+    mx, my = crs.reproject(lon, lat, "EPSG:4326", "EPSG:3857")
+    # known anchor: (0,0) -> (0,0); (180,0) -> pi*R
+    zx, zy = crs.reproject(np.array([0.0]), np.array([0.0]), "EPSG:4326", "EPSG:3857")
+    assert zx[0] == pytest.approx(0) and zy[0] == pytest.approx(0)
+    bx, _ = crs.reproject(np.array([180.0]), np.array([0.0]), "EPSG:4326", "EPSG:3857")
+    assert bx[0] == pytest.approx(np.pi * crs.R)
+    back_lon, back_lat = crs.reproject(mx, my, "EPSG:3857", "EPSG:4326")
+    np.testing.assert_allclose(back_lon, lon, atol=1e-9)
+    np.testing.assert_allclose(back_lat, lat, atol=1e-9)
+    with pytest.raises(ValueError):
+        crs.reproject(lon, lat, "EPSG:4326", "EPSG:9999")
+
+
+def test_reproject_df_and_zones(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 45.0), (1, -10.0, -45.0)], "id long, x double, y double"
+    )
+    out = {r["id"]: (r["x"], r["y"]) for r in crs.reproject_df(df, "EPSG:4326", "EPSG:3857").collect()}
+    ex, ey = crs.reproject(np.array([10.0]), np.array([45.0]), "EPSG:4326", "EPSG:3857")
+    assert out[0][0] == pytest.approx(ex[0]) and out[0][1] == pytest.approx(ey[0])
+    from gregor_spark.model.zones import ZoneSet
+
+    zs = ZoneSet.from_fixture(FX.SEG_2X2, values={0: 1.0})
+    rz = crs.reproject_zones(zs, "EPSG:4326", "EPSG:3857")
+    assert rz.values == {0: 1.0}
+    assert rz.xs[0][0] == pytest.approx(
+        crs.reproject(np.array([zs.xs[0][0]]), np.array([zs.ys[0][0]]), "EPSG:4326", "EPSG:3857")[0][0]
+    )
+    # identity path returns the same object contents
+    same = crs.reproject_zones(zs, "EPSG:4326", "epsg:4326")
+    np.testing.assert_array_equal(same.xs[0], zs.xs[0])
+
+
+def test_cli_raster_poly_and_refusal(spark, tmp_path, capsys):
+    from gregor_spark.cli import main
+    from gregor_spark.model.raster import RasterMeta, raster_df
+
+    cells = raster_df(spark, RasterMeta(**FX.RASTER_META), FX.RASTER_VALUES)
+    cells_path = str(tmp_path / "cells.parquet")
+    cells.write.parquet(cells_path)
+    zones_path = str(tmp_path / "zones.json")
+    with open(zones_path, "w") as f:
+        json.dump(
+            [
+                {"zone_id": z.zone_id, "xs": list(z.xs), "ys": list(z.ys), "value": 2.0}
+                for z in FX.SEG_2X2
+            ],
+            f,
+        )
+    dst = str(tmp_path / "out.parquet")
+    main(["raster-poly", cells_path, zones_path, dst, "--stats", "sum"])
+    got = {
+        r["zone_id"]: r["sum_value"] for r in spark.read.parquet(dst).collect()
+    }
+    assert got == pytest.approx(FX.GOLDEN_ZONAL_SUM_2X2)
+    # reference semantics: refuse existing destination (cli.py:16-17)
+    with pytest.raises(SystemExit, match="already exists"):
+        main(["raster-poly", cells_path, zones_path, dst])
+
+
+def test_cli_poly_raster_conservation(spark, tmp_path):
+    from gregor_spark.cli import main
+    from gregor_spark.model.raster import RasterMeta, raster_df
+
+    cells = raster_df(spark, RasterMeta(**FX.RASTER_META), FX.RASTER_VALUES)
+    proxy_path = str(tmp_path / "proxy.parquet")
+    cells.write.parquet(proxy_path)
+    zones_path = str(tmp_path / "zones.json")
+    with open(zones_path, "w") as f:
+        json.dump(
+            [
+                {"zone_id": z.zone_id, "xs": list(z.xs), "ys": list(z.ys), "value": 2.0}
+                for z in FX.SEG_2X2
+            ],
+            f,
+        )
+    dst = str(tmp_path / "disagg.parquet")
+    main(["poly-raster", zones_path, "value", proxy_path, dst])
+    total = (
+        spark.read.parquet(dst).groupBy().sum("disaggregated").collect()[0][0]
+    )
+    assert total == pytest.approx(8.0)  # 4 zones x value 2, mass conserved
