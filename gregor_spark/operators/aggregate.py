@@ -28,7 +28,7 @@ _STATS = {
 
 
 def aggregate_raster_to_polygon(
-    cells: DataFrame,
+    cells: "DataFrame | str",
     zones: ZoneSet,
     stats: str = "sum",
     value: str = "value",
@@ -48,6 +48,12 @@ def aggregate_raster_to_polygon(
     """
     if stats not in _STATS:
         raise ValueError(f"unsupported stats {stats!r}; one of {sorted(_STATS)}")
+    if isinstance(cells, str):
+        # reference dispatcher accepts a file path (aggregate.py:9-37);
+        # here: a parquet long-form cell table
+        from pyspark.sql import SparkSession
+
+        cells = SparkSession.getActiveSession().read.parquet(cells)
     out = out or f"{stats}_{value}"
     assigned = assign_cells_df(cells, zones, out="zone_id", keep_unassigned=False)
     if nodata is not None:
