@@ -1,0 +1,82 @@
+"""Physical-plan assertions — the optimizer behavior the engine relies on
+must hold, not just be hoped for (task brief: `.explain` and iterate).
+
+* bbox clip predicates reach the parquet scan (PushedFilters);
+* column pruning keeps unused columns out of ReadSchema;
+* norm/zone joins in disaggregation go broadcast (no fact shuffle);
+* the broadcast assignment path contains NO Exchange at all (map-only);
+* Morton encode runs inside WholeStageCodegen (no BatchEvalPython).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gregor_spark.model import fixtures as FX
+from gregor_spark.model.raster import RasterMeta, clip_bbox, raster_df
+from gregor_spark.model.zones import ZoneSet
+from gregor_spark.operators.spatial_join import spatial_hash_join, with_cell_id
+
+BOUNDS = (-0.25, 9.75, 1.75, 11.75)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _formatted(df) -> str:
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def parquet_cells(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "cells.parquet")
+    raster_df(spark, RasterMeta(**FX.RASTER_META), FX.RASTER_VALUES).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_clip_pushes_down_to_scan(spark, parquet_cells):
+    plan = _formatted(clip_bbox(parquet_cells, 0.0, 10.0, 1.0, 11.0))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(x,", plan), plan
+
+
+def test_column_pruning(spark, parquet_cells):
+    plan = _formatted(parquet_cells.select("row", "col"))
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "value" not in m.group(1), plan
+
+
+def test_disaggregation_joins_are_broadcast(spark, parquet_cells):
+    from gregor_spark.operators.disaggregate import disaggregate_polygon_to_raster
+
+    zones = ZoneSet.from_fixture(FX.SEG_2X2, values={z: 2.0 for z in range(4)})
+    plan = _formatted(disaggregate_polygon_to_raster(zones, parquet_cells))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must never sort-merge: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_broadcast_assignment_is_map_only(spark, parquet_cells):
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    assigned = spatial_hash_join(
+        parquet_cells, zones, 6, BOUNDS, broadcast_cover=True, keep_unassigned=True
+    )
+    plan = _formatted(assigned)
+    # zero shuffle: the whole assignment is scan -> project -> eval python
+    assert "Exchange" not in plan, plan
+
+
+def test_morton_encode_is_codegen(spark, parquet_cells):
+    plan = _formatted(with_cell_id(parquet_cells, 8, BOUNDS))
+    assert "codegen id" in plan, plan  # encode runs inside a codegen stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
