@@ -869,3 +869,117 @@ REGISTRY.update(
         "tpch_q3ish": (q_tpch_q3ish, _TPCH_Q3ISH_SQL),
     }
 )
+
+
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy check: assign at res 6, roll up the histogram to res 4 —
+    must equal the oracle's direct res-4 derivation (Morton parent ==
+    integer-halved tile coords, twice)."""
+    from .operators.spatial_join import with_cell_id
+    from .operators.tiles import rollup_histogram
+
+    pts = _doc_points_df(spark, sf_dir)
+    keyed = with_cell_id(pts, 6, BOUNDS, x="lon", y="lat")
+    hist6 = keyed.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    up = rollup_histogram(hist6, 6, 4)
+
+    @F.pandas_udf(T.LongType())
+    def tx(cell: pd.Series) -> pd.Series:
+        from .geo import cells as C
+
+        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[0])
+
+    @F.pandas_udf(T.LongType())
+    def ty(cell: pd.Series) -> pd.Series:
+        from .geo import cells as C
+
+        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[1])
+
+    # n_docs summed across children is exact here: each doc has ONE point
+    return up.select(
+        tx(F.col("cell_id")).alias("tile_x"),
+        ty(F.col("cell_id")).alias("tile_y"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+_TILE_ROLLUP_SQL = f"""
+WITH {_DOCPTS}
+SELECT CAST(floor(((lon + 0.25) / 2.0) * 16) AS BIGINT) AS tile_x,
+       CAST(floor(((lat - 9.75) / 2.0) * 16) AS BIGINT) AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM docpts GROUP BY 1, 2
+"""
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: keep the lowest doc_id per content hash
+    (canonical-keep anti-join shape)."""
+    docs = _docs(spark, sf_dir)
+    keep = D.dedup_exact(docs).select(F.col("min_doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+_DEDUP_KEEP_SQL = """
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.n_chars FROM documents d JOIN keep USING (doc_id)
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (the
+    near-dup flavor of similarity search)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .ops.similarity import with_norm, _dot
+
+    base = with_norm(emb.select("vec_id", "embedding"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(v, v), s -> s[1] * s[2])), (a,x) -> a + x)) AS nv
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x,y) -> x + y)
+             / (a.nv * b.nv), 6) AS cos_r
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x,y) -> x + y)
+      / (a.nv * b.nv) >= 0.4
+"""
+
+
+REGISTRY.update(
+    {
+        "tile_rollup": (q_tile_rollup, _TILE_ROLLUP_SQL),
+        "dedup_keep": (q_dedup_keep, _DEDUP_KEEP_SQL),
+        "embedding_near_dup": (q_embedding_near_dup, _EMB_NEAR_DUP_SQL),
+    }
+)

@@ -33,6 +33,8 @@ def disaggregate_polygon_to_raster(
     value_column: str = "value",
     proxy_column: str = "value",
     out: str = "disaggregated",
+    data_crs: str | None = None,
+    proxy_crs: str | None = None,
 ) -> DataFrame:
     """Apportion each zone's value over its raster cells ∝ proxy weight
     (reference disaggregate_polygon_to_raster, disaggregate.py:8-71).
@@ -42,6 +44,17 @@ def disaggregate_polygon_to_raster(
     identical — conservation holds either way).
     """
     spark = proxy_cells.sparkSession
+    if data_crs and proxy_crs and data_crs != proxy_crs:
+        # reference aligns data -> proxy CRS with a printed warning
+        # (disaggregate.py:40-44); zones are driver-side so the reprojection
+        # is a numpy pass, never a fact-table job
+        from ..geo.crs import reproject_zones
+
+        print(
+            f"Data CRS ({data_crs}) differs from proxy CRS ({proxy_crs}). "
+            "Reprojecting data."
+        )
+        zones = reproject_zones(zones, data_crs, proxy_crs)
     assigned = assign_cells_df(proxy_cells, zones, keep_unassigned=False)
     norm = assigned.groupBy("zone_id").agg(
         F.sum(proxy_column).alias("_norm")

@@ -61,6 +61,38 @@ def assign_tiles(
     )
 
 
+def with_parent_cell(
+    df: DataFrame,
+    res: int,
+    parent_res: int,
+    cell: str = "cell_id",
+    out: str = "parent_cell",
+) -> DataFrame:
+    """Coarsen Morton cell ids from ``res`` to ``parent_res`` — pure column
+    bit-ops (geo/cells.parent as codegen): hierarchical prefix truncation."""
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    morton = F.col(cell).bitwiseAND(F.lit((1 << 56) - 1))
+    return df.withColumn(
+        out,
+        F.lit(parent_res << 56).bitwiseOR(
+            F.shiftrightunsigned(morton, 2 * (res - parent_res))
+        ),
+    )
+
+
+def rollup_histogram(hist: DataFrame, res: int, parent_res: int) -> DataFrame:
+    """Hypertable-style rollup: re-aggregate a tile histogram one or more
+    levels up the Morton hierarchy (partial-agg shuffle of O(tiles)).
+    ``n_docs`` sums approximate distinct counts — an upper bound, as in
+    any mergeable-sketch rollup without the raw sketch."""
+    return (
+        with_parent_cell(hist, res, parent_res)
+        .groupBy(F.col("parent_cell").alias("cell_id"))
+        .agg(F.sum("n_spans").alias("n_spans"), F.sum("n_docs").alias("n_docs"))
+    )
+
+
 def tile_histogram(tiled: DataFrame) -> DataFrame:
     """Docs and spans per tile — the rollup consumers read; partial-agg
     shuffle of O(distinct tiles) rows."""
