@@ -41,6 +41,13 @@ HEADLINE = [
     "fingerprint",
     "cosine_topk",
     "tpch_q1",
+    "tpch_q3ish",
+    "events_window",
+    "events_sessions",
+    "coarsen_2x2",
+    "tile_rollup",
+    "jaccard_pairs",
+    "embedding_near_dup",
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -935,25 +935,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (the
     near-dup flavor of similarity search)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from .ops.similarity import with_norm, _dot
+    from .ops.similarity import near_dup_pairs
 
-    base = with_norm(emb.select("vec_id", "embedding"))
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-        F.col("_norm").alias("na"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-        F.col("_norm").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.4)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+    return near_dup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
     )
 
 

@@ -52,6 +52,8 @@ def assign_cells_df(
     want; reference drops them via ``dropna`` at disaggregate.py:52).
     """
     ids, zxs, zys = zones.arrays()
+    if out in df.columns:  # re-assignment replaces a stale column
+        df = df.drop(out)
     schema = _with_long_col(df.schema, out)
     names = [f.name for f in schema.fields]
 
@@ -87,6 +89,9 @@ def assign_points_within_df(
     inner-join drop (aggregate.py:121).
     """
     ids, zxs, zys = zones.arrays()
+    for c in (out, hits):
+        if c in df.columns:
+            df = df.drop(c)
     schema = _with_long_col(_with_long_col(df.schema, out), hits)
     names = [f.name for f in schema.fields]
 

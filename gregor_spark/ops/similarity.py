@@ -127,6 +127,53 @@ def cosine_topk_pandas(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Corpus-side mapInPandas × broadcast normalized matrix: one float64
+    matmul per Arrow batch, emitting only above-threshold pairs — the
+    shuffle-free near-dup sweep (higher-order-function folds would be
+    interpreted per pair, ~20× slower).  At cluster scale the broadcast
+    side is the smaller of the two tables or an LSH-bucketed prefilter.
+    """
+    rows = df.select(key, vec).collect()
+    ids = np.array([r[key] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf[key].to_numpy(np.int64)
+            bmat = np.asarray(pdf[vec].tolist(), dtype=np.float64)
+            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = bmat @ mat.T  # (B, N)
+            bi, ni = np.where(sims >= threshold)
+            keep = bids[bi] < ids[ni]
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[bi[keep]],
+                    "id_b": ids[ni[keep]],
+                    "cos": sims[bi[keep], ni[keep]],
+                }
+            )
+
+    return df.select(key, vec).mapInPandas(run, schema=schema)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
