@@ -19,8 +19,6 @@ multi-claims resolve deterministically last-id-wins via ``max(zone_id)``
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -41,7 +41,7 @@ def extract_geo_points(docs: DataFrame, spans: str = "spans") -> DataFrame:
 
 def assign_tiles(
     docs: DataFrame,
-    res: int,
+    res: int | None = None,
     bounds: tuple[float, float, float, float] = C.WORLD,
     zones: ZoneSet | None = None,
     **join_kwargs,
@@ -51,7 +51,22 @@ def assign_tiles(
     Returns (doc_id, offset, lon, lat, cell_id[, zone_id]).  With a zone
     layer the spatial hash join (broadcast or salted-partitioned) refines
     the cell candidates by exact PIP, deterministic last-id-wins.
+    ``res=None`` lets the planner pick from the zone layer's typical
+    extent (plans/strategy.choose_resolution).
     """
+    if res is None:
+        import math
+
+        from ..plans.strategy import choose_resolution
+
+        if zones is None:
+            res = 8
+        else:
+            minx, miny, maxx, maxy = zones.total_bounds()
+            typical = math.sqrt(
+                max((maxx - minx) * (maxy - miny) / max(len(zones), 1), 1e-12)
+            )
+            res = choose_resolution(bounds, typical, bounds)
     pts = extract_geo_points(docs)
     if zones is None:
         return with_cell_id(pts, res, bounds, x="lon", y="lat")

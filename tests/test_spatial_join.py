@@ -143,3 +143,16 @@ def test_jvm_cell_id_matches_numpy(spark, pts):
         np.array([r["x"] for r in rows]), np.array([r["y"] for r in rows]), 9, BOUNDS
     )
     assert [got[r["point_id"]] for r in rows] == want.tolist()
+
+
+def test_assign_tiles_auto_resolution(spark):
+    """res=None → planner-chosen resolution; assignment unchanged."""
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    docs = generate_documents(spark, 300, BOUNDS, seed=3)
+    auto = assign_tiles(docs, None, BOUNDS, zones=zones, keep_unassigned=True)
+    key = lambda df: {
+        (r["doc_id"], r["offset"]): r["zone_id"]
+        for r in df.select("doc_id", "offset", "zone_id").collect()
+    }
+    fixed = assign_tiles(docs, RES, BOUNDS, zones=zones, keep_unassigned=True)
+    assert key(auto) == key(fixed)  # zone assignment is res-invariant
