@@ -35,14 +35,20 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
         build = os.path.join(_REPO, ".build")
         os.makedirs(build, exist_ok=True)
         zpath = os.path.join(build, "gregor_spark.zip")
-        if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO, "gregor_spark")
+        sources = [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(pkg)
+            for f in files
+            if f.endswith(".py")
+        ]
+        # rebuild when any module is newer than the zip (a stale zip would
+        # ship old code to workers while the driver runs new code)
+        newest = max(os.path.getmtime(s) for s in sources)
+        if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
             with zipfile.ZipFile(zpath, "w") as zf:
-                pkg = os.path.join(_REPO, "gregor_spark")
-                for root, _dirs, files in os.walk(pkg):
-                    for f in files:
-                        if f.endswith(".py"):
-                            full = os.path.join(root, f)
-                            zf.write(full, os.path.relpath(full, _REPO))
+                for full in sources:
+                    zf.write(full, os.path.relpath(full, _REPO))
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass  # already added in this context, or cwd-resolution suffices
