@@ -95,7 +95,10 @@ def _north_pipeline(spark, n_docs: int, mode: str = "broadcast") -> int:
         if mode == "broadcast"
         else {
             "broadcast_cover": False,
-            "salt_threshold": max(50_000, n_docs // 40),
+            # threshold chosen so the skewed corner (hot_frac=5% per axis at
+            # res 8 ≈ 164 cells holding 20% of spans ≈ 1.8·n_docs/1000 per cell)
+            # the salted path must really salt, not just shuffle-join
+            "salt_threshold": max(4_000, n_docs // 1000),
             "salt_factor": 16,
         }
     )
