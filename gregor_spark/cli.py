@@ -57,10 +57,19 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("poly-raster")
     p.add_argument("data"), p.add_argument("column"), p.add_argument("proxy")
     p.add_argument("destination")
+    # reference cli.py:59-61: --to-data-crs reprojects the RESULT back to
+    # the data CRS; parquet carries no CRS, so the pair travels as flags
+    p.add_argument("--to-data-crs", action="store_true", dest="to_data_crs")
+    p.add_argument("--data-crs", default="EPSG:4326")
+    p.add_argument("--proxy-crs", default="EPSG:4326")
 
     p = sub.add_parser("poly-point")
     p.add_argument("data"), p.add_argument("column"), p.add_argument("proxy")
     p.add_argument("proxy_column"), p.add_argument("destination")
+    # reference cli.py:78-81
+    p.add_argument("--to-data-crs", action="store_true", dest="to_data_crs")
+    p.add_argument("--data-crs", default="EPSG:4326")
+    p.add_argument("--proxy-crs", default="EPSG:4326")
 
     args = ap.parse_args(argv)
     _check_dst(args.destination)
@@ -87,15 +96,35 @@ def main(argv: list[str] | None = None) -> None:
 
         zones = _load_zones(args.data)
         proxy = spark.read.parquet(args.proxy)
-        minx, miny, maxx, maxy = zones.total_bounds()
+        if args.data_crs != args.proxy_crs:
+            from .geo.crs import reproject_zones
+
+            bzones = reproject_zones(zones, args.data_crs, args.proxy_crs)
+        else:
+            bzones = zones
+        minx, miny, maxx, maxy = bzones.total_bounds()
         proxy = clip_bbox(proxy, minx, miny, maxx, maxy)  # cli.py:55-57
-        out = disaggregate_polygon_to_raster(zones, proxy, value_column=args.column)
+        out = disaggregate_polygon_to_raster(
+            zones,
+            proxy,
+            value_column=args.column,
+            data_crs=args.data_crs,
+            proxy_crs=args.proxy_crs,
+            to_data_crs=args.to_data_crs,
+        )
     else:  # poly-point
         from .operators.disaggregate import disaggregate_polygon_to_point
 
         zones = _load_zones(args.data)
         pts = spark.read.parquet(args.proxy)
-        out = disaggregate_polygon_to_point(zones, pts, proxy_column=args.proxy_column)
+        out = disaggregate_polygon_to_point(
+            zones,
+            pts,
+            proxy_column=args.proxy_column,
+            data_crs=args.data_crs,
+            proxy_crs=args.proxy_crs,
+            to_data_crs=args.to_data_crs,
+        )
 
     out.write.parquet(args.destination)
     print(f"wrote {args.destination}")

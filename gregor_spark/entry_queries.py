@@ -968,3 +968,92 @@ REGISTRY.update(
         "embedding_near_dup": (q_embedding_near_dup, _EMB_NEAR_DUP_SQL),
     }
 )
+
+
+# ------------------------------------------------ holes / overlap semantics
+
+
+def q_belongs_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster assignment against a zone with an interior ring (hole) —
+    reference handles holes via GDAL geometry_mask (disaggregate.py:137)."""
+    return q_belongs(FX.SEG_HOLED)(spark, sf_dir)
+
+
+# derived hole edge rules (see geo/kernels.on_boundary_masks(hole=True) and
+# tests/test_kernels.py::test_belongs_to_holed): strict hole interior is
+# outside the polygon; hole left/top/bottom edges stay claimed; the hole's
+# RIGHT edge is a west wall (polygon interior resumes at +x) -> excluded
+_BELONGS_HOLED_SQL = f"""
+WITH {_cells_cte()}, claimed AS (
+  SELECT r, c, 0 AS zone_id FROM cells p
+  WHERE p.x > -0.25 AND p.x <= 1.75 AND p.y >= 9.75 AND p.y <= 11.75
+    AND NOT (p.x > 0.0 AND p.x < 1.0 AND p.y > 10.0 AND p.y < 11.0)
+    AND NOT (p.x = 1.0 AND p.y >= 10.0 AND p.y <= 11.0)
+)
+SELECT p.r AS row, p.c AS col, CAST(max(claimed.zone_id) AS BIGINT) AS zone_id
+FROM cells p LEFT JOIN claimed ON p.r = claimed.r AND p.c = claimed.c
+GROUP BY p.r, p.c
+"""
+
+
+def q_zonal_sum_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = raster_df(spark, META, FX.RASTER_VALUES)
+    zones = ZoneSet.from_fixture(FX.SEG_HOLED)
+    return aggregate_raster_to_polygon(
+        cells, zones, "sum", nodata=None, out="sum_value"
+    )
+
+
+_ZONAL_HOLED_SQL = f"""
+WITH base AS ({_BELONGS_HOLED_SQL}), {_cells_cte()}
+SELECT CAST(0 AS BIGINT) AS zone_id, sum(cells.value) AS sum_value
+FROM base JOIN cells ON base.row = cells.r AND base.col = cells.c
+WHERE base.zone_id IS NOT NULL
+"""
+
+
+def q_agg_points_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point aggregation over OVERLAPPING zones: the reference sjoin emits
+    one row per containing polygon (aggregate.py:121), so points in the
+    overlap count in BOTH zones."""
+    from .model.localdf import local_df
+
+    points = local_df(
+        spark, FX.POINTS, "point_id long, x double, y double, weight double"
+    )
+    zones = ZoneSet.from_fixture(FX.SEG_OVERLAP)
+    c = aggregate_point_to_polygon(points, zones, "count", out="cnt")
+    s = aggregate_point_to_polygon(points, zones, "sum", out="sw")
+    return c.join(s, "zone_id").select(
+        "zone_id", F.col("cnt").cast("long").alias("cnt"), F.round("sw", 6).alias("sum_w_r")
+    )
+
+
+# strict-interior half-plane re-derivation of the two overlap fixtures
+# (quad zone 0 under the line y = 11.75 - (x+0.25)/2; triangle zone 1
+# between the two slanted edges) — independent of the ray-cast kernel
+_AGG_POINTS_OVERLAP_SQL = f"""
+WITH {_points_cte()}, asg AS (
+  SELECT p.point_id, p.w, 0 AS zone_id FROM pts p
+  WHERE p.x > -0.25 AND p.x < 1.75 AND p.y > 9.75
+    AND p.y < 11.75 - (p.x + 0.25) * 0.5
+  UNION ALL
+  SELECT p.point_id, p.w, 1 FROM pts p
+  WHERE p.x > -0.25 AND p.y > 9.75 + (p.x + 0.25) * 0.5
+    AND p.y < 11.75 - (p.x + 0.25) * 0.5
+), agg AS (
+  SELECT zone_id, count(*) AS n, sum(w) AS s FROM asg GROUP BY zone_id
+), zl(zone_id) AS (SELECT * FROM (VALUES (0),(1)))
+SELECT CAST(zl.zone_id AS BIGINT) AS zone_id, CAST(agg.n AS BIGINT) AS cnt,
+       round(agg.s, 6) AS sum_w_r
+FROM zl LEFT JOIN agg ON zl.zone_id = agg.zone_id
+"""
+
+
+REGISTRY.update(
+    {
+        "belongs_holes": (q_belongs_holed, _BELONGS_HOLED_SQL),
+        "zonal_sum_holes": (q_zonal_sum_holed, _ZONAL_HOLED_SQL),
+        "agg_points_overlap": (q_agg_points_overlap, _AGG_POINTS_OVERLAP_SQL),
+    }
+)

@@ -169,11 +169,30 @@ def polyfill(
     Driver-side: polygons (zones) are small and broadcastable
     (SURVEY.md §2.2).  Cost is O(bbox tiles); resolution choice bounds it.
     """
+    return polyfill_rings([(xs, ys, False)], res, bounds, classify)
+
+
+def polyfill_rings(
+    rings: list,
+    res: int,
+    bounds: tuple[float, float, float, float] = WORLD,
+    classify: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
+    """``polyfill`` over ring-list geometry (exterior parts + holes): a
+    cell is covered when its intersection area with the holed multi-part
+    polygon is positive, and ``full`` when that area equals the cell area
+    (strictly interior to an exterior part AND outside every hole)."""
     minx, miny, maxx, maxy = bounds
     n = 1 << res
     w = (maxx - minx) / n
     h = (maxy - miny) / n
-    bxmin, bymin, bxmax, bymax = K.polygon_bbox(xs, ys)
+    ext_bbs = [K.polygon_bbox(rx, ry) for rx, ry, hole in rings if not hole]
+    if not ext_bbs:
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, np.empty(0, dtype=bool)) if classify else empty
+    bb = np.asarray(ext_bbs)
+    bxmin, bymin = bb[:, 0].min(), bb[:, 1].min()
+    bxmax, bymax = bb[:, 2].max(), bb[:, 3].max()
     ix0 = max(0, int(np.floor((bxmin - minx) / w)))
     iy0 = max(0, int(np.floor((bymin - miny) / h)))
     ix1 = min(n - 1, int(np.floor((bxmax - minx) / w + 1e-12)))
@@ -189,8 +208,8 @@ def polyfill(
         cminy = miny + iy * h
         for ix in range(ix0, ix1 + 1):
             cminx = minx + ix * w
-            a_exp = K.intersection_area_rect(
-                xs, ys, cminx - delta, cminy - delta, cminx + w + delta, cminy + h + delta
+            a_exp = K.intersection_area_rect_rings(
+                rings, cminx - delta, cminy - delta, cminx + w + delta, cminy + h + delta
             )
             if a_exp > 0.0:
                 out_ix.append(ix)

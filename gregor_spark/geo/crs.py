@@ -96,4 +96,10 @@ def reproject_zones(zones, src: str, dst: str):
         nx, ny = reproject(zx, zy, src, dst)
         xs.append(nx)
         ys.append(ny)
-    return ZoneSet(zones.zone_ids.copy(), xs, ys, dict(zones.values))
+    extra = None
+    if zones.extra_rings is not None:
+        extra = [
+            [(*reproject(rx, ry, src, dst), hole) for rx, ry, hole in per_zone]
+            for per_zone in zones.extra_rings
+        ]
+    return ZoneSet(zones.zone_ids.copy(), xs, ys, dict(zones.values), extra_rings=extra)

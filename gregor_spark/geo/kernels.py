@@ -83,6 +83,7 @@ def on_boundary_masks(
     xs: np.ndarray,
     ys: np.ndarray,
     eps: float = 1e-9,
+    hole: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Return (on_any_boundary, on_excluded_west_wall) masks.
 
@@ -92,11 +93,15 @@ def on_boundary_masks(
     matrix in the reference test/test_belongs_to.py:27-32).  West-wall
     exclusion dominates at corners (verified against the golden corner
     (0.5, 11.0) -> zone 3, not 4).
+
+    ``hole=True`` flips the interior side: for an interior ring the
+    polygon interior is OUTSIDE the ring, so e.g. the right (+x) edge of a
+    rectangular hole is the west wall (polygon interior resumes at +x).
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     x1, y1, x2, y2 = _ring_edges(xs, ys)
-    ccw = signed_area(xs, ys) > 0
+    ccw = (signed_area(xs, ys) > 0) != hole
     on_any = np.zeros(px.shape, dtype=bool)
     on_west = np.zeros(px.shape, dtype=bool)
     for i in range(len(x1)):
@@ -131,6 +136,61 @@ def claims_raster_cell(
     on_any, on_west = on_boundary_masks(px, py, xs, ys)
     inside = points_strictly_inside(px, py, xs, ys)
     return (inside & ~on_any) | (on_any & ~on_west)
+
+
+# ------------------------------------------------------- ring-list geometry
+#
+# A zone geometry is a list of rings ``(xs, ys, is_hole)`` — one or more
+# exterior parts (multipolygon) plus interior rings (holes).  The
+# reference accepts arbitrary shapely geometries through GDAL's
+# geometry_mask / sjoin (disaggregate.py:137-142, aggregate.py:121), which
+# honor holes and multi-part geometries; these kernels reproduce that via
+# even-odd parity across ALL rings (orientation-agnostic), with the
+# west-wall rule applied per ring (interior side flipped for holes).
+
+Rings = "list[tuple[np.ndarray, np.ndarray, bool]]"
+
+
+def points_inside_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd interior test across all rings: inside exactly when the
+    crossing parity over every ring is odd — holes and disjoint parts fall
+    out of the parity automatically (boundary points undefined; resolve
+    with on_boundary_masks_rings)."""
+    px = np.asarray(px, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for xs, ys, _hole in rings:
+        inside ^= points_strictly_inside(px, py, xs, ys)
+    return inside
+
+
+def on_boundary_masks_rings(
+    px: np.ndarray, py: np.ndarray, rings, eps: float = 1e-9
+) -> tuple[np.ndarray, np.ndarray]:
+    """(on_any_boundary, on_west_wall) across all rings.  West-wall
+    exclusion dominates when a point sits on several rings' edges (same
+    corner rule as the single-ring kernel)."""
+    px = np.asarray(px, dtype=np.float64)
+    on_any = np.zeros(px.shape, dtype=bool)
+    on_west = np.zeros(px.shape, dtype=bool)
+    for xs, ys, hole in rings:
+        a, w = on_boundary_masks(px, py, xs, ys, eps=eps, hole=hole)
+        on_any |= a
+        on_west |= w
+    return on_any, on_west
+
+
+def claims_raster_cell_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Raster-assignment claim mask for a holed / multi-part polygon."""
+    on_any, on_west = on_boundary_masks_rings(px, py, rings)
+    inside = points_inside_rings(px, py, rings)
+    return (inside & ~on_any) | (on_any & ~on_west)
+
+
+def points_within_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Strict-interior (shapely ``within``) test for ring-list geometry:
+    even-odd parity AND not on any ring boundary."""
+    on_any, _w = on_boundary_masks_rings(px, py, rings)
+    return points_inside_rings(px, py, rings) & ~on_any
 
 
 def assign_cells(
@@ -177,6 +237,46 @@ def assign_points_within(
     order = np.argsort(np.asarray(zone_ids, dtype=np.int64), kind="stable")
     for k in order[::-1]:  # reverse so the FIRST (lowest id) hit wins
         mask = points_strictly_inside(px, py, zone_xs[k], zone_ys[k])
+        out[mask] = zone_ids[k]
+        hits += mask.astype(np.int64)
+    return out, hits
+
+
+def assign_cells_rings(
+    px: np.ndarray,
+    py: np.ndarray,
+    zone_ids: np.ndarray,
+    zone_rings: list,
+) -> np.ndarray:
+    """Ring-list version of ``assign_cells``: each point -> zone id
+    (-1 = unassigned), ascending-id application so later ids overwrite
+    (reference last-wins loop, disaggregate.py:136-145)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.full(px.shape, -1, dtype=np.int64)
+    order = np.argsort(np.asarray(zone_ids, dtype=np.int64), kind="stable")
+    for k in order:
+        mask = claims_raster_cell_rings(px, py, zone_rings[k])
+        out[mask] = zone_ids[k]
+    return out
+
+
+def assign_points_within_rings(
+    px: np.ndarray,
+    py: np.ndarray,
+    zone_ids: np.ndarray,
+    zone_rings: list,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ring-list version of ``assign_points_within``: (lowest-matching
+    zone id or -1, match count) per point under the strict ``within``
+    rule."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.full(px.shape, -1, dtype=np.int64)
+    hits = np.zeros(px.shape, dtype=np.int64)
+    order = np.argsort(np.asarray(zone_ids, dtype=np.int64), kind="stable")
+    for k in order[::-1]:  # reverse so the FIRST (lowest id) hit wins
+        mask = points_within_rings(px, py, zone_rings[k])
         out[mask] = zone_ids[k]
         hits += mask.astype(np.int64)
     return out, hits
@@ -247,6 +347,28 @@ def intersection_area_rect(
     if len(cx) < 3:
         return 0.0
     return abs(signed_area(cx, cy))
+
+
+def intersection_area_rect_rings(
+    rings, minx: float, miny: float, maxx: float, maxy: float
+) -> float:
+    """Area of (multi-part, possibly holed) polygon ∩ rect: exterior-part
+    areas minus hole areas (exact while holes lie inside their exterior
+    and parts are disjoint — the GeoJSON validity rules)."""
+    a = 0.0
+    for xs, ys, hole in rings:
+        part = intersection_area_rect(xs, ys, minx, miny, maxx, maxy)
+        a += -part if hole else part
+    return max(a, 0.0)
+
+
+def intersection_area_convex_rings(rings, cxs: np.ndarray, cys: np.ndarray) -> float:
+    """Area of ring-list polygon ∩ convex clip polygon."""
+    a = 0.0
+    for xs, ys, hole in rings:
+        part = intersection_area_convex(xs, ys, cxs, cys)
+        a += -part if hole else part
+    return max(a, 0.0)
 
 
 def clip_polygon_convex(

@@ -22,26 +22,55 @@ from ..geo import kernels as K
 
 @dataclass
 class ZoneSet:
+    """Zone polygon layer.
+
+    ``xs``/``ys`` hold the PRIMARY exterior ring per zone; ``extra_rings``
+    (optional, aligned with zones) carries every additional ring as
+    ``(xs, ys, is_hole)`` — interior rings (holes) and further exterior
+    parts (multipolygons).  The reference handles arbitrary shapely
+    geometries via GDAL geometry_mask / sjoin (disaggregate.py:137-142,
+    aggregate.py:121); the engine's kernels reproduce that with even-odd
+    parity across the full ring list (geo/kernels.py ring-list API).
+    """
+
     zone_ids: np.ndarray  # int64
-    xs: list[np.ndarray]  # exterior ring x per zone
+    xs: list[np.ndarray]  # primary exterior ring x per zone
     ys: list[np.ndarray]
     values: dict[int, float] = field(default_factory=dict)  # optional zone values
+    extra_rings: list[list[tuple[np.ndarray, np.ndarray, bool]]] | None = None
 
     def __post_init__(self) -> None:
         self.zone_ids = np.asarray(self.zone_ids, dtype=np.int64)
         self.xs = [np.asarray(a, dtype=np.float64) for a in self.xs]
         self.ys = [np.asarray(a, dtype=np.float64) for a in self.ys]
+        if self.extra_rings is not None:
+            self.extra_rings = [
+                [
+                    (
+                        np.asarray(rx, dtype=np.float64),
+                        np.asarray(ry, dtype=np.float64),
+                        bool(h),
+                    )
+                    for rx, ry, h in per_zone
+                ]
+                for per_zone in self.extra_rings
+            ]
 
     # -------------------------------------------------- constructors
 
     @classmethod
     def from_fixture(cls, zones, values: dict[int, float] | None = None) -> "ZoneSet":
-        """From model.fixtures Zone dataclasses."""
+        """From model.fixtures Zone dataclasses (holes honored)."""
+        extra = [
+            [(hx, hy, True) for hx, hy in getattr(z, "holes", ()) or ()]
+            for z in zones
+        ]
         return cls(
             np.array([z.zone_id for z in zones], dtype=np.int64),
             [np.asarray(z.xs, dtype=np.float64) for z in zones],
             [np.asarray(z.ys, dtype=np.float64) for z in zones],
             dict(values or {}),
+            extra_rings=extra if any(extra) else None,
         )
 
     @classmethod
@@ -64,9 +93,27 @@ class ZoneSet:
     def arrays(self):
         return self.zone_ids, self.xs, self.ys
 
+    def zone_rings(self, k: int) -> list[tuple[np.ndarray, np.ndarray, bool]]:
+        """All rings of the k-th zone: primary exterior + extra rings."""
+        rings = [(self.xs[k], self.ys[k], False)]
+        if self.extra_rings is not None:
+            rings.extend(self.extra_rings[k])
+        return rings
+
+    def rings_list(self) -> list[list[tuple[np.ndarray, np.ndarray, bool]]]:
+        """Ring lists aligned with ``zone_ids`` (the kernel geometry API)."""
+        return [self.zone_rings(k) for k in range(len(self.zone_ids))]
+
     def total_bounds(self) -> tuple[float, float, float, float]:
-        """Union bbox (reference GeoSeries.total_bounds, disaggregate.py:93)."""
-        bb = np.array([K.polygon_bbox(x, y) for x, y in zip(self.xs, self.ys)])
+        """Union bbox (reference GeoSeries.total_bounds, disaggregate.py:93).
+        Exterior parts only — holes never extend the bounds."""
+        bbs = [K.polygon_bbox(x, y) for x, y in zip(self.xs, self.ys)]
+        if self.extra_rings is not None:
+            for per_zone in self.extra_rings:
+                bbs.extend(
+                    K.polygon_bbox(rx, ry) for rx, ry, hole in per_zone if not hole
+                )
+        bb = np.array(bbs)
         return (
             float(bb[:, 0].min()),
             float(bb[:, 1].min()),
@@ -74,9 +121,10 @@ class ZoneSet:
             float(bb[:, 3].max()),
         )
 
-    def geometry_lookup(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    def geometry_lookup(self) -> dict[int, list]:
+        """zone_id -> ring list (the kernels' geometry encoding)."""
         return {
-            int(z): (x, y) for z, x, y in zip(self.zone_ids, self.xs, self.ys)
+            int(z): self.zone_rings(k) for k, z in enumerate(self.zone_ids)
         }
 
     # -------------------------------------------------- DataFrame forms
@@ -117,8 +165,10 @@ class ZoneSet:
         ``res``; ``full`` cells are strictly interior (facts there skip the
         exact PIP refine — see geo/cells.polyfill)."""
         out = []
-        for z, x, y in zip(self.zone_ids, self.xs, self.ys):
-            cells, full = C.polyfill(x, y, res, bounds, classify=True)
+        for k, z in enumerate(self.zone_ids):
+            cells, full = C.polyfill_rings(
+                self.zone_rings(k), res, bounds, classify=True
+            )
             for cid, f in zip(cells, full):
                 out.append((int(z), int(cid), bool(f)))
         return out

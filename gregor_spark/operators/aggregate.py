@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..model.zones import ZoneSet
-from .assign import assign_cells_df, assign_points_within_df
+from .assign import assign_cells_df, explode_points_within_df
 
 _STATS = {
     "sum": F.sum,
@@ -76,15 +76,15 @@ def aggregate_point_to_polygon(
 
     Reference semantics preserved: inner spatial join with predicate
     ``within`` (strict interior — boundary points and points outside all
-    polygons are dropped, aggregate.py:121), then groupby-agg, then a
+    polygons are dropped, aggregate.py:121) emitting ONE ROW PER
+    CONTAINING POLYGON (``gpd.sjoin`` row-per-match, so a point inside
+    overlapping zones counts once per zone), then groupby-agg, then a
     LEFT join back so zones without points yield NULL (aggregate.py:143).
     """
     if aggfunc not in _STATS:
         raise ValueError(f"unsupported aggfunc {aggfunc!r}")
     out = out or f"{aggfunc}_{value}"
-    assigned = assign_points_within_df(points, zones, x=x, y=y).filter(
-        F.col("zone_id").isNotNull()
-    )
+    assigned = explode_points_within_df(points, zones, x=x, y=y)
     agg = assigned.groupBy("zone_id").agg(_STATS[aggfunc](F.col(value)).alias(out))
     zone_ids = zones.values_df_ids(points.sparkSession)
     return zone_ids.join(agg, "zone_id", "left").select("zone_id", out)

@@ -51,7 +51,8 @@ def assign_cells_df(
     no zone are dropped (the inner-join semantics most downstream ops
     want; reference drops them via ``dropna`` at disaggregate.py:52).
     """
-    ids, zxs, zys = zones.arrays()
+    ids = zones.zone_ids
+    rings = zones.rings_list()
     if out in df.columns:  # re-assignment replaces a stale column
         df = df.drop(out)
     schema = _with_long_col(df.schema, out)
@@ -59,8 +60,8 @@ def assign_cells_df(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            zid = K.assign_cells(
-                pdf[x].to_numpy(np.float64), pdf[y].to_numpy(np.float64), ids, zxs, zys
+            zid = K.assign_cells_rings(
+                pdf[x].to_numpy(np.float64), pdf[y].to_numpy(np.float64), ids, rings
             )
             res = pdf.copy()
             res[out] = pd.array(zid, dtype="Int64")
@@ -88,7 +89,8 @@ def assign_points_within_df(
     semantics: O4's exactly-one assert (disaggregate.py:189-192) or O6's
     inner-join drop (aggregate.py:121).
     """
-    ids, zxs, zys = zones.arrays()
+    ids = zones.zone_ids
+    rings = zones.rings_list()
     for c in (out, hits):
         if c in df.columns:
             df = df.drop(c)
@@ -97,13 +99,57 @@ def assign_points_within_df(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            zid, n = K.assign_points_within(
-                pdf[x].to_numpy(np.float64), pdf[y].to_numpy(np.float64), ids, zxs, zys
+            zid, n = K.assign_points_within_rings(
+                pdf[x].to_numpy(np.float64), pdf[y].to_numpy(np.float64), ids, rings
             )
             res = pdf.copy()
             res[out] = pd.array(zid, dtype="Int64")
             res.loc[zid < 0, out] = pd.NA
             res[hits] = pd.array(n, dtype="Int64")
             yield res[names]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def explode_points_within_df(
+    df: DataFrame,
+    zones: ZoneSet,
+    x: str = "x",
+    y: str = "y",
+    out: str = "zone_id",
+) -> DataFrame:
+    """ONE OUTPUT ROW PER (point, containing zone) match — the reference's
+    ``gpd.sjoin(predicate='within')`` emits a row for every containing
+    polygon (aggregate.py:121), so with overlapping zones a point counts
+    once per zone.  Points matching no zone are dropped (inner join).
+
+    Vectorized per zone within each Arrow batch (same cost shape as
+    ``assign_points_within_df``); output order within a batch is by zone
+    then point, deterministic.
+    """
+    ids = zones.zone_ids
+    rings = zones.rings_list()
+    if out in df.columns:
+        df = df.drop(out)
+    schema = _with_long_col(df.schema, out)
+    names = [f.name for f in schema.fields]
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf[x].to_numpy(np.float64)
+            py = pdf[y].to_numpy(np.float64)
+            parts = []
+            for k in order:
+                mask = K.points_within_rings(px, py, rings[k])
+                if mask.any():
+                    res = pdf.loc[mask].copy()
+                    res[out] = pd.array(
+                        np.full(int(mask.sum()), ids[k], dtype=np.int64),
+                        dtype="Int64",
+                    )
+                    parts.append(res[names])
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return df.mapInPandas(run, schema=schema)

@@ -35,13 +35,17 @@ def disaggregate_polygon_to_raster(
     out: str = "disaggregated",
     data_crs: str | None = None,
     proxy_crs: str | None = None,
+    to_data_crs: bool = False,
 ) -> DataFrame:
     """Apportion each zone's value over its raster cells ∝ proxy weight
     (reference disaggregate_polygon_to_raster, disaggregate.py:8-71).
 
     Returns cells(row, col, x, y, zone_id, <out>); cells outside every
     zone are dropped (reference leaves them 0/NaN; zonal semantics are
-    identical — conservation holds either way).
+    identical — conservation holds either way).  With ``to_data_crs`` the
+    RESULT's coordinates are reprojected back to the data CRS (reference
+    disaggregate.py:67-69) — one vectorized pandas-UDF pass over the
+    output, values untouched.
     """
     spark = proxy_cells.sparkSession
     if data_crs and proxy_crs and data_crs != proxy_crs:
@@ -60,7 +64,7 @@ def disaggregate_polygon_to_raster(
         F.sum(proxy_column).alias("_norm")
     )
     zvals = zones.values_df(spark, "_zone_value")
-    return (
+    result = (
         assigned.join(F.broadcast(norm), "zone_id")
         .join(F.broadcast(zvals), "zone_id")
         # zones whose norm is 0 produce NULL (0/0) — reference drops
@@ -71,6 +75,11 @@ def disaggregate_polygon_to_raster(
         )
         .drop("_norm", "_zone_value")
     )
+    if to_data_crs and data_crs and proxy_crs and data_crs != proxy_crs:
+        from ..geo.crs import reproject_df
+
+        result = reproject_df(result, proxy_crs, data_crs)
+    return result
 
 
 def disaggregate_polygon_to_point(
@@ -79,6 +88,9 @@ def disaggregate_polygon_to_point(
     proxy_column: str = "weight",
     out: str = "disaggregated",
     validate: bool = True,
+    data_crs: str | None = None,
+    proxy_crs: str | None = None,
+    to_data_crs: bool = False,
 ) -> DataFrame:
     """Apportion zone values over proxy points ∝ point weight (reference
     disaggregate_polygon_to_point, disaggregate.py:150-219).
@@ -90,8 +102,22 @@ def disaggregate_polygon_to_point(
       (raise at disaggregate.py:195-199) → DisaggregationError.
     Validation is one extra job over pre-aggregated counts — O(zones)
     rows to the driver, never the fact table.
+
+    CRS semantics mirror the reference: zone geometry is aligned to the
+    points' CRS for the containment test (disaggregate.py:177-181, a
+    driver-side numpy pass over the small zone layer), and with
+    ``to_data_crs`` the RESULT's point coordinates are reprojected back to
+    the data CRS (disaggregate.py:215-217).
     """
     spark = points.sparkSession
+    if data_crs and proxy_crs and data_crs != proxy_crs:
+        from ..geo.crs import reproject_zones
+
+        print(
+            f"Data CRS ({data_crs}) differs from proxy CRS ({proxy_crs}). "
+            "Reprojecting data."
+        )
+        zones = reproject_zones(zones, data_crs, proxy_crs)
     assigned = assign_points_within_df(points, zones, out="zone_id", hits="n_zones")
     if validate:
         bad = assigned.filter(F.col("n_zones") != 1).limit(1).count()
@@ -115,7 +141,7 @@ def disaggregate_polygon_to_point(
     assigned = assigned.filter(F.col("zone_id").isNotNull()).drop("n_zones")
     norm = assigned.groupBy("zone_id").agg(F.sum(proxy_column).alias("_norm"))
     zvals = zones.values_df(spark, "_zone_value")
-    return (
+    result = (
         assigned.join(F.broadcast(norm), "zone_id")
         .join(F.broadcast(zvals), "zone_id")
         .withColumn(
@@ -124,6 +150,36 @@ def disaggregate_polygon_to_point(
         )
         .drop("_norm", "_zone_value")
     )
+    if to_data_crs and data_crs and proxy_crs and data_crs != proxy_crs:
+        from ..geo.crs import reproject_df
+
+        result = reproject_df(result, proxy_crs, data_crs)
+    return result
+
+
+def _rings_intersection_area(src_rings, tgt_rings) -> float:
+    """Exact area(src ∩ tgt) for ring-list geometry: clip the (holed,
+    multi-part) source against every target ring — axis-aligned boxes take
+    the rect fast path, other rings the convex Sutherland–Hodgman clip —
+    and subtract the target-hole contributions.  Exact while individual
+    rings are boxes/convex and holes nest properly; concave rings would
+    need triangulation (absent from the reference's data model)."""
+    from ..geo import kernels as K
+
+    total = 0.0
+    for tx, ty, t_hole in tgt_rings:
+        minx, miny, maxx, maxy = K.polygon_bbox(tx, ty)
+        is_box = (
+            len(tx) == 4
+            and set(map(float, tx)) <= {minx, maxx}
+            and set(map(float, ty)) <= {miny, maxy}
+        )
+        if is_box:
+            a = K.intersection_area_rect_rings(src_rings, minx, miny, maxx, maxy)
+        else:
+            a = K.intersection_area_convex_rings(src_rings, tx, ty)
+        total += -a if t_hole else a
+    return max(total, 0.0)
 
 
 def disaggregate_polygon_to_polygon(
@@ -148,22 +204,12 @@ def disaggregate_polygon_to_polygon(
 
     from ..geo import kernels as K
 
-    def _is_box(tx, ty, minx, miny, maxx, maxy):
-        return len(tx) == 4 and set(map(float, tx)) <= {minx, maxx} and set(
-            map(float, ty)
-        ) <= {miny, maxy}
-
     rows = []
-    for sz, sx, sy in zip(src_zones.zone_ids, src_zones.xs, src_zones.ys):
-        for tz, tx, ty in zip(tgt_zones.zone_ids, tgt_zones.xs, tgt_zones.ys):
-            minx, miny, maxx, maxy = K.polygon_bbox(tx, ty)
-            if _is_box(tx, ty, minx, miny, maxx, maxy):
-                a = K.intersection_area_rect(sx, sy, minx, miny, maxx, maxy)
-            else:
-                # exact for convex targets (Sutherland–Hodgman clip);
-                # concave targets would need triangulation — not present
-                # in the reference's data model (tiles/admin cells)
-                a = K.intersection_area_convex(sx, sy, tx, ty)
+    src_rings = src_zones.rings_list()
+    tgt_rings = tgt_zones.rings_list()
+    for si, sz in enumerate(src_zones.zone_ids):
+        for ti, tz in enumerate(tgt_zones.zone_ids):
+            a = _rings_intersection_area(src_rings[si], tgt_rings[ti])
             if a > 0:
                 rows.append((int(sz), int(tz), float(a)))
     if not rows:

@@ -8,13 +8,18 @@ Two physical strategies, same results:
   batch.  Zero shuffle.  Right for proxy sets up to ~10^5 (weather
   stations, POI anchors …) against arbitrarily large fact tables — the
   common disaggregation shape.
-* ``knn_cell_join`` — the scale path for big proxy sets: proxies are
-  replicated to their Morton cell's ring-``r`` neighborhood (explode,
-  driver-free), facts join on their own cell, distances are computed
-  JVM-side, and ``row_number() over (partition by fact order by d2, pid)``
-  keeps k.  Facts that end up with < k candidates (sparse regions) are
-  retried with a doubled ring — a logarithmic driver loop over
-  DataFrames, never per-row work.
+* ``knn_cell_join`` — the scale path for big proxy sets: facts and
+  proxies are keyed by Morton cell; candidates come from the fact's 3×3
+  cell neighborhood (an INNER equi-join — a left join would rank NULL
+  candidates first and starve the satisfaction guard), distances and the
+  neighbor explode are pure JVM column expressions, and
+  ``row_number() over (partition by fact order by d2, pid)`` keeps k.
+  Facts whose k-th hit isn't provably exact (could a nearer proxy hide
+  outside the searched neighborhood?) retry at a COARSER resolution —
+  cells 4× bigger per round, always 9 candidate cells per fact, never an
+  unbounded ring explode — terminating at res 0 where every proxy is a
+  candidate by construction.  Exactness guard: satisfied only when the
+  k-th distance < cell side, since any unseen proxy is ≥ one cell away.
 
 Ties break by (distance, proxy_id) in both paths — deterministic at any
 parallelism.
@@ -96,31 +101,29 @@ def knn_cell_join(
     py: str = "y",
     fact_key: str = "point_id",
     proxy_key: str = "proxy_id",
-    ring: int = 1,
-    max_rounds: int = 6,
 ) -> DataFrame:
-    """Distributed kNN via Morton-cell candidate join with ring escalation.
+    """Distributed exact kNN via Morton-cell candidate join with
+    resolution-coarsening escalation (see module docstring).
 
     Returns (fact columns..., rank, proxy_id, d2).
     """
-    from .spatial_join import with_cell_id
+    from .spatial_join import neighbor_cells_col, with_cell_id
+    from .tiles import with_parent_cell
 
     if res is None:
-        # resolution from proxy density: ring-1 (9 cells) should hold ~3k
-        # proxies on average so most facts satisfy in one round
+        # resolution from proxy density: ~k proxies per cell on average, so
+        # the 3x3 neighborhood holds ~9k candidates and the guard radius
+        # (one cell side) covers the k nearest for most facts in round 1
         import math
 
         n_proxies = proxies.count()
-        res = max(0, int(0.5 * math.log2(max(n_proxies * 3.0 / max(k, 1), 1.0))))
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def ring_cells(cell: pd.Series, r: pd.Series) -> pd.Series:
-        out = []
-        for c, rr in zip(cell.to_numpy(np.int64), r.to_numpy(np.int64)):
-            out.append(C.neighbors(np.array([c]), ring=int(rr)).tolist())
-        return pd.Series(out)
+        res = max(0, int(0.5 * math.log2(max(n_proxies / max(k, 1), 1.0))))
 
     fact_cols = facts.columns
+    # Caches serve only the loop's own ``take(1)`` probe jobs; every cache
+    # is unpersisted before returning (the returned plan falls back to
+    # lineage recompute — measured in round 1 to beat a deserialized
+    # persist of fact-sized tables by ~20x in local mode).
     keyed_p = (
         with_cell_id(proxies, res, bounds, x=px, y=py, out="_pcell")
         .select(
@@ -131,61 +134,55 @@ def knn_cell_join(
         )
         .cache()
     )
-    pending = with_cell_id(facts, res, bounds, x=x, y=y, out="_fcell").cache()
-    done = None
-    r = ring
-    # exactness guard: a fact is satisfied only when its k-th candidate is
-    # closer than the ring's guaranteed coverage radius (r * min cell side)
-    # — otherwise a nearer proxy could hide just outside the searched ring
-    cell_min = min(bounds[2] - bounds[0], bounds[3] - bounds[1]) / (1 << res)
-    for _ in range(max_rounds):
-        cand = (
-            pending.withColumn("_cells", ring_cells(F.col("_fcell"), F.lit(r)))
-            .withColumn("_cell", F.explode("_cells"))
-            .drop("_cells")
-            .join(keyed_p, F.col("_cell") == keyed_p["_pcell"], "left")
-        )
-        d2 = (F.col(x) - F.col("_px")) ** 2 + (F.col(y) - F.col("_py")) ** 2
-        w = Window.partitionBy(fact_key).orderBy(F.col("d2").asc(), F.col("proxy_id").asc())
-        topk = (
-            cand.withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter((F.col("rank") <= k) & F.col("proxy_id").isNotNull())
-            .select(*fact_cols, "_fcell", "rank", "proxy_id", "d2")
-        )
-        guard = float((r * cell_min) ** 2)
-        stats = topk.groupBy(fact_key).agg(
-            F.count(F.lit(1)).alias("_n"), F.max("d2").alias("_dmax")
-        )
-        sat = stats.filter((F.col("_n") >= k) & (F.col("_dmax") <= guard)).select(
-            fact_key
-        )
-        finished = topk.join(F.broadcast(sat), fact_key, "inner")
-        done = finished if done is None else done.unionByName(finished)
-        nxt = pending.join(sat, fact_key, "left_anti").cache()
-        has_more = bool(nxt.take(1))
-        pending.unpersist()
-        pending = nxt
-        if not has_more:
-            break
-        r *= 2
-    # leftover facts (ring never satisfied within max_rounds / fewer than k
-    # proxies exist): keep what they found
-    if pending.take(1):
-        leftover = pending  # re-join at max ring without the >=k filter
-        cand = (
-            leftover.withColumn("_cells", ring_cells(F.col("_fcell"), F.lit(r)))
-            .withColumn("_cell", F.explode("_cells"))
-            .drop("_cells")
-            .join(keyed_p, F.col("_cell") == keyed_p["_pcell"], "inner")
-        )
-        d2 = (F.col(x) - F.col("_px")) ** 2 + (F.col(y) - F.col("_py")) ** 2
-        w = Window.partitionBy(fact_key).orderBy(F.col("d2").asc(), F.col("proxy_id").asc())
-        rest = (
-            cand.withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .select(*fact_cols, "_fcell", "rank", "proxy_id", "d2")
-        )
-        done = rest if done is None else done.unionByName(rest)
-    return done.drop("_fcell")
+    pending = with_cell_id(facts, res, bounds, x=x, y=y, out="_fcell")
+    done: DataFrame | None = None
+    cached: list[DataFrame] = [keyed_p]
+    d2 = (F.col(x) - F.col("_px")) ** 2 + (F.col(y) - F.col("_py")) ** 2
+    w_rank = Window.partitionBy(fact_key).orderBy(
+        F.col("d2").asc(), F.col("proxy_id").asc()
+    )
+    w_fact = Window.partitionBy(fact_key)
+    try:
+        for rr in range(res, -1, -1):
+            f = with_parent_cell(pending, res, rr, cell="_fcell", out="_fc")
+            p = with_parent_cell(keyed_p, res, rr, cell="_pcell", out="_pc")
+            cand = f.withColumn(
+                "_nc", F.explode(neighbor_cells_col(F.col("_fc"), rr))
+            ).join(p, F.col("_nc") == F.col("_pc"), "inner")
+            topk = (
+                cand.withColumn("d2", d2)
+                .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select(*fact_cols, "rank", "proxy_id", "d2")
+            )
+            if rr == 0:
+                # the 1x1 grid makes every proxy a candidate: exact by
+                # construction (facts with < k proxies keep what exists)
+                finished = topk
+                done = finished if done is None else done.unionByName(finished)
+                break
+            # exactness guard: any proxy outside the 3x3 neighborhood is at
+            # least one cell side away, so the k-th hit must be strictly
+            # closer.  Window aggregates reuse the rank window's shuffle —
+            # no O(facts) driver-side broadcast of satisfied ids.
+            cell_min = min(bounds[2] - bounds[0], bounds[3] - bounds[1]) / (1 << rr)
+            guard = float(cell_min * cell_min)
+            scored = topk.withColumn("_n", F.count(F.lit(1)).over(w_fact)).withColumn(
+                "_dmax", F.max("d2").over(w_fact)
+            )
+            sat = (F.col("_n") >= k) & (F.col("_dmax") < guard)
+            finished = scored.filter(sat).drop("_n", "_dmax")
+            done = finished if done is None else done.unionByName(finished)
+            sat_ids = scored.filter(sat).select(fact_key).distinct()
+            nxt = pending.join(sat_ids, fact_key, "left_anti").cache()
+            cached.append(nxt)
+            has_more = bool(nxt.take(1))
+            pending = nxt
+            if not has_more:
+                break
+    finally:
+        # no leak: unpersisting never breaks the returned plan — Spark
+        # falls back to recomputing the lineage when the caller executes
+        for df in cached:
+            df.unpersist()
+    return done.drop("_fcell") if "_fcell" in done.columns else done

@@ -48,6 +48,78 @@ def _part1by1_col(v):
     return v
 
 
+_COMPACT1BY1_MASKS = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0x00000000FFFFFFFF),
+)
+
+
+def _compact1by1_col(v):
+    """Inverse of ``_part1by1_col`` — drop the interleaved zero bits
+    (geo/cells._compact1by1 as pure column bit-ops)."""
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in _COMPACT1BY1_MASKS:
+        v = (v.bitwiseOR(F.shiftrightunsigned(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def cell_tile_cols(cell):
+    """(ix, iy) tile-coordinate columns decoded from a Morton cell id —
+    whole-stage codegen, bit-identical to geo/cells.cell_tile."""
+    m = cell.bitwiseAND(F.lit((1 << 56) - 1))
+    return _compact1by1_col(m), _compact1by1_col(F.shiftrightunsigned(m, 1))
+
+
+# 56-bit interleaved-axis masks (morton payload occupies bits [0, 52))
+_X_MASK = 0x55555555555555
+_Y_MASK = 0xAAAAAAAAAAAAAA
+
+
+def neighbor_cells_col(cell, res: int):
+    """array<long> of the 3x3 Moore-neighborhood cells around ``cell`` at
+    resolution ``res``, clipped to the grid — pure column expressions (the
+    kNN ring primitive, zero Python).
+
+    Uses direct Morton-space arithmetic (the classic masked inc/dec trick:
+    ``x+1 = ((m | Y_MASK) + 1) & X_MASK`` — the carry rides over the other
+    axis's bits) instead of decode→±1→re-encode: a naive compose of the
+    magic-mask ladders duplicates subtrees exponentially (each ladder
+    level references its input twice), which blew the expression tree to
+    ~10^4 nodes and forced interpreted evaluation (measured: >100 s for
+    1000 rows).  This form is ~20 ops per neighbor and grid-edge validity
+    is a constant compare per axis."""
+    from ..geo.cells import _part1by1
+
+    import numpy as np
+
+    m = cell.bitwiseAND(F.lit((1 << 56) - 1))
+    xmax = int(_part1by1(np.array([(1 << res) - 1]))[0])  # encoded ix == n-1
+    ymax = xmax << 1
+    mx = m.bitwiseAND(F.lit(_X_MASK))
+    my = m.bitwiseAND(F.lit(_Y_MASK))
+    x_parts = {
+        0: (mx, F.lit(True)),
+        1: (((m.bitwiseOR(F.lit(_Y_MASK))) + 1).bitwiseAND(F.lit(_X_MASK)), mx != xmax),
+        -1: ((mx - 1).bitwiseAND(F.lit(_X_MASK)), mx != 0),
+    }
+    y_parts = {
+        0: (my, F.lit(True)),
+        1: (((m.bitwiseOR(F.lit(_X_MASK))) + 2).bitwiseAND(F.lit(_Y_MASK)), my != ymax),
+        -1: ((my - 2).bitwiseAND(F.lit(_Y_MASK)), my != 0),
+    }
+    base = F.lit(res << 56)
+    cands = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            xp, xv = x_parts[dx]
+            yp, yv = y_parts[dy]
+            cands.append(F.when(xv & yv, base.bitwiseOR(xp.bitwiseOR(yp))))
+    return F.array_compact(F.array(*cands))
+
+
 def with_cell_id(
     df: DataFrame,
     res: int,
@@ -96,8 +168,8 @@ def _refine_claims(
     # Interior (_full) candidates short-circuit without touching the kernel.
     @F.pandas_udf(T.BooleanType())
     def claims(xs: pd.Series, ys: pd.Series, zid_s: pd.Series, full_s: pd.Series) -> pd.Series:
-        claim_fn = K.claims_raster_cell if rule == "raster" else (
-            lambda px, py, zx, zy: K.points_strictly_inside(px, py, zx, zy)
+        claim_fn = (
+            K.claims_raster_cell_rings if rule == "raster" else K.points_within_rings
         )
         notnull = zid_s.notna().to_numpy()
         keep = full_s.fillna(False).to_numpy(bool).copy()
@@ -107,9 +179,8 @@ def _refine_claims(
             py = ys.to_numpy(np.float64)
             zid = np.where(notnull, zid_s.fillna(-1).to_numpy(np.int64), -1)
             for z in np.unique(zid[pending]):
-                zx, zy = lookup[int(z)]
                 m = pending & (zid == z)
-                keep[m] = claim_fn(px[m], py[m], zx, zy)
+                keep[m] = claim_fn(px[m], py[m], lookup[int(z)])
         return pd.Series(keep)
 
     ok = claims(F.col(x), F.col(y), F.col("zone_id"), F.col("_full"))
@@ -159,8 +230,8 @@ def _assign_indexed(
 
     @F.pandas_udf(T.LongType())
     def assign(xs: pd.Series, ys: pd.Series, cell_s: pd.Series) -> pd.Series:
-        claim_fn = K.claims_raster_cell if rule == "raster" else (
-            lambda px, py, zx, zy: K.points_strictly_inside(px, py, zx, zy)
+        claim_fn = (
+            K.claims_raster_cell_rings if rule == "raster" else K.points_within_rings
         )
         cells = cell_s.to_numpy(np.int64)
         px = xs.to_numpy(np.float64)
@@ -170,8 +241,7 @@ def _assign_indexed(
             claimed = _member(cells, fulls)
             bmask = _member(cells, bnds)
             if bmask.any():
-                zx, zy = lookup[zid]
-                claimed[bmask] = claim_fn(px[bmask], py[bmask], zx, zy)
+                claimed[bmask] = claim_fn(px[bmask], py[bmask], lookup[zid])
             out[claimed] = zid
         res = pd.Series(out, dtype="Int64")
         res[out < 0] = pd.NA

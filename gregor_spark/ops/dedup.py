@@ -52,14 +52,29 @@ def shingle_table(docs: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, text: str = "text", k: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, n_a, n_b, jaccard) for pairs with
     jaccard >= threshold over distinct k-word shingles.
 
     Join-on-shingle (no cartesian): |A∩B| from the equi-join group count,
     |A| and |B| from a per-doc size table joined back.
+
+    ``max_df`` is the document-frequency cap that makes the shape safe at
+    corpus scale: with it set, CANDIDATE pairs come only from shingles in
+    ≤ max_df docs (a boilerplate shingle shared by 10^6 docs would
+    otherwise materialize ~10^12 join rows), and each candidate is then
+    re-scored EXACTLY via array_intersect of the full shingle sets — so
+    scores are exact; only pairs whose every common shingle is hotter than
+    the cap are missed (those are boilerplate, the pairs MinHash+LSH is
+    for).  ``max_df=None`` keeps the fully exact uncapped join.
     """
+    if max_df is not None:
+        return _jaccard_pairs_capped(docs, text, k, threshold, max_df)
     sh = shingle_table(docs, text, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -74,6 +89,56 @@ def jaccard_pairs(
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_capped(
+    docs: DataFrame, text: str, k: int, threshold: float, max_df: int
+) -> DataFrame:
+    """Capped-candidate + exact-rescore jaccard (see jaccard_pairs).
+
+    Shape: df histogram (one partial-agg shuffle over distinct shingles) →
+    semi-join keeps rare shingles → bounded self-join (≤ max_df² rows per
+    shingle) → distinct pairs → two broadcast-friendly joins pull the full
+    shingle SETS and ``array_intersect`` rescopes exactly.
+    """
+    sh = shingle_table(docs, text, k)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle", "left_semi")
+    a = shr.alias("a")
+    b = shr.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = docs.select(
+        "doc_id", word_shingles(F.col(text), k).alias("_set")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .withColumn("n_a", F.size("_sa").cast("long"))
+        .withColumn("n_b", F.size("_sb").cast("long"))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -175,3 +240,36 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
             "long"
         )
     return docs.select("doc_id", out.alias("simhash"))
+
+
+def simhash_fast(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
+    """Bit-identical to ``simhash`` through a throughput-friendly plan:
+    explode token hashes once, compute all ``bits`` signed sums in ONE
+    groupBy (map-side combine, whole-stage codegen — F.aggregate folds are
+    interpreted per element, measured ~20× slower).  The shuffle moves
+    O(docs) rows of ``bits`` ints regardless of document length — the
+    100 TB-safe shape.  ``simhash`` stays as the oracle twin (parity
+    asserted in tests)."""
+    hs = F.transform(tokens(F.col(text)), _token_int)
+    ex = docs.select("doc_id", F.explode(hs).alias("_h"))
+    sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j) % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"_b{j}")
+            for j in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"_b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    # docs with zero tokens vanish in the explode; their fold simhash is 0
+    return (
+        docs.select("doc_id")
+        .join(sums.select("doc_id", out.alias("_sh")), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_sh"), F.lit(0).cast("long")).alias("simhash"))
+    )

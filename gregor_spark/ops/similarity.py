@@ -127,51 +127,120 @@ def cosine_topk_pandas(
     )
 
 
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
+
+
+def _pair_matmul(l: pd.DataFrame, r: pd.DataFrame, threshold: float, diag: bool) -> pd.DataFrame:
+    """Above-threshold cosine pairs between two chunks (one float64 matmul).
+    ``diag``: both chunks are the same set — keep a<b once; otherwise emit
+    (min,max) so pair order never depends on chunk order."""
+    if l.empty or r.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cos": np.float64}
+        )
+    lk = l["k"].to_numpy(np.int64)
+    rk = r["k"].to_numpy(np.int64)
+    lm = np.asarray(l["v"].tolist(), dtype=np.float64)
+    rm = np.asarray(r["v"].tolist(), dtype=np.float64)
+    lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+    rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+    sims = lm @ rm.T
+    li, ri = np.where(sims >= threshold)
+    a, b = lk[li], rk[ri]
+    if diag:
+        keep = a < b
+        a, b, li, ri = a[keep], b[keep], li[keep], ri[keep]
+    else:
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"id_a": a, "id_b": b, "cos": sims[li, ri]})
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float,
     key: str = "vec_id",
     vec: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold.
+    """All pairs (id_a < id_b) with cosine >= threshold — EXACT and fully
+    distributed: the corpus is hash-split into ``n_blocks`` chunks, every
+    chunk pair (i <= j) becomes one cogroup, and each group runs a single
+    float64 matmul (higher-order-function folds would be interpreted per
+    pair, ~20× slower).  No driver-side collect anywhere: replication is
+    ~n_blocks× per row (tune n_blocks ≈ sqrt(corpus/chunk_target)), total
+    compute O(N²/2) spread across the cluster — the exact verifier path.
+    For corpora where exact all-pairs is off the table, use
+    ``near_dup_pairs_lsh`` (sub-quadratic candidate generation)."""
+    base = df.select(
+        F.col(key).cast("long").alias("k"), F.col(vec).cast("array<double>").alias("v")
+    ).withColumn("_b", F.pmod(F.hash(F.col("k")), F.lit(n_blocks)).cast("int"))
+    from ..model.localdf import local_df
 
-    Corpus-side mapInPandas × broadcast normalized matrix: one float64
-    matmul per Arrow batch, emitting only above-threshold pairs — the
-    shuffle-free near-dup sweep (higher-order-function folds would be
-    interpreted per pair, ~20× slower).  At cluster scale the broadcast
-    side is the smaller of the two tables or an LSH-bucketed prefilter.
-    """
-    rows = df.select(key, vec).collect()
-    ids = np.array([r[key] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cos", T.DoubleType()),
-        ]
+    pairs = local_df(
+        df.sparkSession,
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "i int, j int",
+    )
+    left = base.join(F.broadcast(pairs), base["_b"] == pairs["i"]).drop("_b")
+    right = base.join(F.broadcast(pairs), base["_b"] == pairs["j"]).drop("_b")
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        diag = bool(len(l)) and bool(len(r)) and int(l["i"].iat[0]) == int(l["j"].iat[0])
+        return _pair_matmul(l, r, threshold, diag)
+
+    return (
+        left.groupby("i", "j")
+        .cogroup(right.groupby("i", "j"))
+        .applyInPandas(fn, schema=_PAIR_SCHEMA)
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf[key].to_numpy(np.int64)
-            bmat = np.asarray(pdf[vec].tolist(), dtype=np.float64)
-            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = bmat @ mat.T  # (B, N)
-            bi, ni = np.where(sims >= threshold)
-            keep = bids[bi] < ids[ni]
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[bi[keep]],
-                    "id_b": ids[ni[keep]],
-                    "cos": sims[bi[keep], ni[keep]],
-                }
-            )
 
-    return df.select(key, vec).mapInPandas(run, schema=schema)
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup sweep — the 100 TB path: random-hyperplane
+    buckets block the corpus, candidates come from same-bucket plus
+    Hamming-1 probe groups (sub-quadratic), and each group runs one exact
+    matmul re-scored against ``threshold``.  Misses pairs whose signatures
+    differ in ≥2 bits (recall rises with fewer planes / more probes;
+    measured against the exact sweep in tests).  Deterministic: seeded
+    planes, so an independent oracle can re-derive the exact same
+    blocking."""
+    b = with_lsh_bucket(df, dim, n_planes, seed, vec).select(
+        F.col(key).cast("long").alias("k"),
+        F.col(vec).cast("array<double>").alias("v"),
+        F.col("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    left = b.withColumn("probe", F.explode(probes)).drop("bucket")
+    right = b.withColumnRenamed("bucket", "probe")
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        out = _pair_matmul(l, r, threshold, diag=False)
+        return out[out["id_a"] != out["id_b"]]
+
+    cand = (
+        left.groupby("probe")
+        .cogroup(right.groupby("probe"))
+        .applyInPandas(fn, schema=_PAIR_SCHEMA)
+    )
+    # a pair straddling two buckets surfaces from both probe groups
+    return cand.distinct()
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:

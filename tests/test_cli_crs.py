@@ -73,6 +73,85 @@ def test_cli_raster_poly_and_refusal(spark, tmp_path, capsys):
         main(["raster-poly", cells_path, zones_path, dst])
 
 
+def test_disaggregate_to_data_crs_roundtrip(spark):
+    """Reference parity (disaggregate.py:67-69,215-217): zones given in a
+    data CRS (3857) against a 4326 proxy; values computed in the proxy CRS
+    and the RESULT's coordinates reprojected back to the data CRS, with
+    mass conservation intact."""
+    from gregor_spark.model.raster import RasterMeta, raster_df
+    from gregor_spark.model.zones import ZoneSet
+    from gregor_spark.operators.disaggregate import disaggregate_polygon_to_raster
+
+    cells = raster_df(spark, RasterMeta(**FX.RASTER_META), FX.RASTER_VALUES)
+    zones4326 = ZoneSet.from_fixture(FX.SEG_2X2, values={z: 2.0 for z in range(4)})
+    zones3857 = crs.reproject_zones(zones4326, "EPSG:4326", "EPSG:3857")
+    out = disaggregate_polygon_to_raster(
+        zones3857,
+        cells,
+        data_crs="EPSG:3857",
+        proxy_crs="EPSG:4326",
+        to_data_crs=True,
+    )
+    rows = out.collect()
+    # conservation: 4 zones x value 2
+    assert sum(r["disaggregated"] for r in rows) == pytest.approx(8.0)
+    # coordinates came back in the DATA crs (WebMercator meters)
+    xs4326 = [c[2] for c in FX.raster_long_form()]
+    ys4326 = [c[3] for c in FX.raster_long_form()]
+    ex, ey = crs.reproject(np.array(xs4326), np.array(ys4326), "EPSG:4326", "EPSG:3857")
+    got = {(r["row"], r["col"]): (r["x"], r["y"]) for r in rows}
+    lf = FX.raster_long_form()
+    for (r_, c_, _x, _y, _v), gx, gy in zip(lf, ex, ey):
+        if (r_, c_) in got:
+            assert got[(r_, c_)][0] == pytest.approx(gx)
+            assert got[(r_, c_)][1] == pytest.approx(gy)
+
+
+def test_cli_poly_point_to_data_crs(spark, tmp_path):
+    """CLI --to-data-crs flag (reference cli.py:78-81): conservation holds
+    and output coordinates are in the data CRS."""
+    from gregor_spark.cli import main
+    from gregor_spark.model.zones import ZoneSet
+
+    pts = spark.createDataFrame(
+        FX.POINTS, "point_id long, x double, y double, weight double"
+    )
+    pts_path = str(tmp_path / "pts.parquet")
+    pts.write.parquet(pts_path)
+    zones4326 = ZoneSet.from_fixture(
+        [FX.SEG_2X2[0], FX.SEG_2X2[2], FX.SEG_2X2[3]], values={0: 1.0, 2: 5.0, 3: 7.0}
+    )
+    zones3857 = crs.reproject_zones(zones4326, "EPSG:4326", "EPSG:3857")
+    zones_path = str(tmp_path / "zones3857.json")
+    with open(zones_path, "w") as f:
+        json.dump(
+            [
+                {
+                    "zone_id": int(z),
+                    "xs": list(map(float, x)),
+                    "ys": list(map(float, y)),
+                    "value": zones3857.values[int(z)],
+                }
+                for z, x, y in zip(zones3857.zone_ids, zones3857.xs, zones3857.ys)
+            ],
+            f,
+        )
+    dst = str(tmp_path / "out.parquet")
+    main(
+        [
+            "poly-point", zones_path, "value", pts_path, "weight", dst,
+            "--to-data-crs", "--data-crs", "EPSG:3857", "--proxy-crs", "EPSG:4326",
+        ]
+    )
+    rows = spark.read.parquet(dst).collect()
+    assert sum(r["disaggregated"] for r in rows) == pytest.approx(13.0)
+    # x is now WebMercator meters (point 0: lon 0.332... -> ~37k m)
+    got0 = {r["point_id"]: r["x"] for r in rows}[0]
+    ex = crs.reproject(np.array([FX.POINTS[0][1]]), np.array([FX.POINTS[0][2]]),
+                       "EPSG:4326", "EPSG:3857")[0][0]
+    assert got0 == pytest.approx(ex)
+
+
 def test_cli_poly_raster_conservation(spark, tmp_path):
     from gregor_spark.cli import main
     from gregor_spark.model.raster import RasterMeta, raster_df

@@ -82,6 +82,75 @@ def test_point_disaggregation_conservation():
     assert disagg.sum() == pytest.approx(FX.GOLDEN_POINT_DISAGG_TOTAL)
 
 
+def _rings_of(zones):
+    from gregor_spark.model.zones import ZoneSet
+
+    return ZoneSet.from_fixture(zones).rings_list()
+
+
+def test_belongs_to_holed():
+    """Ring-list kernels on a holed zone: strict hole interior unassigned,
+    hole left/top/bottom edges claimed, hole right edge is a west wall."""
+    cells = FX.raster_long_form()
+    px = np.array([c[2] for c in cells])
+    py = np.array([c[3] for c in cells])
+    rings = _rings_of(FX.SEG_HOLED)
+    got = K.assign_cells_rings(px, py, np.array([0]), rings).reshape(4, 4)
+    np.testing.assert_array_equal(got, _golden_to_array(FX.GOLDEN_BELONGS_HOLED))
+
+
+def test_holed_single_ring_consistency():
+    """Ring-list kernels reproduce the single-ring goldens exactly."""
+    cells = FX.raster_long_form()
+    px = np.array([c[2] for c in cells])
+    py = np.array([c[3] for c in cells])
+    for seg, golden in (
+        (FX.SEG_2X2, FX.GOLDEN_BELONGS_2X2),
+        (FX.SEG_3X3, FX.GOLDEN_BELONGS_3X3),
+        (FX.SEG_OVERLAP, FX.GOLDEN_BELONGS_OVERLAP),
+    ):
+        ids, _, _ = FX.zones_arrays(seg)
+        got = K.assign_cells_rings(px, py, ids, _rings_of(seg)).reshape(4, 4)
+        np.testing.assert_array_equal(got, _golden_to_array(golden))
+
+
+def test_multipart_zone():
+    """A zone of two disjoint exterior parts claims both parts and nothing
+    between them (even-odd parity over the ring list)."""
+    rings = [
+        [
+            (np.array([-0.25, 0.25, 0.25, -0.25]), np.array([9.75, 9.75, 11.75, 11.75]), False),
+            (np.array([1.25, 1.75, 1.75, 1.25]), np.array([9.75, 9.75, 11.75, 11.75]), False),
+        ]
+    ]
+    cells = FX.raster_long_form()
+    px = np.array([c[2] for c in cells])
+    py = np.array([c[3] for c in cells])
+    got = K.assign_cells_rings(px, py, np.array([7]), rings).reshape(4, 4)
+    want = np.array([[7, -1, -1, 7]] * 4, dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_points_within_holed():
+    """Strict-within on a holed zone: inside-hole and on-hole-boundary
+    points are NOT within; annulus points are."""
+    rings = _rings_of(FX.SEG_HOLED)[0]
+    px = np.array([0.5, 1.0, -0.1, 0.5, 5.0])
+    py = np.array([10.5, 10.5, 10.5, 11.0, 5.0])
+    got = K.points_within_rings(px, py, rings)
+    np.testing.assert_array_equal(got, [False, False, True, False, False])
+
+
+def test_intersection_area_rect_rings_holed():
+    rings = _rings_of(FX.SEG_HOLED)[0]
+    # whole extent: outer 2x2 deg minus 1x1 hole = 3
+    assert K.intersection_area_rect_rings(rings, -0.25, 9.75, 1.75, 11.75) == pytest.approx(3.0)
+    # a rect fully inside the hole
+    assert K.intersection_area_rect_rings(rings, 0.25, 10.25, 0.75, 10.75) == 0.0
+    # rect half in hole, half in annulus
+    assert K.intersection_area_rect_rings(rings, -0.25, 10.0, 0.5, 11.0) == pytest.approx(0.25)
+
+
 def test_intersection_area():
     # unit squares overlapping by a quarter
     xs = np.array([0.0, 1.0, 1.0, 0.0])
