@@ -16,11 +16,16 @@ from .operators.aggregate import (
     aggregate_point_to_polygon,
     aggregate_raster_to_polygon,
 )
-from .operators.assign import assign_cells_df, assign_points_within_df
+from .operators.assign import (
+    assign_cells_df,
+    assign_points_within_df,
+    explode_points_within_df,
+)
 from .operators.disaggregate import (
     DisaggregationError,
     disaggregate_polygon_to_point,
     disaggregate_polygon_to_polygon,
+    disaggregate_polygon_to_polygon_distributed,
     disaggregate_polygon_to_raster,
 )
 from .operators.knn import knn_broadcast, knn_cell_join
@@ -46,7 +51,9 @@ __all__ = [
     "coarsen_cells",
     "disaggregate_polygon_to_point",
     "disaggregate_polygon_to_polygon",
+    "disaggregate_polygon_to_polygon_distributed",
     "disaggregate_polygon_to_raster",
+    "explode_points_within_df",
     "extract_geo_points",
     "get_spark",
     "knn_broadcast",

@@ -329,9 +329,10 @@ WHERE x >= 0.2 AND x <= 1.2 AND y >= 10.2 AND y <= 11.2
 
 def q_doc_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile + zone assignment for doc-derived geo points through the real
-    engine path (Morton pandas UDF + salted spatial hash join)."""
-    from .geo import cells as C
-    from .operators.spatial_join import spatial_hash_join, with_cell_id
+    engine path (codegen Morton encode + spatial hash join); the tile
+    decode is pure column bit-ops (round 1 paid two scalar-UDF Arrow round
+    trips here)."""
+    from .operators.spatial_join import cell_tile_cols, spatial_hash_join, with_cell_id
 
     pts = _doc_points_df(spark, sf_dir)
     zones = ZoneSet.from_fixture(FX.SEG_2X2)
@@ -346,19 +347,11 @@ def q_doc_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_key="doc_id",
     )
     keyed = with_cell_id(assigned, 4, BOUNDS, x="lon", y="lat", out="cell_id")
-
-    @F.pandas_udf(T.LongType())
-    def tx(cell: pd.Series) -> pd.Series:
-        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[0])
-
-    @F.pandas_udf(T.LongType())
-    def ty(cell: pd.Series) -> pd.Series:
-        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[1])
-
+    tx, ty = cell_tile_cols(F.col("cell_id"))
     return keyed.select(
         "doc_id",
-        tx(F.col("cell_id")).alias("tile_x"),
-        ty(F.col("cell_id")).alias("tile_y"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
         F.col("zone_id").cast("long").alias("zone_id"),
     )
 
@@ -579,7 +572,9 @@ FROM banded a JOIN banded b
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(_docs(spark, sf_dir))
+    # the explode+groupBy throughput variant; bit-identical to D.simhash
+    # (the interpreted-fold oracle twin — parity asserted in tests)
+    return D.simhash_fast(_docs(spark, sf_dir))
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -631,44 +626,221 @@ SELECT q_id AS vec_id, rank, nbr_id, round(cos, 6) AS cos_r FROM r WHERE rank <=
 """
 
 
-# ------------------------------------------------- rows-only (no SQL oracle)
+# --------------------------------------------- north pipeline (full oracle)
+
+
+def _interleaved_spans():
+    """Deterministic interleaved span array derived from doc_id: for
+    j = 0..n_geo-1 (n_geo = 1 + doc_id % 3) a text span (offset 3j), a geo
+    span "<lon>,<lat>" (offset 3j+1) and a media span (offset 3j+2).
+    lon/lat are 4-decimal rationals so every tile/zone boundary comparison
+    is exact in both engines (boundaries are multiples of 1/32)."""
+    i = F.col("doc_id")
+
+    def lon(j):
+        return F.lit(-0.25) + F.lit(2.0) * (
+            ((i * F.lit(13 + 7 * j) + F.lit(17)) % F.lit(10000)) / F.lit(10000.0)
+        )
+
+    def lat(j):
+        return F.lit(9.75) + F.lit(2.0) * (
+            ((i * F.lit(29 + 11 * j) + F.lit(31)) % F.lit(10000)) / F.lit(10000.0)
+        )
+
+    def triple(j):
+        return [
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.format_string("w%d", i % F.lit(97)).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(j * 3).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("geo").alias("kind"),
+                F.format_string("%.6f,%.6f", lon(j), lat(j)).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(j * 3 + 1).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.format_string("m://%d/%d", i, F.lit(j)).alias("media_ref"),
+                F.lit(j * 3 + 2).cast("int").alias("offset"),
+            ),
+        ]
+
+    all_spans = F.array(*[s for j in range(3) for s in triple(j)])
+    n_geo = (i % F.lit(3)) + F.lit(1)
+    return F.filter(all_spans, lambda s: s["offset"] < n_geo * F.lit(3))
+
+
+def north_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents-table-derived interleaved corpus (doc_id, spans)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"), _interleaved_spans().alias("spans")
+    )
 
 
 def q_north_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule pipeline over the synthetic interleaved corpus: skewed
-    generation → geo-span extraction → salted spatial join → tile rollup.
-    Not SQL-expressible (pandas-UDF Morton + polyfill machinery)."""
-    from .operators.tiles import assign_tiles, tile_histogram
-    from .sources.documents import generate_documents
+    """North-rule pipeline end-to-end through the REAL engine path: build
+    the interleaved corpus → higher-order-function geo-span extraction →
+    Morton encode → FORCED-SALTED partitioned spatial hash join (every
+    non-empty cell salted ×8: maximal stress of the explicit-skew
+    machinery) → exact per-tile histogram.  The oracle re-derives the
+    whole thing from doc_id arithmetic + rect containment in SQL."""
+    from .operators.spatial_join import cell_tile_cols
+    from .operators.tiles import assign_tiles
 
-    docs = generate_documents(spark, 5000, BOUNDS, seed=42, skew=0.3)
+    corpus = north_corpus(spark, sf_dir)
     zones = ZoneSet.from_fixture(FX.SEG_2X2)
     tiled = assign_tiles(
-        docs, 6, BOUNDS, zones=zones, keep_unassigned=True,
-        broadcast_cover=False, salt_threshold=500, salt_factor=8,
+        corpus, 6, BOUNDS, zones=zones, keep_unassigned=True,
+        broadcast_cover=False, salt_threshold=0, salt_factor=8,
     )
-    return tile_histogram(tiled).orderBy("cell_id")
+    tx, ty = cell_tile_cols(F.col("cell_id"))
+    return tiled.groupBy(
+        tx.alias("tile_x"), ty.alias("tile_y"), F.col("zone_id").cast("long").alias("zone_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+_NORTH_SQL = f"""
+WITH g AS (
+  SELECT doc_id, j.g AS j,
+         -0.25 + 2.0 * (((doc_id * (13 + 7 * j.g) + 17) % 10000) / 10000.0) AS lon0,
+         9.75  + 2.0 * (((doc_id * (29 + 11 * j.g) + 31) % 10000) / 10000.0) AS lat0
+  FROM documents CROSS JOIN generate_series(0, 2) j(g)
+  WHERE j.g < (doc_id % 3) + 1
+), p AS (
+  -- mirror the engine's span round trip: lon/lat printed at 6 decimals
+  -- into the span text, then parsed back to double
+  SELECT doc_id, j,
+         CAST(printf('%.6f', lon0) AS DOUBLE) AS lon,
+         CAST(printf('%.6f', lat0) AS DOUBLE) AS lat
+  FROM g
+), {_boxes_cte('zones', FX.SEG_2X2)}, a AS (
+  SELECT p.doc_id, p.j, p.lon, p.lat, max(z.zone_id) AS zone_id
+  FROM p LEFT JOIN zones z
+    ON {_RECT.replace('p.x', 'p.lon').replace('p.y', 'p.lat')}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(floor(((lon + 0.25) / 2.0) * 64) AS BIGINT) AS tile_x,
+       CAST(floor(((lat - 9.75) / 2.0) * 64) AS BIGINT) AS tile_y,
+       CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM a GROUP BY 1, 2, 3
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo: synthetic binary payloads → pandas-UDF
-    decode (stub) → features.  Rows-only (payload decode not in SQL)."""
+    """Multimodal plumbing: synthetic binary payloads → pandas-UDF decode
+    (deterministic stub) → integer-sum features.  The oracle re-derives
+    every feature from sha256 bytes + modular-arithmetic metadata."""
     from .ops.media import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, 500))
 
 
+# features of the tiled-truncated sha256-hex byte pattern: with byte sums
+# exact integers, mean/std are single IEEE divisions + sqrt on both sides
+_MEDIA_SQL = """
+WITH ids AS (SELECT g.g AS id FROM generate_series(0, 499) g(g)),
+m AS (
+  SELECT id,
+         ['image','audio','video'][CAST((id * 2654435761 + 42) % 3 AS INT) + 1] AS kind,
+         (id * 7919 + 1) % 1920 + 1 AS w,
+         (id * 104729 + 2) % 1080 + 1 AS h,
+         sha256('payload' || CAST(id AS VARCHAR)) AS hex
+  FROM ids
+), b AS (
+  SELECT id, kind, w, h,
+         list_transform(range(1, 65), i -> ascii(substr(hex, CAST(i AS INT), 1))) AS bytes
+  FROM m
+), s AS (
+  SELECT id, kind, w, h,
+         CAST(list_sum(bytes) AS BIGINT) AS s64,
+         CAST(list_sum(list_transform(bytes, x -> x * x)) AS BIGINT) AS q64,
+         CAST(coalesce(list_sum(list_slice(bytes, 1, CAST((w * h) % 64 AS INT))), 0) AS BIGINT) AS sp,
+         CAST(coalesce(list_sum(list_transform(list_slice(bytes, 1, CAST((w * h) % 64 AS INT)), x -> x * x)), 0) AS BIGINT) AS qp,
+         w * h AS n, (w * h) // 64 AS reps
+  FROM b
+)
+SELECT CAST(id AS BIGINT) AS media_id, kind,
+       CAST(reps * s64 + sp AS DOUBLE) / n AS mean_px,
+       sqrt(CAST(reps * q64 + qp AS DOUBLE) / n
+            - (CAST(reps * s64 + sp AS DOUBLE) / n) * (CAST(reps * s64 + sp AS DOUBLE) / n)) AS std_px,
+       CAST((w - 1) // greatest(w // 8, 1) + 1 AS INT) AS thumb_w,
+       CAST((h - 1) // greatest(h // 8, 1) + 1 AS INT) AS thumb_h
+FROM s
+"""
+
+
+def _ann_planes_cte(n_tables: int, n_planes: int, dim: int, seed: int) -> str:
+    """VALUES CTE of the seeded hyperplanes — the oracle re-derives the
+    exact LSH blocking from the same deterministic planes."""
+    from .ops.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        for j in range(n_planes):
+            arr = ",".join(repr(float(v)) for v in planes[j])
+            rows.append(f"({t},{j},[{arr}]::DOUBLE[])")
+    return f"planes(t, j, p) AS (SELECT * FROM (VALUES {','.join(rows)}))"
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH (rows-only; recall vs the
-    exact path is asserted in tests/test_similarity.py)."""
+    """Approximate NN via random-hyperplane LSH (multiprobe, pinned plane
+    count so the oracle can replay the exact blocking; recall vs the exact
+    path is additionally asserted in tests)."""
     from .ops.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 200
     )
-    return ann_lsh_topk(emb, dim=64, k=5).select(
+    return ann_lsh_topk(emb, dim=64, k=5, n_planes=4, seed=7).select(
         "vec_id", "rank", "nbr_id", F.round("cos", 6).alias("cos_r")
     )
+
+
+_ANN_SQL = f"""
+WITH {_ann_planes_cte(1, 4, 64, 7)},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(v, v), s -> s[1] * s[2])), (a,x) -> a + x)) AS nv
+  FROM e
+), sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(e.v, pl.p), s -> s[1] * s[2])), (a,x) -> a + x) > 0
+              THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+), probes AS (
+  SELECT vec_id, bucket AS probe FROM sig
+  UNION ALL
+  SELECT vec_id, xor(bucket, CAST(1 << g.g AS BIGINT)) AS probe
+  FROM sig CROSS JOIN generate_series(0, 3) g(g)
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nbr_id
+  FROM probes q JOIN sig c ON q.probe = c.bucket AND q.vec_id != c.vec_id
+), scored AS (
+  SELECT cd.q_id, cd.nbr_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x,y) -> x + y)
+           / (a.nv * b.nv) AS cos
+  FROM cand cd JOIN n a ON a.vec_id = cd.q_id JOIN n b ON b.vec_id = cd.nbr_id
+), r AS (
+  SELECT q_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT q_id AS vec_id, rank, nbr_id, round(cos, 6) AS cos_r FROM r WHERE rank <= 5
+"""
 
 
 # ------------------------------------------------------------------ registry
@@ -699,9 +871,9 @@ REGISTRY: dict[str, tuple] = {
     "lsh_pairs": (q_lsh_pairs, _LSH_PAIRS_SQL),
     "simhash": (q_simhash, _simhash_sql()),
     "cosine_topk": (q_cosine_topk, _COSINE_SQL),
-    "north_pipeline": (q_north_pipeline, None),
-    "media_features": (q_media_features, None),
-    "ann_lsh": (q_ann_lsh, None),
+    "north_pipeline": (q_north_pipeline, _NORTH_SQL),
+    "media_features": (q_media_features, _MEDIA_SQL),
+    "ann_lsh": (q_ann_lsh, _ANN_SQL),
 }
 
 
@@ -875,7 +1047,7 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy check: assign at res 6, roll up the histogram to res 4 —
     must equal the oracle's direct res-4 derivation (Morton parent ==
     integer-halved tile coords, twice)."""
-    from .operators.spatial_join import with_cell_id
+    from .operators.spatial_join import cell_tile_cols, with_cell_id
     from .operators.tiles import rollup_histogram
 
     pts = _doc_points_df(spark, sf_dir)
@@ -885,23 +1057,11 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
     )
     up = rollup_histogram(hist6, 6, 4)
-
-    @F.pandas_udf(T.LongType())
-    def tx(cell: pd.Series) -> pd.Series:
-        from .geo import cells as C
-
-        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[0])
-
-    @F.pandas_udf(T.LongType())
-    def ty(cell: pd.Series) -> pd.Series:
-        from .geo import cells as C
-
-        return pd.Series(C.cell_tile(cell.to_numpy(np.int64))[1])
-
+    tx, ty = cell_tile_cols(F.col("cell_id"))
     # n_docs summed across children is exact here: each doc has ONE point
     return up.select(
-        tx(F.col("cell_id")).alias("tile_x"),
-        ty(F.col("cell_id")).alias("tile_y"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
         F.col("n_spans").cast("long").alias("n_spans"),
         F.col("n_docs").cast("long").alias("n_docs"),
     )
@@ -1050,10 +1210,107 @@ FROM zl LEFT JOIN agg ON zl.zone_id = agg.zone_id
 """
 
 
+def q_poly_to_poly_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transform as poly_to_poly through the DISTRIBUTED cover-join
+    path (candidate pairs from a cell-cover equi-join + executor-side
+    clip kernel) — the oracle cross-checks both physical strategies."""
+    from .operators.disaggregate import disaggregate_polygon_to_polygon_distributed
+
+    src = ZoneSet.from_fixture(FX.SEG_2X2, values={0: 2.0, 1: 4.0, 2: 6.0, 3: 8.0})
+    tgt = ZoneSet.from_fixture(FX.SEG_3X3)
+    return disaggregate_polygon_to_polygon_distributed(src, tgt).select(
+        "src_zone", "tgt_zone", "area", "apportioned"
+    )
+
+
+def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped jaccard: candidates only from shingles in ≤ 40 docs
+    (the 100 TB-safe shape), scores exact via set intersection."""
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.03, max_df=40).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+_JACCARD_CAPPED_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 40),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, CAST(m.nc AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(m.nc AS DOUBLE) / CAST(sa.n + sb.n - m.nc AS DOUBLE) AS jaccard
+FROM cand c
+JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(m.nc AS DOUBLE) / CAST(sa.n + sb.n - m.nc AS DOUBLE) >= 0.03
+"""
+
+
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup sweep (the sub-quadratic scale path) — the
+    oracle replays the exact same seeded-plane blocking in SQL."""
+    from .ops.similarity import near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_pairs_lsh(
+        emb, threshold=0.4, dim=64, n_planes=5, n_tables=6, seed=7
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+
+
+_NEAR_DUP_LSH_SQL = f"""
+WITH {_ann_planes_cte(6, 5, 64, 7)},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(v, v), s -> s[1] * s[2])), (a,x) -> a + x)) AS nv
+  FROM e
+), sig AS (
+  SELECT e.vec_id, pl.t,
+         CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(e.v, pl.p), s -> s[1] * s[2])), (a,x) -> a + x) > 0
+              THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t
+), probes AS (
+  SELECT vec_id, t, bucket AS probe FROM sig
+  UNION ALL
+  SELECT vec_id, t, xor(bucket, CAST(1 << g.g AS BIGINT)) AS probe
+  FROM sig CROSS JOIN generate_series(0, 4) g(g)
+), cand AS (
+  SELECT DISTINCT least(q.vec_id, c.vec_id) AS id_a,
+                  greatest(q.vec_id, c.vec_id) AS id_b
+  FROM probes q JOIN sig c ON q.t = c.t AND q.probe = c.bucket
+  WHERE q.vec_id != c.vec_id
+)
+SELECT cd.id_a, cd.id_b,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x,y) -> x + y)
+             / (a.nv * b.nv), 6) AS cos_r
+FROM cand cd JOIN n a ON a.vec_id = cd.id_a JOIN n b ON b.vec_id = cd.id_b
+WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])), (x,y) -> x + y)
+      / (a.nv * b.nv) >= 0.4
+"""
+
+
 REGISTRY.update(
     {
         "belongs_holes": (q_belongs_holed, _BELONGS_HOLED_SQL),
         "zonal_sum_holes": (q_zonal_sum_holed, _ZONAL_HOLED_SQL),
         "agg_points_overlap": (q_agg_points_overlap, _AGG_POINTS_OVERLAP_SQL),
+        "jaccard_capped": (q_jaccard_capped, _JACCARD_CAPPED_SQL),
+        "near_dup_lsh": (q_near_dup_lsh, _NEAR_DUP_LSH_SQL),
+        "poly_to_poly_dist": (q_poly_to_poly_dist, _POLY_TO_POLY_SQL),
     }
 )

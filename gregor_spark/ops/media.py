@@ -41,11 +41,13 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic opaque payloads (hash-derived bytes) with metadata —
-    stands in for an Iceberg media table."""
+    """Deterministic opaque payloads (sha256-derived bytes) with metadata —
+    stands in for an Iceberg media table.  Metadata derives from plain
+    modular arithmetic on the id (not murmur F.hash) so an independent SQL
+    oracle can re-derive every downstream feature."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        F.pmod(F.hash("id", F.lit(seed)), F.lit(3)) + 1,
+        F.pmod(F.col("id") * F.lit(2654435761) + F.lit(seed), F.lit(3)).cast("int") + 1,
     )
     return spark.range(n).select(
         F.col("id").alias("media_id"),
@@ -55,10 +57,10 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         .cast("binary")
         .alias("payload"),
         F.struct(
-            (F.pmod(F.hash("id", F.lit(1)), F.lit(1920)) + 1).cast("int").alias("width"),
-            (F.pmod(F.hash("id", F.lit(2)), F.lit(1080)) + 1).cast("int").alias("height"),
+            (F.pmod(F.col("id") * F.lit(7919) + F.lit(1), F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(F.col("id") * F.lit(104729) + F.lit(2), F.lit(1080)) + 1).cast("int").alias("height"),
             F.lit(16000).cast("int").alias("sample_rate"),
-            (F.pmod(F.hash("id", F.lit(3)), F.lit(300)) + 1).cast("int").alias("n_frames"),
+            (F.pmod(F.col("id") * F.lit(31337) + F.lit(3), F.lit(300)) + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
 
@@ -105,12 +107,22 @@ def extract_features(media: DataFrame, thumb: int = 8) -> DataFrame:
                 sy = max(1, h // thumb)
                 sx = max(1, w // thumb)
                 th = px[::sy, ::sx]
+                # mean/std from EXACT integer sums (pixel counts ≪ 2^53):
+                # deterministic to the last bit, independent of numpy's
+                # pairwise-summation order — an external oracle can
+                # re-derive them with the same two divisions and a sqrt
+                flat = px.astype(np.int64)
+                n = flat.size
+                s = int(flat.sum())
+                s2 = int((flat * flat).sum())
+                mean = s / n
+                std = float(np.sqrt(s2 / n - mean * mean))
                 out.append(
                     (
                         rec.media_id,
                         rec.kind,
-                        float(px.mean()),
-                        float(px.std()),
+                        float(mean),
+                        std,
                         int(th.shape[1]),
                         int(th.shape[0]),
                     )

@@ -177,18 +177,27 @@ def near_dup_pairs(
     compute O(N²/2) spread across the cluster — the exact verifier path.
     For corpora where exact all-pairs is off the table, use
     ``near_dup_pairs_lsh`` (sub-quadratic candidate generation)."""
-    base = df.select(
-        F.col(key).cast("long").alias("k"), F.col(vec).cast("array<double>").alias("v")
-    ).withColumn("_b", F.pmod(F.hash(F.col("k")), F.lit(n_blocks)).cast("int"))
     from ..model.localdf import local_df
 
-    pairs = local_df(
-        df.sparkSession,
-        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
-        "i int, j int",
-    )
-    left = base.join(F.broadcast(pairs), base["_b"] == pairs["i"]).drop("_b")
-    right = base.join(F.broadcast(pairs), base["_b"] == pairs["j"]).drop("_b")
+    def side(join_key: str) -> DataFrame:
+        # independent projections per side (fresh expression ids): the two
+        # cogroup inputs must not share lineage or the analyzer rejects the
+        # plan as an ambiguous self-join
+        base = df.select(
+            F.col(key).cast("long").alias("k"),
+            F.col(vec).cast("array<double>").alias("v"),
+        ).withColumn("_b", F.pmod(F.hash(F.col("k")), F.lit(n_blocks)).cast("int"))
+        pairs = local_df(
+            df.sparkSession,
+            [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+            "i int, j int",
+        )
+        return base.join(
+            F.broadcast(pairs), base["_b"] == pairs[join_key]
+        ).select("k", "v", "i", "j")
+
+    left = side("i")
+    right = side("j")
 
     def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         diag = bool(len(l)) and bool(len(r)) and int(l["i"].iat[0]) == int(l["j"].iat[0])
@@ -205,42 +214,60 @@ def near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 5,
+    n_tables: int = 6,
     seed: int = 7,
     key: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate near-dup sweep — the 100 TB path: random-hyperplane
-    buckets block the corpus, candidates come from same-bucket plus
-    Hamming-1 probe groups (sub-quadratic), and each group runs one exact
-    matmul re-scored against ``threshold``.  Misses pairs whose signatures
-    differ in ≥2 bits (recall rises with fewer planes / more probes;
-    measured against the exact sweep in tests).  Deterministic: seeded
-    planes, so an independent oracle can re-derive the exact same
-    blocking."""
-    b = with_lsh_bucket(df, dim, n_planes, seed, vec).select(
-        F.col(key).cast("long").alias("k"),
-        F.col(vec).cast("array<double>").alias("v"),
-        F.col("bucket"),
-    )
+    """Approximate near-dup sweep — the 100 TB path: ``n_tables``
+    independent random-hyperplane signatures (OR-amplification) block the
+    corpus; candidates come from same-bucket plus Hamming-1 probe groups
+    per table (sub-quadratic), each group runs one exact matmul re-scored
+    against ``threshold``.  A pair is missed only when EVERY table puts it
+    ≥2 bits apart — for cos 0.4 at 5 planes × 6 tables the per-pair miss
+    probability is ~5%, dropping fast as similarity rises (measured
+    against the exact sweep in tests).  Deterministic: seeded planes, so
+    an independent oracle can re-derive the exact same blocking."""
+
+    def bucketed(t: int) -> DataFrame:
+        # fresh lineage per cogroup side (see near_dup_pairs)
+        return with_lsh_bucket(df, dim, n_planes, seed + t, vec).select(
+            F.col(key).cast("long").alias("k"),
+            F.col(vec).cast("array<double>").alias("v"),
+            F.col("bucket"),
+        )
+
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
     )
-    left = b.withColumn("probe", F.explode(probes)).drop("bucket")
-    right = b.withColumnRenamed("bucket", "probe")
+
+    def union_tables(build):
+        out = None
+        for t in range(n_tables):
+            part = build(t).withColumn("table", F.lit(t))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    left = union_tables(
+        lambda t: bucketed(t).withColumn("probe", F.explode(probes)).drop("bucket")
+    )
+    right = union_tables(lambda t: bucketed(t).withColumnRenamed("bucket", "probe"))
 
     def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         out = _pair_matmul(l, r, threshold, diag=False)
         return out[out["id_a"] != out["id_b"]]
 
     cand = (
-        left.groupby("probe")
-        .cogroup(right.groupby("probe"))
+        left.groupby("table", "probe")
+        .cogroup(right.groupby("table", "probe"))
         .applyInPandas(fn, schema=_PAIR_SCHEMA)
     )
-    # a pair straddling two buckets surfaces from both probe groups
-    return cand.distinct()
+    # a pair can surface from several probe groups / tables; dedupe by the
+    # PAIR KEY (not the float: BLAS tiling differs per group shape, so the
+    # same pair's cosine can differ in the last bit between groups)
+    return cand.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:

@@ -93,6 +93,85 @@ def test_ann_lsh_recall(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH, auto planes
 
 
+def test_jaccard_capped_bounds_hot_shingles(spark):
+    """Degenerate boilerplate corpus: one shingle shared by ALL docs.
+    Uncapped, the self-join would materialize O(n²) rows on it; with
+    max_df the hot shingle contributes ZERO candidates, while pairs that
+    also share a rare shingle keep their EXACT jaccard score."""
+    n = 40
+    rows = [(i, f"common boiler plate unique{i} tail{i % 2}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingle_table(docs)
+    dfh = sh.groupBy("shingle").count().filter(F.col("count") > 5).count()
+    assert dfh >= 1  # the corpus really has a hot shingle
+    capped = D.jaccard_pairs(docs, threshold=0.0, max_df=5).collect()
+    # 'common boiler plate' (df=40) is capped away; no candidates share a
+    # rare (df<=5) shingle here -> empty, and the join never exploded
+    assert capped == []
+    # now make two docs share a RARE shingle: scores must be exact
+    rows2 = rows + [(100, "rare shared shingle alpha"), (101, "rare shared shingle beta")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs2, threshold=0.0, max_df=5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs2, threshold=0.0).collect()
+        if (r["doc_a"], r["doc_b"]) in got
+    }
+    assert got == exact and (100, 101) in got
+
+
+def test_simhash_fast_parity(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash_fast(docs).collect()}
+    assert a == b
+
+
+def test_near_dup_blocked_matches_driver_sweep(spark, emb):
+    """The distributed block-pair sweep reproduces the exact all-pairs
+    result (same pairs, same cosines) with no driver-side corpus collect."""
+    from gregor_spark.ops.similarity import near_dup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cos"], 9)
+        for r in near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # independent numpy re-derivation
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ai, bi = np.where(sims >= 0.4)
+    want = {
+        (int(ids[i]), int(ids[j])): round(float(sims[i, j]), 9)
+        for i, j in zip(ai, bi)
+        if ids[i] < ids[j]
+    }
+    assert got == want and len(want) > 0
+
+
+def test_near_dup_lsh_subset_of_exact(spark, emb):
+    """LSH-blocked sweep returns a subset of the exact sweep (identical
+    cosines on what it returns) with usable recall at 8 planes."""
+    from gregor_spark.ops.similarity import near_dup_pairs, near_dup_pairs_lsh
+
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cos"], 9)
+        for r in near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): round(r["cos"], 9)
+        for r in near_dup_pairs_lsh(emb, threshold=0.4, dim=64).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k in approx:
+        assert approx[k] == exact[k]
+    assert len(approx) >= 0.7 * len(exact)
+
+
 def test_media_pipeline(spark):
     media = synthetic_media(spark, 100)
     feats = extract_features(media)
