@@ -47,7 +47,13 @@ HEADLINE = [
     "coarsen_2x2",
     "tile_rollup",
     "jaccard_pairs",
-    "embedding_near_dup",
+    "jaccard_capped",     # df-capped candidates + exact rescore
+    "embedding_near_dup",  # exact distributed block-pair sweep
+    "near_dup_lsh",        # sub-quadratic LSH-blocked sweep
+    "ann_lsh",             # multiprobe LSH top-k
+    "knn_cell_join",       # distributed kNN (coarsening escalation)
+    "media_features",      # binary payload decode plumbing
+    "north_pipeline",      # doc->span->salted-join->histogram (sf-scale)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

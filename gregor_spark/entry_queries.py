@@ -1223,10 +1223,34 @@ def q_poly_to_poly_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (every 30th frame per video) — JVM
+    sequence/explode over the media table's typed metadata."""
+    from .ops.media import frame_sample_plan, synthetic_media
+
+    return frame_sample_plan(synthetic_media(spark, 500), every_n=30).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+_FRAME_PLAN_SQL = """
+WITH ids AS (SELECT g.g AS id FROM generate_series(0, 499) g(g)),
+m AS (
+  SELECT id,
+         CAST((id * 2654435761 + 42) % 3 AS INT) AS kind_ix,
+         (id * 31337 + 3) % 300 + 1 AS n_frames
+  FROM ids
+)
+SELECT CAST(id AS BIGINT) AS media_id, CAST(f.g AS BIGINT) AS frame_idx
+FROM m CROSS JOIN generate_series(0, 299, 30) f(g)
+WHERE kind_ix = 2 AND f.g <= m.n_frames - 1
+"""
+
+
 def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-capped jaccard: candidates only from shingles in ≤ 40 docs
+    """df-capped jaccard: candidates only from shingles in ≤ 10 docs
     (the 100 TB-safe shape), scores exact via set intersection."""
-    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.03, max_df=40).select(
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.03, max_df=10).select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
     )
 
@@ -1234,7 +1258,7 @@ def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_CAPPED_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 40),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1312,5 +1336,6 @@ REGISTRY.update(
         "jaccard_capped": (q_jaccard_capped, _JACCARD_CAPPED_SQL),
         "near_dup_lsh": (q_near_dup_lsh, _NEAR_DUP_LSH_SQL),
         "poly_to_poly_dist": (q_poly_to_poly_dist, _POLY_TO_POLY_SQL),
+        "frame_plan": (q_frame_plan, _FRAME_PLAN_SQL),
     }
 )

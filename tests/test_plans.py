@@ -80,3 +80,50 @@ def test_morton_encode_is_codegen(spark, parquet_cells):
     plan = _formatted(with_cell_id(parquet_cells, 8, BOUNDS))
     assert "codegen id" in plan, plan  # encode runs inside a codegen stage
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tile_decode_and_neighbors_are_codegen(spark, parquet_cells):
+    """Tile decode + 3x3 neighbor generation are pure column bit-ops: no
+    Python eval anywhere (round 1 paid two scalar UDFs for the decode; a
+    naive decode→re-encode neighbor expression fell out of codegen
+    entirely)."""
+    from gregor_spark.operators.spatial_join import cell_tile_cols, neighbor_cells_col
+
+    keyed = with_cell_id(parquet_cells, 8, BOUNDS)
+    tx, ty = cell_tile_cols(F.col("cell_id"))
+    plan = _formatted(
+        keyed.select(
+            tx.alias("tx"), ty.alias("ty"),
+            F.explode(neighbor_cells_col(F.col("cell_id"), 8)).alias("nc"),
+        )
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_simhash_fast_single_shuffle(spark):
+    """simhash_fast moves O(docs) rows through exactly one Exchange (the
+    groupBy with map-side combine) plus the broadcast join back."""
+    from gregor_spark.ops.dedup import simhash_fast
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+    )
+    plan = _formatted(simhash_fast(docs))
+    # hashAggregate pairs (partial + final) around a single shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_near_dup_blocked_has_no_driver_collect_shape(spark):
+    """The exact near-dup sweep is a cogroup plan (FlatMapCoGroupsInPandas)
+    over broadcast block-pair joins — the corpus never reaches the driver
+    (round 1 collected the full matrix into the UDF closure)."""
+    from gregor_spark.ops.similarity import near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    plan = _formatted(near_dup_pairs(emb, threshold=0.5, n_blocks=2))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
