@@ -96,10 +96,14 @@ def _north_pipeline(spark, n_docs: int, mode: str = "broadcast") -> int:
 
     docs = read_table(spark, ensure_corpus(spark, n_docs)).select("doc_id", "spans")
     zones = ZoneSet.from_fixture(FX.SEG_2X2)
-    kwargs = (
-        {"broadcast_cover": True}
-        if mode == "broadcast"
-        else {
+    if mode == "broadcast":
+        kwargs = {"broadcast_cover": True}
+    elif mode == "partitioned":
+        # shuffle join WITHOUT active salting (histogram finds no hot
+        # cells at this threshold) — the pure-shuffle scaling datapoint
+        kwargs = {"broadcast_cover": False, "salt_threshold": n_docs}
+    else:  # salted
+        kwargs = {
             "broadcast_cover": False,
             # threshold chosen so the skewed corner (hot_frac=5% per axis at
             # res 8 ≈ 164 cells holding 20% of spans ≈ 1.8·n_docs/1000 per cell)
@@ -107,7 +111,6 @@ def _north_pipeline(spark, n_docs: int, mode: str = "broadcast") -> int:
             "salt_threshold": max(4_000, n_docs // 1000),
             "salt_factor": 16,
         }
-    )
     tiled = assign_tiles(docs, 8, BOUNDS, zones=zones, keep_unassigned=True, **kwargs)
     tile_histogram(tiled).write.format("noop").mode("overwrite").save()
     return n_docs
@@ -149,10 +152,13 @@ def run_scaling() -> dict:
     # sandbox's bursty steal time
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "8000000"))
     out = {"n_docs": n_docs}
+    modes = tuple(
+        os.environ.get("SPARK_GRAFT_SCALE_MODES", "broadcast,partitioned,salted").split(",")
+    )
     for cpus in (8, 32):
         spark = get_spark(app=f"gregor-scale-{cpus}", master=f"local[{cpus}]")
         ensure_corpus(spark, n_docs)
-        for mode in ("broadcast", "salted"):
+        for mode in modes:
             _north_pipeline(spark, n_docs, mode)  # warmup (JIT + page cache)
             best = float("inf")
             for _ in range(3):
@@ -162,7 +168,7 @@ def run_scaling() -> dict:
             out[f"{mode}_rate_{cpus}"] = n / best
             out[f"{mode}_sec_{cpus}"] = best
         spark.stop()
-    for mode in ("broadcast", "salted"):
+    for mode in modes:
         out[f"{mode}_efficiency"] = (
             out[f"{mode}_rate_32"] / out[f"{mode}_rate_8"]
         ) / 4.0

@@ -1,4 +1,5 @@
-"""Structured Streaming tile pipeline: file-source stream == batch result."""
+"""Structured Streaming: file-source tile pipeline == batch result, and
+the applyInPandasWithState sessionizer == the batch window sessionizer."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -56,4 +57,88 @@ def test_stream_matches_batch(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n_spans"))
         .collect()
     }
+    assert got == want
+
+
+def test_stateful_sessionizer_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessionization emits exactly the batch
+    sessionizer's sessions once the watermark passes (availableNow drains
+    the source; a final empty batch advances the watermark to close all
+    state)."""
+    import datetime as dt
+
+    from gregor_spark.streaming.sessions_stream import sessionize_stream
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for u in range(8):
+        t = base + dt.timedelta(seconds=u * 7)
+        for i in range(20):
+            # gaps: every 5th event jumps > 30 min -> new session
+            step = 2400 if i % 5 == 4 else 60 * (1 + (i * u) % 3)
+            rows.append((u, t, float(u * 100 + i)))
+            t += dt.timedelta(seconds=step)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "events_src")
+    # one data file so arrival is in-order w.r.t. the 0s watermark (out-of-
+    # order files would be legitimately dropped as late; that behavior is
+    # the watermark contract, not what this parity test probes)
+    df.coalesce(1).write.parquet(src)
+    # a late file whose max ts pushes the watermark far past every session
+    spark.createDataFrame(
+        [(999, base + dt.timedelta(days=2), 0.0)],
+        "user_id long, ts timestamp, value double",
+    ).write.mode("append").parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch reference: lag + running-sum sessionizer (q_events_sessions shape)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    es = F.unix_timestamp(F.col("ts"))
+    gap = F.when((es - F.lag(es).over(w)) > 1800, 1).otherwise(0)
+    sess = df.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    want = {
+        (r["user_id"], r["s0"], r["s1"]): (r["n"], round(r["sv"], 6))
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s0"),
+            F.max("ts").alias("s1"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+        )
+        .collect()
+    }
+    # sessions of the late sentinel user close only at stream end; drop it
+    got = {k: v for k, v in got.items() if k[0] != 999}
+    want = {k: v for k, v in want.items() if k[0] != 999}
     assert got == want
