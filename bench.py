@@ -141,6 +141,64 @@ def run_headline() -> dict:
     return times
 
 
+def synthetic_embeddings(spark, n: int, dim: int = 32, clusters: int | None = None):
+    """Deterministic distributed embedding corpus with REAL near-dups:
+    ~n/clusters vectors per cluster share a base vector + small noise
+    (all codegen column arithmetic — no driver data, no Python)."""
+    from pyspark.sql import functions as F
+
+    clusters = clusters or max(n // 4, 1)
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), (F.col("id") % clusters).alias("c")
+    )
+
+    def white(col, j, k):
+        # shader-style hash: fract(sin(x)*43758.5453) ~ U[0,1) — breaks the
+        # smooth periodicity a plain sin(c*f_j) would leave between nearby
+        # cluster ids (measured: that version made ~750 near-dups/vector)
+        x = F.sin(col * F.lit(12.9898) + F.lit(j * 78.233 + k)) * F.lit(43758.5453)
+        return (x - F.floor(x)) * F.lit(2.0) - F.lit(1.0)
+
+    comps = [
+        (white(F.col("c"), j, 0.0) + F.lit(0.05) * white(F.col("vec_id"), j, 0.5)).alias(
+            f"x{j}"
+        )
+        for j in range(dim)
+    ]
+    return base.select("vec_id", F.array(*comps).alias("embedding"))
+
+
+def run_embeddings() -> dict:
+    """Near-dup sweep at ≥1M synthetic embeddings — the scale datapoint
+    for the LSH-blocked path (the exact block-pair sweep is O(N²) by
+    definition and is benchmarked at sf scale in the headline set)."""
+    from gregor_spark.ops.similarity import near_dup_pairs_lsh
+    from gregor_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_EMB_N", "1000000"))
+    dim = int(os.environ.get("SPARK_GRAFT_EMB_DIM", "32"))
+    spark = get_spark(app="gregor-emb-bench", master=f"local[{CPUS}]")
+    emb = synthetic_embeddings(spark, n, dim)
+    import math
+
+    # ~64 vectors/bucket, 2 OR-tables: sub-quadratic candidates
+    n_planes = max(4, int(math.log2(max(n / 64, 4))))
+    t0 = time.time()
+    pairs = near_dup_pairs_lsh(
+        emb, threshold=0.98, dim=dim, n_planes=n_planes, n_tables=2
+    ).count()
+    sec = time.time() - t0
+    spark.stop()
+    return {
+        "n_vectors": n,
+        "dim": dim,
+        "n_planes": n_planes,
+        "pairs_found": pairs,
+        "sec": round(sec, 2),
+        "vectors_per_sec": round(n / sec, 1),
+    }
+
+
 def run_scaling() -> dict:
     """Same north-rule job at two parallelism levels (the sandbox stand-in
     for N vs 4N executors)."""
@@ -179,6 +237,9 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         s = run_scaling()
         print(json.dumps({k: round(v, 3) for k, v in s.items()}))
+        sys.exit(0)
+    if "--embeddings" in sys.argv:
+        print(json.dumps(run_embeddings()))
         sys.exit(0)
     times = run_headline()
     total = round(
