@@ -1223,6 +1223,29 @@ def q_poly_to_poly_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no finalized ('F') orders — the NOT EXISTS /
+    anti-join shape (the filtered build side stays broadcast-able at any
+    scale while the probe side streams)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
 def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (every 30th frame per video) — JVM
     sequence/explode over the media table's typed metadata."""
@@ -1337,5 +1360,6 @@ REGISTRY.update(
         "near_dup_lsh": (q_near_dup_lsh, _NEAR_DUP_LSH_SQL),
         "poly_to_poly_dist": (q_poly_to_poly_dist, _POLY_TO_POLY_SQL),
         "frame_plan": (q_frame_plan, _FRAME_PLAN_SQL),
+        "cust_no_orders": (q_cust_no_orders, _CUST_NO_ORDERS_SQL),
     }
 )

@@ -149,34 +149,44 @@ def _jaccard_pairs_capped(
     )
 
 
+def _minhash_wide(
+    docs: DataFrame, text: str = "text", k: int = 3, num_perm: int = 16
+) -> DataFrame:
+    """(doc_id, m0..m{num_perm-1}) — all permutation minima in ONE groupBy.
+
+    Shingles are computed once and exploded; each permutation is a plain
+    min-aggregate column over the same exploded rows, so the pass moves
+    O(docs × shingles) rows ONCE and the partial-agg shuffle carries one
+    row per doc (round 1 crossJoined ×num_perm — num_perm× the explode
+    volume; and the original pure-column form recomputed the shingling
+    num_perm× because nested lambdas defeat CSE).
+    ``h_j(s) = ((2j+1)·s + 12345j + 987) mod (2^31-1)``.
+    """
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.transform(word_shingles(F.col(text), k), _shingle_int)).alias("s"),
+    )
+    aggs = [
+        F.min(
+            (F.lit(2 * j + 1) * F.col("s") + F.lit(12345 * j + 987)) % F.lit(MERSENNE)
+        ).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame, text: str = "text", k: int = 3, num_perm: int = 16
 ) -> DataFrame:
-    """(doc_id, perm, minh) — universal-hash MinHash over k-word shingles:
-    ``h_j(s) = ((2j+1)·s + 12345j + 987) mod (2^31-1)``, min per doc.
-
-    Shape: shingles are computed ONCE and exploded, permutations applied
-    as a compact crossJoin(range(num_perm)) + partial-agg min — Catalyst
-    cannot common-subexpression-eliminate a shingle array referenced from
-    ``num_perm`` nested lambdas, which made the pure-column form recompute
-    the (expensive) shingling 16×.  The explode form also map-side
-    combines, so the shuffle carries O(docs × num_perm) rows regardless of
-    corpus width — the 100 TB-safe shape.
-    """
-    spark = docs.sparkSession
-    sh = docs.select(
-        "doc_id", F.explode(F.transform(word_shingles(F.col(text), k), _shingle_int)).alias("s")
-    )
-    perms = spark.range(num_perm).select(F.col("id").alias("perm"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                ((F.lit(2) * F.col("perm") + 1) * F.col("s")
-                 + F.col("perm") * F.lit(12345) + F.lit(987)) % F.lit(MERSENNE)
-            ).alias("minh")
-        )
+    """(doc_id, perm, minh) — universal-hash MinHash over k-word shingles
+    (see _minhash_wide for the plan shape); the long form is an unpivot
+    (stack) of the wide aggregate, still one shuffle total."""
+    wide = _minhash_wide(docs, text, k, num_perm)
+    pairs = []
+    for j in range(num_perm):
+        pairs.extend([F.lit(j).cast("long"), F.col(f"m{j}")])
+    return wide.select(
+        "doc_id", F.stack(F.lit(num_perm), *pairs).alias("perm", "minh")
     )
 
 
@@ -191,17 +201,22 @@ def lsh_candidate_pairs(
     minhash rows within any band.  Equi-join on (band, band_key) — the
     classic sub-quadratic LSH join; exact Jaccard re-scoring is the
     caller's follow-up (jaccard_pairs on the candidates)."""
-    sig = minhash_signatures(docs, text, k, num_perm)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("long"))
-        .groupBy("doc_id", "band")
-        # band key must be order-stable: sort by perm via struct collect
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "minh"))).alias("rows"))
-        .withColumn(
-            "band_key",
-            F.concat_ws(",", F.transform(F.col("rows"), lambda r: r["minh"].cast("string"))),
+    # bands come straight off the wide signature: one groupBy total — the
+    # old long-form path paid a second shuffle (collect_list per band)
+    wide = _minhash_wide(docs, text, k, num_perm)
+    n_bands = num_perm // rows_per_band
+    band_rows = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         )
-        .select("doc_id", "band", "band_key")
+        band_rows.extend([F.lit(b).cast("long"), key])
+    banded = wide.select(
+        "doc_id", F.stack(F.lit(n_bands), *band_rows).alias("band", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")

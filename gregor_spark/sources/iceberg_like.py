@@ -66,3 +66,95 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)
+
+
+# ------------------------------------------------- tile-partitioned layout
+
+
+def write_cell_partitioned(
+    df: DataFrame,
+    path: str,
+    res: int,
+    parent_res: int,
+    bounds: tuple[float, float, float, float],
+    x: str = "x",
+    y: str = "y",
+    mode: str = "overwrite",
+) -> dict:
+    """Write a fact table partitioned by its COARSE Morton tile
+    (``p_cell`` at ``parent_res``) — the Iceberg
+    ``partitioned by truncate(cell)`` analog.  Z-order locality means a
+    bbox query touches a contiguous handful of partitions, and
+    ``read_cell_partitioned`` turns a bbox into a partition IN-list so the
+    scan NEVER OPENS files outside the box (SURVEY §4: scan-level pruning
+    for tile-partitioned cells)."""
+    from ..operators.spatial_join import with_cell_id
+    from ..operators.tiles import with_parent_cell
+
+    keyed = with_parent_cell(
+        with_cell_id(df, res, bounds, x=x, y=y), res, parent_res, out="p_cell"
+    )
+    keyed.write.mode(mode).partitionBy("p_cell").parquet(path)
+    manifest = {
+        "format": "gregor-iceberg-like/1",
+        "snapshot_id": int(time.time() * 1000),
+        "schema": df.schema.jsonValue(),
+        "partition_spec": {
+            "kind": "cell",
+            "res": res,
+            "parent_res": parent_res,
+            "bounds": list(bounds),
+            "x": x,
+            "y": y,
+        },
+        "total_rows": df.count(),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _rect_cells(
+    minx: float, miny: float, maxx: float, maxy: float, res: int, bounds
+) -> list[int]:
+    """All cells at ``res`` whose tile intersects the rect (driver-side,
+    O(tiles-in-rect); callers choose parent_res so this stays small)."""
+    import numpy as np
+
+    from ..geo import cells as C
+
+    ix0, iy0 = (int(v[0]) for v in C.xy_to_tile(np.array([minx]), np.array([miny]), res, bounds))
+    ix1, iy1 = (int(v[0]) for v in C.xy_to_tile(np.array([maxx]), np.array([maxy]), res, bounds))
+    out = []
+    for iy in range(iy0, iy1 + 1):
+        for ix in range(ix0, ix1 + 1):
+            out.append(
+                int(
+                    (np.int64(res) << np.int64(56))
+                    | C.morton_encode(np.array([ix]), np.array([iy]))[0]
+                )
+            )
+    return out
+
+
+def read_cell_partitioned(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Read a cell-partitioned table; with ``bbox`` the partition IN-list
+    plus the exact coordinate predicate are applied — the IN-list reaches
+    the scan as a PartitionFilter (asserted in tests/test_plans.py)."""
+    m = read_manifest(path)
+    spec = m["partition_spec"]
+    df = spark.read.parquet(path)
+    if bbox is None:
+        return df
+    minx, miny, maxx, maxy = bbox
+    cells = _rect_cells(minx, miny, maxx, maxy, spec["parent_res"], tuple(spec["bounds"]))
+    xc, yc = spec["x"], spec["y"]
+    return df.filter(
+        F.col("p_cell").isin(cells)
+        & (F.col(xc) >= minx) & (F.col(xc) <= maxx)
+        & (F.col(yc) >= miny) & (F.col(yc) <= maxy)
+    )

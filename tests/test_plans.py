@@ -115,6 +115,35 @@ def test_simhash_fast_single_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_cell_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """A bbox read over the tile-partitioned layout reaches the scan as a
+    PartitionFilter (files outside the box are never opened) AND keeps the
+    coordinate predicate as a pushed data filter — the SURVEY §4
+    'tile-partitioned cells -> scan-level pruning' property, asserted."""
+    from gregor_spark.sources.iceberg_like import (
+        read_cell_partitioned,
+        write_cell_partitioned,
+    )
+
+    pts = spark.range(2000).select(
+        F.col("id"),
+        (F.rand(11) * 2 - 0.25).alias("x"),
+        (F.rand(12) * 2 + 9.75).alias("y"),
+    )
+    path = str(tmp_path / "cellpart")
+    write_cell_partitioned(pts, path, res=8, parent_res=2, bounds=BOUNDS)
+    clipped = read_cell_partitioned(spark, path, bbox=(0.0, 10.0, 0.4, 10.4))
+    plan = _formatted(clipped)
+    assert re.search(r"PartitionFilters: \[.*p_cell", plan), plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(x," in plan, plan
+    # correctness: same rows as a plain filter over the unpartitioned data
+    want = pts.filter(
+        (F.col("x") >= 0.0) & (F.col("x") <= 0.4)
+        & (F.col("y") >= 10.0) & (F.col("y") <= 10.4)
+    ).count()
+    assert clipped.count() == want
+
+
 def test_near_dup_blocked_has_no_driver_collect_shape(spark):
     """The exact near-dup sweep is a cogroup plan (FlatMapCoGroupsInPandas)
     over broadcast block-pair joins — the corpus never reaches the driver
