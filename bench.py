@@ -199,6 +199,45 @@ def run_embeddings() -> dict:
     }
 
 
+def run_knn() -> dict:
+    """Distributed kNN at scale: facts × proxies through the
+    resolution-coarsening cell join (the path round 1's ranking bug made
+    unusable at volume)."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.knn import knn_cell_join
+    from gregor_spark.session import get_spark
+
+    n_facts = int(os.environ.get("SPARK_GRAFT_KNN_FACTS", "2000000"))
+    n_prox = int(os.environ.get("SPARK_GRAFT_KNN_PROXIES", "100000"))
+    k = int(os.environ.get("SPARK_GRAFT_KNN_K", "5"))
+    spark = get_spark(app="gregor-knn-bench", master=f"local[{CPUS}]")
+
+    def pts(n, seed):
+        return spark.range(n).select(
+            F.col("id"),
+            (F.rand(seed) * 2 - 0.25).alias("x"),
+            (F.rand(seed + 1) * 2 + 9.75).alias("y"),
+        )
+
+    facts = pts(n_facts, 3).withColumnRenamed("id", "point_id")
+    proxies = pts(n_prox, 7).withColumnRenamed("id", "proxy_id")
+    t0 = time.time()
+    out = knn_cell_join(facts, proxies, k=k, bounds=BOUNDS)
+    n_rows = out.count()
+    sec = time.time() - t0
+    spark.stop()
+    return {
+        "n_facts": n_facts,
+        "n_proxies": n_prox,
+        "k": k,
+        "result_rows": n_rows,
+        "exact": n_rows == n_facts * k,
+        "sec": round(sec, 2),
+        "facts_per_sec": round(n_facts / sec, 1),
+    }
+
+
 def run_scaling() -> dict:
     """Same north-rule job at two parallelism levels (the sandbox stand-in
     for N vs 4N executors)."""
@@ -240,6 +279,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--embeddings" in sys.argv:
         print(json.dumps(run_embeddings()))
+        sys.exit(0)
+    if "--knn" in sys.argv:
+        print(json.dumps(run_knn()))
         sys.exit(0)
     times = run_headline()
     total = round(
