@@ -1280,7 +1280,12 @@ def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_CAPPED_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM t),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({_SHINGLES},
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS shingle
+  FROM t
+),
 rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
 shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 cand AS (
