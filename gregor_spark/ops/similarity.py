@@ -266,7 +266,15 @@ def near_dup_pairs_lsh(
     )
     # a pair can surface from several probe groups / tables; dedupe by the
     # PAIR KEY (not the float: BLAS tiling differs per group shape, so the
-    # same pair's cosine can differ in the last bit between groups)
+    # same pair's cosine can differ in the last bit between groups).
+    # MEASURED ALTERNATIVE (1M x dim-32, local[32]): generating key-only
+    # candidate pairs via a plain join and rescoring after a distinct
+    # shuffles ~bucket_size x probes x tables candidate ROWS (~3.4e9 here,
+    # >7 min) — the cogroup never materializes candidates, emitting only
+    # above-threshold survivors from each in-group matmul (92 s).  Carrying
+    # vectors through the probe replication is the cheaper trade until
+    # vectors are ~KB-sized; revisit the key-only shape for very wide
+    # embeddings.
     return cand.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
