@@ -596,6 +596,30 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 2 of SimHash — pigeonhole
+    banded join (agree exactly on ≥1 of 3 fingerprint chunks)."""
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=2)
+
+
+def _simhash_pairs_sql(bits: int = 16) -> str:
+    inner = _simhash_sql(bits).strip()
+    return f"""
+WITH s AS ({inner}),
+c AS (
+  SELECT doc_id, simhash, g.g AS ci,
+         CASE g.g WHEN 0 THEN simhash & 63
+                  WHEN 1 THEN (simhash >> 6) & 31
+                  ELSE (simhash >> 11) & 31 END AS cv
+  FROM s CROSS JOIN generate_series(0, 2) g(g)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM c a JOIN c b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk(emb, k=5, n_queries=30).select(
@@ -1366,5 +1390,6 @@ REGISTRY.update(
         "poly_to_poly_dist": (q_poly_to_poly_dist, _POLY_TO_POLY_SQL),
         "frame_plan": (q_frame_plan, _FRAME_PLAN_SQL),
         "cust_no_orders": (q_cust_no_orders, _CUST_NO_ORDERS_SQL),
+        "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql()),
     }
 )

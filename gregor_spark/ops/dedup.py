@@ -268,6 +268,59 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
     return docs.select("doc_id", out.alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits of
+    SimHash distance — the pigeonhole banded join: split the ``bits``-wide
+    fingerprint into ``max_hamming + 1`` chunks; any pair within the
+    distance budget agrees EXACTLY on at least one chunk, so candidates
+    come from an equi-join on (chunk_idx, chunk_value) — never a cartesian
+    — and ``bit_count(xor)`` verifies exactly.  Sub-quadratic as long as
+    no chunk value is degenerate (the SimHash analog of the MinHash LSH
+    band join)."""
+    n_chunks = max_hamming + 1
+    widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
+    offs = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunks_of(sh):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(sh, offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("cv"),
+                )
+                for i in range(n_chunks)
+            ]
+        )
+
+    def side(alias_key: str, alias_sh: str) -> DataFrame:
+        # fresh projection per side (self-join lineage, see similarity.py)
+        b = simhash_fast(docs, text, bits)
+        return b.select(
+            F.col("doc_id").alias(alias_key),
+            F.col("simhash").alias(alias_sh),
+            F.explode(chunks_of(F.col("simhash"))).alias("_c"),
+        ).select(alias_key, alias_sh, F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
+
+    a = side("doc_a", "_sha")
+    b = side("doc_b", "_shb")
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_fast(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
     """Bit-identical to ``simhash`` through a throughput-friendly plan:
     explode token hashes once, compute all ``bits`` signed sums in ONE

@@ -83,6 +83,73 @@ def test_north_pipeline_span_sequence_invariant(spark):
     assert {r["k"] for r in kinds} == {"text", "geo", "media"}
 
 
+def test_holed_zone_through_both_join_paths(spark):
+    """Holes produce IDENTICAL assignments through the broadcast map-only
+    path and the salted partitioned path (cover classification, refine
+    kernel, and last-id-wins are all hole-aware)."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.spatial_join import spatial_hash_join
+
+    zones = ZoneSet.from_fixture(FX.SEG_HOLED)
+    pts = spark.range(4000).select(
+        F.col("id"),
+        (F.rand(21) * 2 - 0.25).alias("x"),
+        (F.rand(22) * 2 + 9.75).alias("y"),
+    )
+
+    def run(**kw):
+        out = spatial_hash_join(
+            pts, zones, res=5, bounds=BOUNDS, keep_unassigned=True,
+            fact_key="id", **kw,
+        )
+        return {r["id"]: r["zone_id"] for r in out.collect()}
+
+    a = run(broadcast_cover=True)
+    b = run(broadcast_cover=False)
+    c = run(broadcast_cover=False, salt_threshold=0, salt_factor=4)
+    assert a == b == c
+    # and the hole really is a hole: some points unassigned inside it
+    inside_hole = [
+        r["id"]
+        for r in pts.filter(
+            (F.col("x") > 0.1) & (F.col("x") < 0.9)
+            & (F.col("y") > 10.1) & (F.col("y") < 10.9)
+        ).collect()
+    ]
+    assert inside_hole and all(a[i] is None for i in inside_hole)
+    outside = [k for k in a if a[k] == 0]
+    assert len(outside) > len(inside_hole)
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Banded SimHash pair join finds EXACTLY the pairs within the Hamming
+    budget (pigeonhole guarantees no candidate is missed)."""
+    from gregor_spark.ops.dedup import simhash_fast, simhash_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words here nothing shared at all"),
+        (4, "the quick brown fox leaps over the lazy dog"),
+        (5, "shiny metal boxes falling from tall shelves"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    h = {r["doc_id"]: r["simhash"] for r in simhash_fast(docs).collect()}
+    want = {
+        (a, b): bin(h[a] ^ h[b]).count("1")
+        for a in h
+        for b in h
+        if a < b and bin(h[a] ^ h[b]).count("1") <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=2).collect()
+    }
+    assert got == want and (0, 2) in got
+
+
 def test_functions_module_twins(spark):
     """Public GF column functions are bit-identical to the numpy kernels."""
     from gregor_spark import functions as GF
