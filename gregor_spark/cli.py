@@ -99,6 +99,9 @@ def main(argv: list[str] | None = None) -> None:
         if args.data_crs != args.proxy_crs:
             from .geo.crs import reproject_zones
 
+            # the operator re-derives this alignment from the crs flags; a
+            # second driver-side numpy pass over admin-sized rings is
+            # negligible and keeps the operator's signature file-free
             bzones = reproject_zones(zones, args.data_crs, args.proxy_crs)
         else:
             bzones = zones

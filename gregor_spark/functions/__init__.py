@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..geo import cells as C
 from ..operators.spatial_join import (
-    _part1by1_col,
+    cell_id_col,
     cell_tile_cols,
     neighbor_cells_col,
 )
@@ -45,19 +45,9 @@ def cell(
     bounds: tuple[float, float, float, float] = C.WORLD,
 ) -> Column:
     """Morton cell id at ``res`` for point columns (H3 latlng_to_cell
-    analog) — the codegen twin of geo/cells.cell."""
-    minx, miny, maxx, maxy = bounds
-    n = 1 << res
-
-    def tile(coord, lo, hi):
-        f = (coord - F.lit(lo)) / F.lit(hi - lo)
-        t = F.floor(f * F.lit(float(n))).cast("long")
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), t))
-
-    morton = _part1by1_col(tile(x, minx, maxx)).bitwiseOR(
-        F.shiftleft(_part1by1_col(tile(y, miny, maxy)), 1)
-    )
-    return F.lit(res << 56).bitwiseOR(morton)
+    analog) — the codegen twin of geo/cells.cell (delegates to the single
+    expression builder the operators use, so they can never drift)."""
+    return cell_id_col(x, y, res, bounds)
 
 
 def cell_res(cell_id: Column) -> Column:

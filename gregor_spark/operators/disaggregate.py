@@ -260,14 +260,19 @@ def disaggregate_polygon_to_polygon_distributed(
         ]
     )
     pairs = cand.mapInPandas(clip, schema=schema)
-    norm = pairs.groupBy("src_zone").agg(F.sum("area").alias("_ta"))
     vals = local_df(
         spark,
         [(int(z), float(src_zones.values.get(int(z), float("nan")))) for z in src_zones.zone_ids],
         "src_zone long, _sv double",
     )
+    # per-source normalization as a WINDOW sum: reuses the single pass over
+    # `pairs` (a groupBy+join-back would re-run the cover join and the clip
+    # kernel a second time — `pairs` is the expensive stage here)
+    from pyspark.sql.window import Window
+
+    ta = F.sum("area").over(Window.partitionBy("src_zone"))
     return (
-        pairs.join(F.broadcast(norm), "src_zone")
+        pairs.withColumn("_ta", ta)
         .join(F.broadcast(vals), "src_zone")
         .withColumn("apportioned", F.col("_sv") * F.col("area") / F.col("_ta"))
         .drop("_ta", "_sv")

@@ -120,6 +120,30 @@ def neighbor_cells_col(cell, res: int):
     return F.array_compact(F.array(*cands))
 
 
+def cell_id_col(
+    x, y, res: int, bounds: tuple[float, float, float, float] = C.WORLD
+):
+    """Morton cell id as a pure column expression (whole-stage codegen;
+    zero Python).  Bit-identical to the numpy kernel geo/cells.cell —
+    same IEEE op order, asserted in tests.  THE single definition: both
+    ``with_cell_id`` and the public ``gregor_spark.functions.cell`` wrap
+    this builder, so the two can never drift."""
+    if not 0 <= res <= C.MAX_RES:
+        raise ValueError(f"res must be in [0, {C.MAX_RES}]")
+    minx, miny, maxx, maxy = bounds
+    n = 1 << res
+
+    def tile(coord, lo, hi):
+        f = (coord - F.lit(lo)) / F.lit(hi - lo)
+        t = F.floor(f * F.lit(float(n))).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), t))
+
+    morton = _part1by1_col(tile(x, minx, maxx)).bitwiseOR(
+        F.shiftleft(_part1by1_col(tile(y, miny, maxy)), 1)
+    )
+    return F.lit(res << 56).bitwiseOR(morton)
+
+
 def with_cell_id(
     df: DataFrame,
     res: int,
@@ -128,21 +152,8 @@ def with_cell_id(
     y: str = "y",
     out: str = "cell_id",
 ) -> DataFrame:
-    """Add the Morton cell id — pure JVM column expressions (whole-stage
-    codegen; zero Python in the hot path).  Bit-identical to the numpy
-    kernel geo/cells.cell (same IEEE op order; asserted in tests)."""
-    minx, miny, maxx, maxy = bounds
-    n = 1 << res
-
-    def tile(coord, lo, hi):
-        f = (F.col(coord) - F.lit(lo)) / F.lit(hi - lo)
-        t = F.floor(f * F.lit(float(n))).cast("long")
-        return F.greatest(F.lit(0), F.least(F.lit(n - 1), t))
-
-    morton = _part1by1_col(tile(x, minx, maxx)).bitwiseOR(
-        F.shiftleft(_part1by1_col(tile(y, miny, maxy)), 1)
-    )
-    return df.withColumn(out, F.lit(res << 56).bitwiseOR(morton))
+    """Add the Morton cell id column (see cell_id_col)."""
+    return df.withColumn(out, cell_id_col(F.col(x), F.col(y), res, bounds))
 
 
 def _refine_claims(

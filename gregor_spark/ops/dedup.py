@@ -213,16 +213,18 @@ def lsh_candidate_pairs(
     classic sub-quadratic LSH join; exact Jaccard re-scoring is the
     caller's follow-up (jaccard_pairs on the candidates)."""
     # bands come straight off the wide signature: one groupBy total — the
-    # old long-form path paid a second shuffle (collect_list per band)
+    # old long-form path paid a second shuffle (collect_list per band).
+    # A trailing partial band keeps the leftover permutations in play when
+    # num_perm % rows_per_band != 0 (matching band = perm // rows_per_band).
     wide = _minhash_wide(docs, text, k, num_perm)
-    n_bands = num_perm // rows_per_band
+    n_bands = (num_perm + rows_per_band - 1) // rows_per_band
     band_rows = []
     for b in range(n_bands):
         key = F.concat_ws(
             ",",
             *[
-                F.col(f"m{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
+                F.col(f"m{j}").cast("string")
+                for j in range(b * rows_per_band, min((b + 1) * rows_per_band, num_perm))
             ],
         )
         band_rows.extend([F.lit(b).cast("long"), key])

@@ -95,10 +95,13 @@ def write_cell_partitioned(
         with_cell_id(df, res, bounds, x=x, y=y), res, parent_res, out="p_cell"
     )
     keyed.write.mode(mode).partitionBy("p_cell").parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
     manifest = {
         "format": "gregor-iceberg-like/1",
         "snapshot_id": int(time.time() * 1000),
-        "schema": df.schema.jsonValue(),
+        # the WRITTEN schema (source columns + cell_id + p_cell)
+        "schema": written.schema.jsonValue(),
         "partition_spec": {
             "kind": "cell",
             "res": res,
@@ -107,7 +110,9 @@ def write_cell_partitioned(
             "x": x,
             "y": y,
         },
-        "total_rows": df.count(),
+        # counted from the written files (parquet footer metadata), never a
+        # second pass over the source lineage
+        "total_rows": written.count(),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)

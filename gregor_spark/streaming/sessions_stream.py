@@ -5,15 +5,20 @@ on the DATA, not on fixed windows).
 
 Semantics match the batch sessionizer (entry_queries.q_events_sessions):
 events of one user belong to one session while consecutive timestamps are
-within ``gap`` seconds.  The stream emits one row per CLOSED session —
-a session closes when the event-time watermark passes its last event +
-gap (no more in-order events can extend it), or when the state times out.
+within ``gap`` seconds (compared on WHOLE SECONDS, exactly like the batch
+``unix_timestamp`` diff — sub-second differences never split a session).
 
-State per user: (session_start_ts, last_ts, n_events, sum_value) — O(1)
-per active user regardless of stream length; the watermark bounds how
-long an idle user's state lives (event-time timeout), so state size is
-O(active users), the property that keeps this viable on an unbounded
-10^12-event stream.
+Correct under out-of-order arrival: the state holds a LIST of tentative
+sessions (merged interval-style as events arrive in any order), and a
+session is emitted only when the EVENT-TIME WATERMARK has passed its last
+event + gap — i.e. when no admissible future event could extend or bridge
+it.  Nothing is ever emitted from in-batch gap detection alone, so a late
+(but within-watermark) event can still merge two tentative sessions.
+
+State per user: O(open sessions) — bounded by the watermark delay / gap,
+independent of stream length; idle users drain via event-time timeout.
+That is the property that keeps this viable on an unbounded 10^12-event
+stream.
 """
 
 from __future__ import annotations
@@ -35,14 +40,45 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
+# tentative sessions as parallel arrays (timestamps in epoch micros)
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ts", T.LongType()),   # epoch micros
-        T.StructField("last_ts", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
     ]
 )
+
+
+def _merge(sessions: list, t: int, v: float, gap_us: int) -> list:
+    """Insert event (t, v) into the tentative-session list, merging every
+    session the event joins or bridges.  Gap comparison on WHOLE SECONDS,
+    mirroring the batch sessionizer's unix_timestamp diff (strict > gap
+    splits, <= gap merges).  The list invariant (pairwise non-mergeable,
+    sorted by start) is preserved: scanning in start order against the
+    growing window handles transitive bridging through the new event."""
+    gap_s = gap_us // 1_000_000
+
+    def mergeable(a0: int, a1: int, b0: int, b1: int) -> bool:
+        if b0 > a1:
+            return (b0 // 1_000_000) - (a1 // 1_000_000) <= gap_s
+        if a0 > b1:
+            return (a0 // 1_000_000) - (b1 // 1_000_000) <= gap_s
+        return True  # overlapping windows
+
+    s0, s1, n, sv = t, t, 1, v
+    out = []
+    for cs0, cs1, cn, csv in sorted(sessions, key=lambda s: s[0]):
+        if mergeable(s0, s1, cs0, cs1):
+            s0, s1 = min(s0, cs0), max(s1, cs1)
+            n += cn
+            sv += csv
+        else:
+            out.append((cs0, cs1, cn, csv))
+    out.append((s0, s1, n, sv))
+    out.sort(key=lambda s: s[0])
+    return out
 
 
 def sessionize_stream(
@@ -51,51 +87,11 @@ def sessionize_stream(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """events(user_id long, ts timestamp, value double) stream →
-    closed-session stream via per-user state."""
+    closed-session stream via per-user tentative-session state."""
 
     gap_us = gap_seconds * 1_000_000
 
-    def fn(
-        key: Tuple[int],
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        (user_id,) = key
-        closed = []
-
-        if state.hasTimedOut:
-            if state.exists:
-                s0, s1, n, sv = state.get
-                closed.append((user_id, s0, s1, n, sv))
-                state.remove()
-            yield _sessions_pdf(closed)
-            return
-
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values("ts")
-        ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> micros
-        vals = rows["value"].to_numpy()
-
-        if state.exists:
-            s0, s1, n, sv = state.get
-        else:
-            s0, s1, n, sv = None, None, 0, 0.0
-
-        for t, v in zip(ts_us, vals):
-            if s0 is None:
-                s0, s1, n, sv = int(t), int(t), 1, float(v)
-            elif t - s1 > gap_us:
-                closed.append((user_id, s0, s1, n, sv))
-                s0, s1, n, sv = int(t), int(t), 1, float(v)
-            else:
-                s1, n, sv = int(t), n + 1, sv + float(v)
-
-        state.update((s0, s1, n, sv))
-        # the open session closes when event time passes last_ts + gap
-        state.setTimeoutTimestamp(s1 // 1000 + gap_seconds * 1000)
-        yield _sessions_pdf(closed)
-
-    def _sessions_pdf(closed):
+    def _emit(closed):
         if not closed:
             return pd.DataFrame(
                 {
@@ -115,6 +111,50 @@ def sessionize_stream(
                 "sum_value": [c[4] for c in closed],
             }
         )
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        sessions: list = []
+        if state.exists:
+            starts, ends, counts, sums = state.get
+            sessions = list(zip(starts, ends, counts, sums))
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+                vals = pdf["value"].to_numpy()
+                for t, v in zip(ts_us, vals):
+                    sessions = _merge(sessions, int(t), float(v), gap_us)
+
+        # emit every tentative session the watermark has sealed: no event
+        # with ts >= watermark can extend or bridge it any more
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [
+            (user_id, s0, s1, n, sv)
+            for s0, s1, n, sv in sessions
+            if s1 + gap_us < wm_us
+        ]
+        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                    [s[3] for s in open_],
+                )
+            )
+            # wake when the earliest open session becomes sealable
+            state.setTimeoutTimestamp(
+                min(s[1] for s in open_) // 1000 + gap_seconds * 1000 + 1
+            )
+        elif state.exists:
+            state.remove()
+        yield _emit(closed)
 
     return (
         events.withWatermark("ts", watermark)

@@ -62,9 +62,11 @@ def test_stream_matches_batch(spark, tmp_path):
 
 def test_stateful_sessionizer_matches_batch(spark, tmp_path):
     """applyInPandasWithState gap sessionization emits exactly the batch
-    sessionizer's sessions once the watermark passes (availableNow drains
-    the source; a final empty batch advances the watermark to close all
-    state)."""
+    sessionizer's sessions even under OUT-OF-ORDER multi-file arrival:
+    events land in 4 randomly-split files processed one per micro-batch,
+    the 4-hour watermark delay admits every late event, tentative sessions
+    merge/bridge in state, and a final sentinel file advances the
+    watermark far enough to seal everything."""
     import datetime as dt
 
     from gregor_spark.streaming.sessions_stream import sessionize_stream
@@ -80,11 +82,9 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
             t += dt.timedelta(seconds=step)
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     src = str(tmp_path / "events_src")
-    # one data file so arrival is in-order w.r.t. the 0s watermark (out-of-
-    # order files would be legitimately dropped as late; that behavior is
-    # the watermark contract, not what this parity test probes)
-    df.coalesce(1).write.parquet(src)
-    # a late file whose max ts pushes the watermark far past every session
+    df.repartition(4).write.parquet(src)
+    # sentinel whose ts pushes the watermark (minus the 4h delay) far past
+    # every real session's end + gap
     spark.createDataFrame(
         [(999, base + dt.timedelta(days=2), 0.0)],
         "user_id long, ts timestamp, value double",
@@ -101,7 +101,7 @@ def test_stateful_sessionizer_matches_batch(spark, tmp_path):
     )
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     q = (
-        sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+        sessionize_stream(stream, gap_seconds=1800, watermark="4 hours")
         .writeStream.format("memory")
         .queryName("sessions_out")
         .outputMode("append")
