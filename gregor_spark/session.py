@@ -39,6 +39,14 @@ def get_spark(
         # concurrent task threads invert scaling on GC pressure
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    # optional RAM-backed shuffle dir (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...):
+    # on one box every task thread shares a single disk for shuffle files;
+    # a cluster gives each executor its own lanes.  Pointing local dirs at
+    # tmpfs isolates that variable for the scaling-efficiency evidence.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
