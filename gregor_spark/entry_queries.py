@@ -596,6 +596,68 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: deterministic Voronoi lists (every
+    corpus/n_lists-th vector is a centroid — SQL-reproducible), nprobe
+    nearest lists per query, exact cosine re-rank."""
+    from .ops.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, k=5, n_queries=30, n_lists=16, nprobe=3).select(
+        "vec_id", "rank", "nbr_id", F.round("cos", 6).alias("cos_r")
+    )
+
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), (x,y) -> x + y)"
+)
+
+_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt({_FOLD_DOT.format(a='v', b='v')}) AS nv FROM e
+), params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+cent AS (
+  SELECT n.* FROM n, params
+  WHERE n.vec_id % params.stride = 0 AND n.vec_id // params.stride < 16
+), asg AS (
+  SELECT nbr_id, list_id FROM (
+    SELECT x.vec_id AS nbr_id, c.vec_id AS list_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {_FOLD_DOT.format(a='x.v', b='c.v')} / (x.nv * c.nv) DESC,
+                      c.vec_id
+           ) AS rn
+    FROM n x CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_id, list_id FROM (
+    SELECT x.vec_id AS q_id, c.vec_id AS list_id,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY {_FOLD_DOT.format(a='x.v', b='c.v')} / (x.nv * c.nv) DESC,
+                      c.vec_id
+           ) AS rn
+    FROM n x CROSS JOIN cent c
+    WHERE x.vec_id < 30
+  ) WHERE rn <= 3
+), scored AS (
+  SELECT p.q_id, a.nbr_id,
+         {_FOLD_DOT.format(a='qa.v', b='cb.v')} / (qa.nv * cb.nv) AS cos
+  FROM probes p
+  JOIN asg a ON a.list_id = p.list_id AND a.nbr_id != p.q_id
+  JOIN n qa ON qa.vec_id = p.q_id
+  JOIN n cb ON cb.vec_id = a.nbr_id
+), r AS (
+  SELECT q_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT q_id AS vec_id, rank, nbr_id, round(cos, 6) AS cos_r FROM r WHERE rank <= 5
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs within Hamming distance 2 of SimHash — pigeonhole
     banded join (agree exactly on ≥1 of 3 fingerprint chunks)."""
@@ -1391,5 +1453,6 @@ REGISTRY.update(
         "frame_plan": (q_frame_plan, _FRAME_PLAN_SQL),
         "cust_no_orders": (q_cust_no_orders, _CUST_NO_ORDERS_SQL),
         "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql()),
+        "ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
     }
 )

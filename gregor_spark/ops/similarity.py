@@ -278,6 +278,80 @@ def near_dup_pairs_lsh(
     return cand.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
+def ann_ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_queries: int | None = None,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k (the inverted-file counterpart of
+    ``ann_lsh_topk``): the corpus is partitioned into ``n_lists`` Voronoi
+    cells around DETERMINISTIC centroids (every ``corpus/n_lists``-th
+    vector by key — reproducible in plain SQL, no trained state), queries
+    probe their ``nprobe`` nearest centroids, and candidates re-rank by
+    exact cosine.
+
+    Scale shape: centroids are tiny and broadcast; list assignment is one
+    Arrow-batched matmul pass over the corpus (map-only); the probe join
+    is an equi-join on list id, so per-query work is
+    O(nprobe × corpus / n_lists) — the classic IVF recall/cost dial.
+    Assignment ties break by centroid id; re-rank uses the same JVM fold
+    as cosine_topk so the oracle is bit-compatible.
+    """
+    base = df.select(F.col(key).cast("long").alias("k"), F.col(vec).alias("v"))
+    n = base.count()
+    stride = max(n // n_lists, 1)
+    cent = base.filter(F.col("k") % stride == 0).filter(
+        F.col("k") / stride < n_lists
+    )
+    crows = cent.collect()  # n_lists rows — driver-contract-safe
+    cids = np.array([r["k"] for r in crows], dtype=np.int64)
+    cmat = np.asarray([list(r["v"]) for r in crows], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    order = np.argsort(cids)
+    cids, cmat = cids[order], cmat[order]
+
+    def nearest_lists(m: int):
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def go(v: pd.Series) -> pd.Series:
+            mat = np.asarray(v.tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cmat.T
+            # top-m centroids by (cos desc, centroid id asc)
+            idx = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)[:, :m]
+            return pd.Series(list(cids[idx]))
+
+        return go
+
+    assigned = df.select(
+        F.col(key).cast("long").alias("nbr_id"),
+        F.col(vec).cast("array<double>").alias("c_vec"),
+    ).withColumn("list_id", nearest_lists(1)(F.col("c_vec"))[0])
+    q = df.select(
+        F.col(key).cast("long").alias("q_id"),
+        F.col(vec).cast("array<double>").alias("q_vec"),
+    )
+    if n_queries is not None:
+        q = q.filter(F.col("q_id") < n_queries)
+    q = q.withColumn("list_id", F.explode(nearest_lists(nprobe)(F.col("q_vec"))))
+    pairs = q.join(assigned, "list_id").filter(F.col("q_id") != F.col("nbr_id"))
+    qn = F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+    cn = F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (qn * cn)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("cos", cos)
+        .select("q_id", "nbr_id", "cos")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(np.float64)

@@ -172,6 +172,32 @@ def test_near_dup_lsh_subset_of_exact(spark, emb):
     assert len(approx) >= 0.7 * len(exact)
 
 
+def test_ann_ivf_recall(spark, emb):
+    """IVF probe-3-of-16 recall against the exact top-k (uniform random
+    embeddings are a worst case for Voronoi lists; the dial is nprobe)."""
+    from gregor_spark.ops.similarity import ann_ivf_topk
+
+    exact = cosine_topk(emb, k=5, n_queries=30)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+    approx = ann_ivf_topk(emb, k=5, n_queries=30, n_lists=16, nprobe=3)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.3
+    # probing EVERY list must reproduce the exact result (IVF == brute
+    # force when nprobe == n_lists)
+    full = ann_ivf_topk(emb, k=5, n_queries=10, n_lists=16, nprobe=16)
+    fmap = {(r["vec_id"], r["rank"]): r["nbr_id"] for r in full.collect()}
+    emap = {
+        (r["vec_id"], r["rank"]): r["nbr_id"]
+        for r in cosine_topk(emb, k=5, n_queries=10).collect()
+    }
+    assert fmap == emap
+
+
 def test_media_pipeline(spark):
     media = synthetic_media(spark, 100)
     feats = extract_features(media)
