@@ -596,6 +596,31 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clustering over the MinHash-LSH candidate
+    graph — the iterative label-propagation algorithm; the oracle computes
+    the same components with a recursive CTE (transitive closure + min)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs)
+    return D.dedup_clusters(docs, pairs)
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE base AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM base
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM base
+),
+reach(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m
+)
+SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: deterministic Voronoi lists (every
     corpus/n_lists-th vector is a centroid — SQL-reproducible), nprobe
@@ -1454,5 +1479,6 @@ REGISTRY.update(
         "cust_no_orders": (q_cust_no_orders, _CUST_NO_ORDERS_SQL),
         "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql()),
         "ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
+        "dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     }
 )

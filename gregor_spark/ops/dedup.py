@@ -270,6 +270,50 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
     return docs.select("doc_id", out.alias("simhash"))
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over a near-dup pair
+    graph (canonical-keep clustering: cluster_id = the minimum doc id
+    reachable through duplicate edges; docs with no edges are their own
+    cluster).
+
+    Iterative min-label propagation: each round is ONE join + groupBy
+    (``label(v) ← min(label(v), min label over neighbors)``), converging
+    in O(graph diameter) rounds — near-dup graphs are clique-ish, so
+    typically 2–3.  The driver loop only reads a one-row converged flag;
+    labels/edges never leave the cluster.  This is the iterative-algorithm
+    shape (think large-star/small-star) expressed in plain DataFrame ops.
+    """
+    edges = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    labels = docs.select(F.col(key).alias("id")).withColumn("label", F.col("id"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .withColumn("_new", F.least(F.col("label"), F.coalesce("_nl", "label")))
+            .select("id", F.col("label").alias("_old"), F.col("_new").alias("label"))
+        )
+        changed = bool(
+            new_labels.filter(F.col("label") != F.col("_old")).take(1)
+        )
+        labels = new_labels.select("id", "label")
+        if not changed:
+            break
+    return labels.select(F.col("id").alias(key), F.col("label").alias("cluster_id"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     text: str = "text",

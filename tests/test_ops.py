@@ -172,6 +172,22 @@ def test_near_dup_lsh_subset_of_exact(spark, emb):
     assert len(approx) >= 0.7 * len(exact)
 
 
+def test_dedup_clusters_components(spark):
+    """Label propagation converges to min-reachable-id components,
+    including a CHAIN (propagation must cross diameter > 1) and
+    singletons."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # components: {0,1,2,3} as a chain 3-2-1-0, {5,6}, singletons 4,7,8,9
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (0, 1), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
 def test_ann_ivf_recall(spark, emb):
     """IVF probe-3-of-16 recall against the exact top-k (uniform random
     embeddings are a worst case for Voronoi lists; the dial is nprobe)."""
