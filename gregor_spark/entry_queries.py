@@ -622,9 +622,10 @@ SELECT id AS doc_id, min(m) AS cluster_id FROM reach GROUP BY id
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN: deterministic Voronoi lists (every
-    corpus/n_lists-th vector is a centroid — SQL-reproducible), nprobe
-    nearest lists per query, exact cosine re-rank."""
+    """IVF approximate NN: deterministic Voronoi lists (centroids = the
+    n_lists vectors whose keys sort first under an engine-neutral md5
+    hash — SQL-reproducible, sparse-key-safe), nprobe nearest lists per
+    query, exact cosine re-rank."""
     from .ops.similarity import ann_ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -642,10 +643,14 @@ _ANN_IVF_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (
   SELECT vec_id, v, sqrt({_FOLD_DOT.format(a='v', b='v')}) AS nv FROM e
-), params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+),
 cent AS (
-  SELECT n.* FROM n, params
-  WHERE n.vec_id % params.stride = 0 AND n.vec_id // params.stride < 16
+  SELECT n.* FROM n
+  WHERE n.vec_id IN (
+    SELECT vec_id FROM e
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+             vec_id
+    LIMIT 16)
 ), asg AS (
   SELECT nbr_id, list_id FROM (
     SELECT x.vec_id AS nbr_id, c.vec_id AS list_id,

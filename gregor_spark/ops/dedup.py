@@ -276,7 +276,8 @@ def dedup_clusters(
     key: str = "doc_id",
     a: str = "doc_a",
     b: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 50,
+    round_hook=None,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over a near-dup pair
     graph (canonical-keep clustering: cluster_id = the minimum doc id
@@ -286,15 +287,46 @@ def dedup_clusters(
     Iterative min-label propagation: each round is ONE join + groupBy
     (``label(v) ← min(label(v), min label over neighbors)``), converging
     in O(graph diameter) rounds — near-dup graphs are clique-ish, so
-    typically 2–3.  The driver loop only reads a one-row converged flag;
-    labels/edges never leave the cluster.  This is the iterative-algorithm
-    shape (think large-star/small-star) expressed in plain DataFrame ops.
+    typically 2–3.  This is the iterative-algorithm shape (think
+    large-star/small-star) expressed in plain DataFrame ops.
+
+    Iterative-Spark hygiene (the round-2 scale finding): without lineage
+    truncation, round r's plan chains r joins PLUS the whole upstream LSH
+    candidate pipeline, and every convergence probe re-executes all of it
+    — O(diameter²) total work and unbounded plan depth.  So:
+
+    * ``edges`` is materialized ONCE via ``localCheckpoint(eager=True)``
+      — the expensive candidate-generation lineage (MinHash/LSH/banding)
+      runs exactly one time, regardless of round count;
+    * ``labels`` is checkpointed EVERY round, so each round's cost is one
+      join + groupBy over materialized inputs — flat per-round wall time
+      on any graph diameter (test: diameter-16 chains at 1M+ edges);
+    * the converged flag is a ``take(1)`` over the round's OWN
+      just-materialized output (a ``_changed`` column computed in the
+      same job that checkpoints), not a re-execution of the pipeline.
+
+    On a real cluster, swap ``localCheckpoint`` for a reliable
+    ``checkpoint`` dir to also survive executor loss mid-iteration; the
+    loop shape is identical.  ``round_hook(i, seconds, changed)`` is a
+    test/metrics seam.  Raises if ``max_iters`` rounds pass without
+    convergence — partially-propagated labels are silently WRONG cluster
+    ids, never return them.
     """
-    edges = pairs.select(
-        F.col(a).alias("src"), F.col(b).alias("dst")
-    ).unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-    labels = docs.select(F.col(key).alias("id")).withColumn("label", F.col("id"))
-    for _ in range(max_iters):
+    import time as _time
+
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        docs.select(F.col(key).alias("id"))
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for i in range(max_iters):
+        t0 = _time.monotonic()
         neigh = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -302,15 +334,29 @@ def dedup_clusters(
         )
         new_labels = (
             labels.join(neigh, "id", "left")
-            .withColumn("_new", F.least(F.col("label"), F.coalesce("_nl", "label")))
-            .select("id", F.col("label").alias("_old"), F.col("_new").alias("label"))
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
+                (F.col("_nl").isNotNull() & (F.col("_nl") < F.col("label"))).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)  # truncates lineage: one round deep
         )
-        changed = bool(
-            new_labels.filter(F.col("label") != F.col("_old")).take(1)
-        )
-        labels = new_labels.select("id", "label")
+        # cheap scan of the block just materialized above — no recompute
+        changed = bool(new_labels.filter(F.col("_changed")).take(1))
+        labels = new_labels.drop("_changed")
+        if round_hook is not None:
+            round_hook(i, _time.monotonic() - t0, changed)
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "labels would be partially propagated (wrong); raise max_iters "
+            "or check the pair graph for pathological diameter"
+        )
     return labels.select(F.col("id").alias(key), F.col("label").alias("cluster_id"))
 
 

@@ -289,25 +289,37 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF-style approximate top-k (the inverted-file counterpart of
     ``ann_lsh_topk``): the corpus is partitioned into ``n_lists`` Voronoi
-    cells around DETERMINISTIC centroids (every ``corpus/n_lists``-th
-    vector by key — reproducible in plain SQL, no trained state), queries
-    probe their ``nprobe`` nearest centroids, and candidates re-rank by
-    exact cosine.
+    cells around DETERMINISTIC centroids, queries probe their ``nprobe``
+    nearest centroids, and candidates re-rank by exact cosine.
+
+    Centroid choice: the ``n_lists`` corpus vectors whose keys sort first
+    under an engine-neutral md5 hash (ties by key).  This is a seeded
+    uniform sample in disguise — reproducible in plain SQL (the oracle
+    replays the same ORDER BY md5 LIMIT), works for ANY key space (sparse,
+    offset, non-contiguous — the round-2 modular-stride rule silently
+    selected fewer/zero centroids there), and because it is hash-uniform
+    over ROWS it lands more centroids in dense key regions, balancing
+    Voronoi list sizes on clustered corpora.  In Spark the selection is a
+    distributed top-k (TakeOrderedAndProject over (hash, key)), never a
+    global sort.
 
     Scale shape: centroids are tiny and broadcast; list assignment is one
     Arrow-batched matmul pass over the corpus (map-only); the probe join
     is an equi-join on list id, so per-query work is
     O(nprobe × corpus / n_lists) — the classic IVF recall/cost dial.
     Assignment ties break by centroid id; re-rank uses the same JVM fold
-    as cosine_topk so the oracle is bit-compatible.
+    as cosine_topk so the oracle is bit-compatible (see
+    ``ann_ivf_topk_matmul`` for the throughput re-rank).
     """
     base = df.select(F.col(key).cast("long").alias("k"), F.col(vec).alias("v"))
-    n = base.count()
-    stride = max(n // n_lists, 1)
-    cent = base.filter(F.col("k") % stride == 0).filter(
-        F.col("k") / stride < n_lists
+    h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10).cast(
+        "long"
     )
-    crows = cent.collect()  # n_lists rows — driver-contract-safe
+    ck = base.select("k", h.alias("_h")).orderBy("_h", "k").limit(n_lists).select("k")
+    cent = base.join(F.broadcast(ck), "k")
+    crows = cent.collect()  # ≤ n_lists rows — driver-contract-safe
+    if not crows:
+        raise ValueError("ann_ivf_topk: empty corpus — no centroids")
     cids = np.array([r["k"] for r in crows], dtype=np.int64)
     cmat = np.asarray([list(r["v"]) for r in crows], dtype=np.float64)
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)

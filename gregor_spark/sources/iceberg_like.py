@@ -26,6 +26,31 @@ from pyspark.sql import functions as F
 MANIFEST = "_gregor_manifest.json"
 
 
+def _footer_partition_counts(path: str, part_col: str) -> dict[str, int]:
+    """Per-partition row counts straight from the parquet FOOTERS of the
+    files just written — zero Spark jobs and zero data reads (a footer is
+    a few KB regardless of file size).  This is exactly what a real
+    Iceberg writer records in its manifests at commit time; re-scanning
+    the table it just wrote (the round-1 shape) costs one extra O(table)
+    job per write.  Local-FS walk here; on an object store the same
+    footer read happens via the FileSystem API."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    prefix = f"{part_col}="
+    for dirname in sorted(os.listdir(path)):
+        if not dirname.startswith(prefix):
+            continue
+        key = dirname[len(prefix):]
+        n = 0
+        pdir = os.path.join(path, dirname)
+        for fname in os.listdir(pdir):
+            if fname.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(pdir, fname)).metadata.num_rows
+        counts[key] = n
+    return counts
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -36,14 +61,7 @@ def write_table(
     """Write ``df`` hash-bucketed by ``bucket_by`` with a manifest."""
     out = df.withColumn("bucket", F.pmod(F.hash(F.col(bucket_by)), F.lit(n_buckets)))
     out.write.mode(mode).partitionBy("bucket").parquet(path)
-    spark = df.sparkSession
-    counts = {
-        str(r["bucket"]): r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    counts = _footer_partition_counts(path, "bucket")
     manifest = {
         "format": "gregor-iceberg-like/1",
         "snapshot_id": int(time.time() * 1000),
@@ -97,6 +115,7 @@ def write_cell_partitioned(
     keyed.write.mode(mode).partitionBy("p_cell").parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    cell_rows = _footer_partition_counts(path, "p_cell")
     manifest = {
         "format": "gregor-iceberg-like/1",
         "snapshot_id": int(time.time() * 1000),
@@ -110,9 +129,10 @@ def write_cell_partitioned(
             "x": x,
             "y": y,
         },
-        # counted from the written files (parquet footer metadata), never a
-        # second pass over the source lineage
-        "total_rows": written.count(),
+        # counted from the written files' parquet footers (zero jobs),
+        # never a second pass over the source lineage or the written data
+        "cell_rows": cell_rows,
+        "total_rows": sum(cell_rows.values()),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)

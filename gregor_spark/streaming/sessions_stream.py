@@ -90,6 +90,7 @@ def sessionize_stream(
     closed-session stream via per-user tentative-session state."""
 
     gap_us = gap_seconds * 1_000_000
+    gap_s = gap_seconds
 
     def _emit(closed):
         if not closed:
@@ -131,14 +132,26 @@ def sessionize_stream(
                     sessions = _merge(sessions, int(t), float(v), gap_us)
 
         # emit every tentative session the watermark has sealed: no event
-        # with ts >= watermark can extend or bridge it any more
+        # with ts >= watermark can extend or bridge it any more.  The seal
+        # test MUST use the same floor-seconds gap rule as _merge — an
+        # admissible future event t >= wm merges iff
+        # floor(t) - floor(s1) <= gap, and floor is monotone in t, so the
+        # session is safe exactly when floor(wm) - floor(s1) > gap.
+        # (A microsecond-precision seal `s1 + gap_us < wm_us` is WRONG for
+        # sub-second timestamps: s1=1.9s, gap=1s, wm=2.95s would seal even
+        # though an event at 2.99s still merges under the whole-second rule.)
         wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_s = wm_us // 1_000_000
+
+        def sealed(s1: int) -> bool:
+            return wm_s - (s1 // 1_000_000) > gap_s
+
         closed = [
             (user_id, s0, s1, n, sv)
             for s0, s1, n, sv in sessions
-            if s1 + gap_us < wm_us
+            if sealed(s1)
         ]
-        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+        open_ = [s for s in sessions if not sealed(s[1])]
         if open_:
             state.update(
                 (
@@ -148,9 +161,11 @@ def sessionize_stream(
                     [s[3] for s in open_],
                 )
             )
-            # wake when the earliest open session becomes sealable
+            # wake when the earliest open session becomes sealable under
+            # the same floor-seconds rule: first wm with
+            # floor(wm) > floor(s1) + gap is (floor(s1) + gap + 1) seconds
             state.setTimeoutTimestamp(
-                min(s[1] for s in open_) // 1000 + gap_seconds * 1000 + 1
+                (min(s[1] for s in open_) // 1_000_000 + gap_seconds + 1) * 1000
             )
         elif state.exists:
             state.remove()
