@@ -1339,6 +1339,54 @@ def q_poly_to_poly_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_poly_to_poly_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon→polygon apportioning onto CONCAVE + holed targets (L-shape,
+    holed rectangle, staircase — SEG_CONCAVE).  Exercises the ear-clip
+    triangulation area kernel (concave rings are the reference's real
+    domain: its flagship example disaggregates NUTS admin boundaries,
+    docs/examples/disaggregate-to-raster.py).  The targets are rectilinear
+    with dyadic coordinates, so the oracle replays each area EXACTLY as a
+    signed sum of box∩box intersections — an independent derivation the
+    triangulated kernel must match bit-for-bit."""
+    src = ZoneSet.from_fixture(
+        FX.SEG_3X3, values={i: float(i + 1) for i in range(9)}
+    )
+    tgt = ZoneSet.from_fixture(FX.SEG_CONCAVE)
+    return disaggregate_polygon_to_polygon(src, tgt).select(
+        "src_zone", "tgt_zone", "area", "apportioned"
+    )
+
+
+def _concave_boxes_cte() -> str:
+    rows = ",".join(
+        f"({tz},{minx!r},{miny!r},{maxx!r},{maxy!r},{sgn!r})"
+        for tz, minx, miny, maxx, maxy, sgn in FX.SEG_CONCAVE_BOXES
+    )
+    return (
+        "tgtb(tz, minx, miny, maxx, maxy, sgn) AS "
+        f"(SELECT * FROM (VALUES {rows}))"
+    )
+
+
+_POLY_TO_POLY_CONCAVE_SQL = f"""
+WITH {_boxes_cte('src', FX.SEG_3X3, {i: float(i + 1) for i in range(9)})},
+{_concave_boxes_cte()},
+pairs AS (
+  SELECT s.zone_id AS sz, b.tz, s.value AS sv,
+         sum(b.sgn
+           * greatest(0, least(s.maxx, b.maxx) - greatest(s.minx, b.minx))
+           * greatest(0, least(s.maxy, b.maxy) - greatest(s.miny, b.miny))
+         ) AS area
+  FROM src s CROSS JOIN tgtb b
+  GROUP BY s.zone_id, b.tz, s.value
+), pos AS (SELECT * FROM pairs WHERE area > 0),
+tot AS (SELECT sz, sum(area) AS ta FROM pos GROUP BY sz)
+SELECT CAST(sz AS BIGINT) AS src_zone, CAST(tz AS BIGINT) AS tgt_zone,
+       area, sv * area / ta AS apportioned
+FROM pos JOIN tot USING (sz)
+"""
+
+
 def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no finalized ('F') orders — the NOT EXISTS /
     anti-join shape (the filtered build side stays broadcast-able at any
@@ -1480,6 +1528,10 @@ REGISTRY.update(
         "jaccard_capped": (q_jaccard_capped, _JACCARD_CAPPED_SQL),
         "near_dup_lsh": (q_near_dup_lsh, _NEAR_DUP_LSH_SQL),
         "poly_to_poly_dist": (q_poly_to_poly_dist, _POLY_TO_POLY_SQL),
+        "poly_to_poly_concave": (
+            q_poly_to_poly_concave,
+            _POLY_TO_POLY_CONCAVE_SQL,
+        ),
         "frame_plan": (q_frame_plan, _FRAME_PLAN_SQL),
         "cust_no_orders": (q_cust_no_orders, _CUST_NO_ORDERS_SQL),
         "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql()),

@@ -427,6 +427,187 @@ def intersection_area_convex(
     return abs(signed_area(px, py))
 
 
+def is_convex_ring(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff the ring is convex (cross-product sign sweep; collinear
+    vertices allowed).  Used to dispatch the intersection-area kernel:
+    convex rings take the single Sutherland–Hodgman clip, concave rings
+    the exact ear-clip triangulation path."""
+    xs, ys, x2, y2 = _ring_edges(xs, ys)
+    if len(xs) < 4:
+        return True  # triangles are always convex
+    ex, ey = x2 - xs, y2 - ys
+    cross = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
+    scale = max(float(np.abs(ex).max() + np.abs(ey).max()), 1.0)
+    tol = EPS * scale * scale
+    return bool(np.all(cross >= -tol) or np.all(cross <= tol))
+
+
+def triangulate_ring(xs: np.ndarray, ys: np.ndarray) -> list:
+    """Ear-clipping triangulation of a SIMPLE ring (any orientation,
+    holes handled at the ring-list level by signed contributions).
+
+    Returns a list of (tx, ty) CCW triangles whose interiors are disjoint
+    and whose union is the ring's interior — so for any measurable S,
+    area(S ∩ ring) = Σ area(S ∩ triangle).  That identity is what makes
+    the general (concave-safe) intersection-area kernel exact: each
+    triangle is convex, so the per-triangle clip is the proven
+    Sutherland–Hodgman path.
+
+    O(n²) driver/executor-side work per ring — rings here are zone
+    boundaries (10s–1000s of vertices), not fact data; at 100 TB this
+    cost is per-ZONE, never per-row.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    # drop consecutive duplicate vertices
+    keep = [0]
+    for i in range(1, len(xs)):
+        if xs[i] != xs[keep[-1]] or ys[i] != ys[keep[-1]]:
+            keep.append(i)
+    if len(keep) > 1 and xs[keep[-1]] == xs[keep[0]] and ys[keep[-1]] == ys[keep[0]]:
+        keep.pop()
+    xs, ys = xs[keep], ys[keep]
+    if len(xs) < 3:
+        return []
+    if signed_area(xs, ys) < 0:  # normalize CCW
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+
+    scale = max(float(np.abs(xs).max() + np.abs(ys).max()), 1.0)
+    area_tol = 1e-14 * scale * scale
+
+    idx = list(range(len(xs)))
+    tris: list = []
+
+    def cross_at(pos: int) -> float:
+        i0, i1, i2 = idx[pos - 1], idx[pos], idx[(pos + 1) % len(idx)]
+        return (xs[i1] - xs[i0]) * (ys[i2] - ys[i0]) - (ys[i1] - ys[i0]) * (
+            xs[i2] - xs[i0]
+        )
+
+    def contains_other_vertex(pos: int) -> bool:
+        i0, i1, i2 = idx[pos - 1], idx[pos], idx[(pos + 1) % len(idx)]
+        ax, ay, bx, by, cx, cy = xs[i0], ys[i0], xs[i1], ys[i1], xs[i2], ys[i2]
+        for j in idx:
+            if j in (i0, i1, i2):
+                continue
+            px, py = xs[j], ys[j]
+            d0 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            d1 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+            d2 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+            # inside-or-on-boundary blocks the ear (conservative)
+            if d0 >= -area_tol and d1 >= -area_tol and d2 >= -area_tol:
+                return True
+        return False
+
+    guard = 2 * len(idx) * len(idx) + 16
+    while len(idx) > 3 and guard > 0:
+        guard -= 1
+        clipped = False
+        # pass 1: drop zero-area (collinear) vertices — no triangle emitted
+        for pos in range(len(idx)):
+            c = cross_at(pos)
+            if abs(c) <= area_tol and not contains_other_vertex(pos):
+                del idx[pos]
+                clipped = True
+                break
+        if clipped:
+            continue
+        # pass 2: clip a genuine ear
+        for pos in range(len(idx)):
+            if cross_at(pos) <= area_tol:
+                continue  # reflex or degenerate vertex
+            if contains_other_vertex(pos):
+                continue
+            i0, i1, i2 = idx[pos - 1], idx[pos], idx[(pos + 1) % len(idx)]
+            tris.append(
+                (
+                    np.array([xs[i0], xs[i1], xs[i2]]),
+                    np.array([ys[i0], ys[i1], ys[i2]]),
+                )
+            )
+            del idx[pos]
+            clipped = True
+            break
+        if not clipped:
+            raise ValueError(
+                "triangulate_ring: no ear found — ring is self-intersecting "
+                "or degenerate (simple-polygon precondition violated)"
+            )
+    if len(idx) == 3:
+        i0, i1, i2 = idx
+        c = (xs[i1] - xs[i0]) * (ys[i2] - ys[i0]) - (ys[i1] - ys[i0]) * (
+            xs[i2] - xs[i0]
+        )
+        if c > area_tol:
+            tris.append(
+                (
+                    np.array([xs[i0], xs[i1], xs[i2]]),
+                    np.array([ys[i0], ys[i1], ys[i2]]),
+                )
+            )
+    return tris
+
+
+def intersection_area_general(
+    xs: np.ndarray, ys: np.ndarray, cxs: np.ndarray, cys: np.ndarray
+) -> float:
+    """EXACT area(subject ∩ clip) for two arbitrary SIMPLE rings — concave
+    allowed on BOTH sides (the round-2 gap: real admin boundaries are
+    concave, and a convex-only clip silently mis-apportions them).
+
+    Convex clip rings go straight to Sutherland–Hodgman (whose output
+    area is exact even for concave subjects — the degenerate bridge edges
+    it can emit carry zero area; property-tested against triangulation).
+    Concave clip rings are ear-clipped into triangles and the subject is
+    clipped against each: triangles partition the clip interior, so the
+    per-triangle areas sum exactly.
+    """
+    if is_convex_ring(cxs, cys):
+        return intersection_area_convex(xs, ys, cxs, cys)
+    if is_convex_ring(xs, ys):
+        # one SH pass per SUBJECT-side triangle is wasted work when the
+        # subject is the convex one — swap roles (area is symmetric)
+        return intersection_area_convex(cxs, cys, xs, ys)
+    return sum(
+        intersection_area_convex(xs, ys, tx, ty)
+        for tx, ty in _triangulate_cached(cxs, cys)
+    )
+
+
+_TRI_CACHE: dict = {}
+
+
+def _triangulate_cached(xs, ys) -> list:
+    """Memoized triangulation — in the distributed cover-join the SAME
+    target ring clips against many candidate sources inside one executor;
+    the O(n²) ear clip must run once per ring, not once per pair.  Keyed
+    by coordinate bytes (exact), bounded to stay executor-memory-safe."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    key = (xs.tobytes(), ys.tobytes())
+    hit = _TRI_CACHE.get(key)
+    if hit is None:
+        if len(_TRI_CACHE) > 4096:
+            _TRI_CACHE.clear()
+        hit = _TRI_CACHE[key] = triangulate_ring(xs, ys)
+    return hit
+
+
+def intersection_area_general_rings(
+    rings, cxs: np.ndarray, cys: np.ndarray
+) -> float:
+    """Area of (multi-part, possibly holed) ring-list polygon ∩ one simple
+    (possibly concave) ring: exterior parts add, holes subtract — exact
+    under GeoJSON validity (holes inside their exterior, parts disjoint)."""
+    a = 0.0
+    for xs, ys, hole in rings:
+        part = intersection_area_general(xs, ys, cxs, cys)
+        a += -part if hole else part
+    return max(a, 0.0)
+
+
 def rect_intersects_polygon(
     xs: np.ndarray,
     ys: np.ndarray,

@@ -158,12 +158,16 @@ def disaggregate_polygon_to_point(
 
 
 def _rings_intersection_area(src_rings, tgt_rings) -> float:
-    """Exact area(src ∩ tgt) for ring-list geometry: clip the (holed,
-    multi-part) source against every target ring — axis-aligned boxes take
-    the rect fast path, other rings the convex Sutherland–Hodgman clip —
-    and subtract the target-hole contributions.  Exact while individual
-    rings are boxes/convex and holes nest properly; concave rings would
-    need triangulation (absent from the reference's data model)."""
+    """Exact area(src ∩ tgt) for ring-list geometry — holed, multi-part,
+    CONCAVE rings all exact (the reference handles arbitrary shapely
+    geometry via GDAL, reference disaggregate.py:137-142, and its flagship
+    example disaggregates NUTS admin boundaries, which are concave).
+
+    Dispatch per target ring, cheapest exact kernel first: axis-aligned
+    boxes → rect Sutherland–Hodgman; convex rings → polygon
+    Sutherland–Hodgman; concave rings → ear-clip triangulation + SH per
+    triangle (kernels.intersection_area_general_rings).  Target holes
+    subtract; exact under GeoJSON validity (holes nest, parts disjoint)."""
     from ..geo import kernels as K
 
     total = 0.0
@@ -176,8 +180,10 @@ def _rings_intersection_area(src_rings, tgt_rings) -> float:
         )
         if is_box:
             a = K.intersection_area_rect_rings(src_rings, minx, miny, maxx, maxy)
-        else:
+        elif K.is_convex_ring(tx, ty):
             a = K.intersection_area_convex_rings(src_rings, tx, ty)
+        else:
+            a = K.intersection_area_general_rings(src_rings, tx, ty)
         total += -a if t_hole else a
     return max(total, 0.0)
 

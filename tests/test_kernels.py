@@ -186,3 +186,146 @@ def test_convex_clip_triangle_target():
     box_x = np.array([-0.25, 0.75, 0.75, -0.25]); box_y = np.array([9.75, 9.75, 10.75, 10.75])
     a_conv = K.intersection_area_convex(np.asarray(z.xs), np.asarray(z.ys), box_x, box_y)
     assert a_conv == pytest.approx(a_rect)
+
+
+# ------------------------------------------------ concave (round 3) kernels
+
+
+def _star(rng, n, rmin, rmax, cx=0.0, cy=0.0):
+    """Random SIMPLE polygon: jittered equally-spaced angles keep every
+    angular gap < pi, so the ring is star-shaped about (cx, cy)."""
+    ang = 2 * np.pi * np.arange(n) / n + rng.uniform(0.05, 0.95, n) * (2 * np.pi / n)
+    r = rng.uniform(rmin, rmax, n)
+    return cx + r * np.cos(ang), cy + r * np.sin(ang)
+
+
+def test_triangulate_ring_area_identity():
+    rng = np.random.RandomState(11)
+    for _ in range(30):
+        xs, ys = _star(rng, rng.randint(4, 24), 0.2, 2.0)
+        tris = K.triangulate_ring(xs, ys)
+        assert len(tris) == len(xs) - 2
+        s = sum(abs(K.signed_area(tx, ty)) for tx, ty in tris)
+        assert s == pytest.approx(abs(K.signed_area(xs, ys)), rel=1e-12)
+
+
+def test_triangulate_ring_partitions_interior():
+    """Triangles must tile the interior: every interior sample point lies
+    in exactly one triangle (disjointness + coverage, not just area)."""
+    rng = np.random.RandomState(12)
+    xs, ys = _star(rng, 14, 0.3, 2.0)
+    tris = K.triangulate_ring(xs, ys)
+    px = rng.uniform(xs.min(), xs.max(), 4000)
+    py = rng.uniform(ys.min(), ys.max(), 4000)
+    inside = K.points_strictly_inside(px, py, xs, ys)
+    counts = np.zeros(len(px), dtype=int)
+    for tx, ty in tris:
+        counts += K.points_strictly_inside(px, py, tx, ty).astype(int)
+    # interior points: exactly one triangle (points on internal triangle
+    # edges are measure-zero; tolerate none in 4k uniform samples)
+    on_edge = np.zeros(len(px), dtype=bool)
+    for tx, ty in tris:
+        onb, _ = K.on_boundary_masks(px, py, tx, ty)
+        on_edge |= onb
+    chk = inside & ~on_edge
+    assert np.all(counts[chk] == 1)
+    assert np.all(counts[~inside] == 0)
+
+
+def test_l_shape_and_staircase_triangulation():
+    lx = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+    ly = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+    tris = K.triangulate_ring(lx, ly)
+    assert sum(abs(K.signed_area(tx, ty)) for tx, ty in tris) == pytest.approx(3.0)
+    # collinear vertex inserted mid-edge is dropped cleanly
+    lx2 = np.array([0.0, 1.0, 2.0, 2.0, 1.0, 1.0, 0.0])
+    ly2 = np.array([0.0, 0.0, 0.0, 1.0, 1.0, 2.0, 2.0])
+    tris2 = K.triangulate_ring(lx2, ly2)
+    assert sum(abs(K.signed_area(tx, ty)) for tx, ty in tris2) == pytest.approx(3.0)
+
+
+def test_is_convex_ring():
+    assert K.is_convex_ring(np.array([0, 1, 1, 0.0]), np.array([0, 0, 1, 1.0]))
+    assert K.is_convex_ring(  # CW box also convex
+        np.array([0, 0, 1, 1.0]), np.array([0, 1, 1, 0.0])
+    )
+    assert K.is_convex_ring(  # collinear vertex allowed
+        np.array([0, 1, 2, 2, 0.0]), np.array([0, 0, 0, 1, 1.0])
+    )
+    assert not K.is_convex_ring(
+        np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0]),
+        np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0]),
+    )
+
+
+def test_general_area_matches_triangulate_both():
+    """intersection_area_general == sum over tri(subject) x tri(clip) of
+    convex-convex clips — a fully independent exact derivation."""
+    rng = np.random.RandomState(13)
+    for _ in range(25):
+        sx, sy = _star(rng, rng.randint(5, 14), 0.2, 2.0)
+        cxs, cys = _star(
+            rng, rng.randint(5, 14), 0.2, 2.0,
+            rng.uniform(-0.8, 0.8), rng.uniform(-0.8, 0.8),
+        )
+        got = K.intersection_area_general(sx, sy, cxs, cys)
+        want = sum(
+            K.intersection_area_convex(t1x, t1y, t2x, t2y)
+            for t1x, t1y in K.triangulate_ring(sx, sy)
+            for t2x, t2y in K.triangulate_ring(cxs, cys)
+        )
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+def test_sh_concave_subject_exact_vs_triangulated():
+    """The convex-clip fast path relies on Sutherland–Hodgman output area
+    being exact for CONCAVE subjects (degenerate bridge edges carry zero
+    area) — proven here against the triangulated subject."""
+    rng = np.random.RandomState(14)
+    for _ in range(25):
+        sx, sy = _star(rng, rng.randint(5, 14), 0.2, 2.0)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+        cxs = 0.3 + 1.1 * np.cos(ang)
+        cys = -0.2 + 1.1 * np.sin(ang)  # points on a circle: convex
+        got = K.intersection_area_convex(sx, sy, cxs, cys)
+        want = sum(
+            K.intersection_area_convex(tx, ty, cxs, cys)
+            for tx, ty in K.triangulate_ring(sx, sy)
+        )
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+def test_general_area_monte_carlo():
+    rng = np.random.RandomState(15)
+    for _ in range(5):
+        sx, sy = _star(rng, 9, 0.3, 2.0)
+        cxs, cys = _star(rng, 11, 0.3, 2.0, 0.4, -0.3)
+        got = K.intersection_area_general(sx, sy, cxs, cys)
+        minx, maxx = min(sx.min(), cxs.min()), max(sx.max(), cxs.max())
+        miny, maxy = min(sy.min(), cys.min()), max(sy.max(), cys.max())
+        px = rng.uniform(minx, maxx, 400_000)
+        py = rng.uniform(miny, maxy, 400_000)
+        mc = (
+            (K.points_strictly_inside(px, py, sx, sy)
+             & K.points_strictly_inside(px, py, cxs, cys)).mean()
+            * (maxx - minx) * (maxy - miny)
+        )
+        assert got == pytest.approx(mc, abs=0.05 * max(mc, 0.2))
+
+
+def test_general_rings_holed_concave():
+    """Holed concave polygon ∩ concave clip: hole subtracts exactly."""
+    # L-shaped exterior with a small square hole in its lower arm
+    ex = np.array([0.0, 3.0, 3.0, 1.0, 1.0, 0.0])
+    ey = np.array([0.0, 0.0, 1.0, 1.0, 3.0, 3.0])
+    hx = np.array([1.5, 2.0, 2.0, 1.5])
+    hy = np.array([0.25, 0.25, 0.75, 0.75])
+    rings = [(ex, ey, False), (hx, hy, True)]
+    # clip: staircase covering the lower arm
+    cx = np.array([0.0, 3.0, 3.0, 2.5, 2.5, 0.0])
+    cy = np.array([-1.0, -1.0, 1.0, 1.0, 2.0, 2.0])
+    got = K.intersection_area_general_rings(rings, cx, cy)
+    # by hand: clip ∩ exterior = [0,3]x[0,1] + [0,2.5]x[1,2]∩L-upper-arm
+    #   L upper arm = [0,1]x[1,3] -> [0,1]x[1,2] area 1 ; lower 3x1=3
+    # minus hole (entirely inside [0,3]x[0,1] and inside clip): 0.5*0.5
+    assert got == pytest.approx(3.0 + 1.0 - 0.25, rel=1e-12)

@@ -214,3 +214,111 @@ def test_ann_ivf_sparse_offset_keys(spark):
     }
     approx = {(r["vec_id"], r["rank"]): r["nbr_id"] for r in out.collect()}
     assert approx == exact
+
+
+# -------------------------------------------- concave poly->poly (round 3)
+
+
+def test_poly_to_poly_concave_vs_rasterized_composition(spark):
+    """Cross-check the triangulated intersection-area kernel against the
+    composed O1->O5 path (disaggregate to a fine aligned raster, aggregate
+    to the concave targets) — the reference's own docs workflow.  With
+    zone edges on pixel BOUNDARIES (never centers), pixel counting is
+    exact, so rasterized flow == area-based flow exactly: setting each
+    source's value to its own area makes the per-cell share pixel², and
+    the per-(src, tgt) rasterized sum equals area(src ∩ tgt)."""
+    import numpy as np
+
+    from gregor_spark.model import fixtures as FX
+    from gregor_spark.model.raster import uniform_proxy_df
+    from gregor_spark.model.zones import ZoneSet
+    from gregor_spark.operators.assign import assign_cells_df
+    from gregor_spark.operators.disaggregate import (
+        disaggregate_polygon_to_polygon,
+        disaggregate_polygon_to_raster,
+    )
+
+    src = ZoneSet.from_fixture(FX.SEG_3X3, values={i: 0.25 for i in range(9)})
+    tgt = ZoneSet.from_fixture(FX.SEG_CONCAVE)
+
+    direct = {
+        (r["src_zone"], r["tgt_zone"]): r["area"]
+        for r in disaggregate_polygon_to_polygon(src, tgt).collect()
+    }
+
+    # O1: 120x120 grid over the SEG_3X3 extent (pixel 0.0125 divides every
+    # quarter-step zone edge, so edges sit on pixel boundaries)
+    cells = uniform_proxy_df(spark, (0.0, 10.0, 1.5, 11.5), (120, 120))
+    disagg = disaggregate_polygon_to_raster(src, cells).withColumnRenamed(
+        "zone_id", "src_zone"
+    )
+    # O5 per target (targets overlap, so aggregate one at a time)
+    composed = {}
+    for k, tz in enumerate(tgt.zone_ids):
+        one = ZoneSet(
+            np.array([tz]), [tgt.xs[k]], [tgt.ys[k]],
+            extra_rings=[tgt.extra_rings[k]] if tgt.extra_rings else None,
+        )
+        got = assign_cells_df(
+            disagg, one, out="tgt_zone", keep_unassigned=False
+        )
+        for r in (
+            got.groupBy("src_zone", "tgt_zone")
+            .agg(F.sum("disaggregated").alias("a"))
+            .collect()
+        ):
+            composed[(r["src_zone"], r["tgt_zone"])] = r["a"]
+
+    assert set(direct) == set(composed)
+    for key, a in direct.items():
+        assert composed[key] == pytest.approx(a, rel=1e-9), key
+
+
+def test_poly_to_poly_concave_distributed_parity(spark):
+    """Driver and distributed cover-join variants agree row-for-row on the
+    concave/holed fixture (both route through the triangulation kernel)."""
+    from gregor_spark.model import fixtures as FX
+    from gregor_spark.model.zones import ZoneSet
+    from gregor_spark.operators.disaggregate import (
+        disaggregate_polygon_to_polygon,
+        disaggregate_polygon_to_polygon_distributed,
+    )
+
+    src = ZoneSet.from_fixture(
+        FX.SEG_3X3, values={i: float(i + 1) for i in range(9)}
+    )
+    tgt = ZoneSet.from_fixture(FX.SEG_CONCAVE)
+    a = {
+        (r["src_zone"], r["tgt_zone"]): (r["area"], r["apportioned"])
+        for r in disaggregate_polygon_to_polygon(src, tgt).collect()
+    }
+    b = {
+        (r["src_zone"], r["tgt_zone"]): (r["area"], r["apportioned"])
+        for r in disaggregate_polygon_to_polygon_distributed(src, tgt).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == pytest.approx(b[k][0], rel=1e-12)
+        assert a[k][1] == pytest.approx(b[k][1], rel=1e-12)
+
+
+def test_poly_to_poly_concave_conservation(spark):
+    """Mass conservation per source: apportioned sums back to the source
+    value (the reference's own invariant) on the concave fixture."""
+    from gregor_spark.model import fixtures as FX
+    from gregor_spark.model.zones import ZoneSet
+    from gregor_spark.operators.disaggregate import disaggregate_polygon_to_polygon
+
+    src = ZoneSet.from_fixture(
+        FX.SEG_3X3, values={i: float(i + 1) for i in range(9)}
+    )
+    tgt = ZoneSet.from_fixture(FX.SEG_CONCAVE)
+    out = disaggregate_polygon_to_polygon(src, tgt)
+    # NB: targets OVERLAP (the holed rect overlaps the L and staircase),
+    # so conservation is per-source-normalized, not global
+    per_src = {
+        r["src_zone"]: r["s"]
+        for r in out.groupBy("src_zone").agg(F.sum("apportioned").alias("s")).collect()
+    }
+    for s, v in per_src.items():
+        assert v == pytest.approx(float(s + 1), rel=1e-12)
