@@ -688,6 +688,19 @@ SELECT q_id AS vec_id, rank, nbr_id, round(cos, 6) AS cos_r FROM r WHERE rank <=
 """
 
 
+def q_ann_ivf_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of ``ann_ivf``: identical centroids/probe plan, but
+    the re-rank is one numpy matmul per inverted list (cogroup on list_id)
+    instead of the interpreted JVM fold.  Shares the fold query's oracle —
+    rankings are identical at float64 and cos matches at round-6."""
+    from .ops.similarity import ann_ivf_topk_matmul
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk_matmul(emb, k=5, n_queries=30, n_lists=16, nprobe=3).select(
+        "vec_id", "rank", "nbr_id", F.round("cos", 6).alias("cos_r")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs within Hamming distance 2 of SimHash — pigeonhole
     banded join (agree exactly on ≥1 of 3 fingerprint chunks)."""
@@ -1520,8 +1533,81 @@ WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
 """
 
 
+def q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 arbitrary-CRS kernel contract: deterministic per-doc lon/lat
+    in a European box, reprojected EPSG:4326 -> EPSG:3035 (ellipsoidal
+    Lambert azimuthal equal-area — the reference's EU energy-domain CRS)
+    by the numpy Krüger/Snyder kernels behind an Arrow-batched pandas UDF.
+    The oracle replays Snyder's closed-form forward equations (USGS PP
+    1395, eqs. 24-2..24-14) in plain SQL; both sides floor to decimeters.
+    Reference parity: gregor reprojects between arbitrary pyproj CRSs
+    (disaggregate.py:44,69, aggregate.py:45-59)."""
+    from .geo.crs import reproject_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("doc_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = docs.select(
+        "doc_id",
+        (F.lit(-10.0) + F.lit(40.0) * (m1 / F.lit(100003.0))).alias("x"),
+        (F.lit(35.0) + F.lit(35.0) * (m2 / F.lit(100003.0))).alias("y"),
+    )
+    out = reproject_df(pts, "EPSG:4326", "EPSG:3035")
+    return out.select(
+        "doc_id",
+        F.floor(F.col("x") * 10).cast("long").alias("e_dm"),
+        F.floor(F.col("y") * 10).cast("long").alias("n_dm"),
+    )
+
+
+_REPROJECT_LAEA_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -10.0 + 40.0 * (((doc_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         35.0  + 35.0 * (((doc_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM documents
+),
+ell AS (  -- GRS80
+  SELECT 6378137.0 AS a,
+         sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e
+),
+k0 AS (   -- q at the pole and at lat0 = 52N (Snyder eq. 3-12)
+  SELECT a, e,
+    (1.0 - e*e) * (1.0/(1.0 - e*e)
+       - (1.0/(2.0*e)) * ln((1.0 - e)/(1.0 + e))) AS qp,
+    (1.0 - e*e) * (sin(radians(52.0))/(1.0 - e*e*sin(radians(52.0))*sin(radians(52.0)))
+       - (1.0/(2.0*e)) * ln((1.0 - e*sin(radians(52.0)))/(1.0 + e*sin(radians(52.0))))) AS q0
+  FROM ell
+),
+k AS (
+  SELECT a, e, qp,
+         asin(q0/qp) AS beta1,
+         a * sqrt(qp/2.0) AS rq,
+         cos(radians(52.0))/sqrt(1.0 - e*e*sin(radians(52.0))*sin(radians(52.0))) AS m1
+  FROM k0
+),
+kk AS (SELECT a, e, qp, beta1, rq, a*m1/(rq*cos(beta1)) AS d FROM k),
+s AS (
+  SELECT p.doc_id, radians(p.lon - 10.0) AS lam,
+         asin(((1.0 - e*e) * (sin(radians(p.lat))/(1.0 - e*e*sin(radians(p.lat))*sin(radians(p.lat)))
+            - (1.0/(2.0*e)) * ln((1.0 - e*sin(radians(p.lat)))/(1.0 + e*sin(radians(p.lat)))))) / qp) AS beta,
+         kk.* FROM p CROSS JOIN kk
+),
+b AS (
+  SELECT doc_id, lam, beta, d, beta1,
+         rq * sqrt(2.0/(1.0 + sin(beta1)*sin(beta) + cos(beta1)*cos(beta)*cos(lam))) AS bb
+  FROM s
+)
+SELECT doc_id,
+       CAST(floor((4321000.0 + bb * d * cos(beta) * sin(lam)) * 10) AS BIGINT) AS e_dm,
+       CAST(floor((3210000.0 + (bb/d) * (cos(beta1)*sin(beta) - sin(beta1)*cos(beta)*cos(lam))) * 10) AS BIGINT) AS n_dm
+FROM b
+"""
+
+
 REGISTRY.update(
     {
+        "reproject_laea": (q_reproject_laea, _REPROJECT_LAEA_SQL),
         "belongs_holes": (q_belongs_holed, _BELONGS_HOLED_SQL),
         "zonal_sum_holes": (q_zonal_sum_holed, _ZONAL_HOLED_SQL),
         "agg_points_overlap": (q_agg_points_overlap, _AGG_POINTS_OVERLAP_SQL),
@@ -1536,6 +1622,7 @@ REGISTRY.update(
         "cust_no_orders": (q_cust_no_orders, _CUST_NO_ORDERS_SQL),
         "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql()),
         "ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
+        "ann_ivf_matmul": (q_ann_ivf_matmul, _ANN_IVF_SQL),
         "dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
     }
 )

@@ -6,9 +6,19 @@ whenever data and proxy CRS disagree, printing a warning
 pyproj is not in this environment, so the engine implements the
 transforms it needs directly (public formulas):
 
-* EPSG:4326  — WGS84 lon/lat (identity reference frame here)
-* EPSG:3857  — WebMercator (spherical; the standard tiling CRS)
+* EPSG:4326        — WGS84 lon/lat (the identity reference frame here)
+* EPSG:3857        — WebMercator (spherical; the standard tiling CRS)
+* EPSG:326xx/327xx — UTM zone xx north/south (WGS84 ellipsoid,
+                     transverse Mercator via the 6th-order Krüger series
+                     — the same series proj uses; sub-micron roundtrip
+                     inside a zone).  Also accepts "UTM:33N" spelling.
+* EPSG:3035        — ETRS89-extended / LAEA Europe (the reference's EU
+                     energy-domain CRS): ellipsoidal Lambert azimuthal
+                     equal-area per Snyder (Map Projections — A Working
+                     Manual, USGS PP 1395, pp. 187-190), GRS80 ellipsoid,
+                     origin 52°N 10°E, FE 4321000, FN 3210000.
 
+Any pair among these routes through lon/lat (src inverse → dst forward).
 Everything is vectorized numpy, exposed both driver-side (ZoneSet) and
 as an Arrow-batched pandas UDF for fact tables.  Unknown CRS pairs raise
 rather than silently pass through.
@@ -16,10 +26,18 @@ rather than silently pass through.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
 R = 6378137.0  # WGS84 / WebMercator sphere radius
+
+# WGS84 ellipsoid (UTM); GRS80 differs only in the flattening's 12th digit
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
 
 
 def _wgs84_to_webmercator(x: np.ndarray, y: np.ndarray):
@@ -38,27 +56,239 @@ def _webmercator_to_wgs84(x: np.ndarray, y: np.ndarray):
     return lon, lat
 
 
+# --------------------------------------------------------------------------
+# Transverse Mercator — 6th-order Krüger series (Karney 2011, "Transverse
+# Mercator with an accuracy of a few nanometers", public-domain formulas).
+# Forward and inverse are series inverses of each other, so roundtrip error
+# inside a UTM zone is ~nm — far below the 1e-9-degree test tolerance.
+# --------------------------------------------------------------------------
+
+
+def _tm_constants(a: float, f: float):
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    A = a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    alpha = np.array(
+        [
+            n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+            + 7891 * n6 / 37800,
+            13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+            - 1983433 * n6 / 1935360,
+            61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+            + 167603 * n6 / 181440,
+            49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+            34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+            212378941 * n6 / 319334400,
+        ]
+    )
+    beta = np.array(
+        [
+            n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+            + 96199 * n6 / 604800,
+            n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+            - 1118711 * n6 / 3870720,
+            17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+            4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+            4583 * n5 / 161280 - 108847 * n6 / 3991680,
+            20648693 * n6 / 638668800,
+        ]
+    )
+    e = np.sqrt(f * (2.0 - f))
+    return A, alpha, beta, e
+
+
+_TM_A, _TM_ALPHA, _TM_BETA, _TM_E = _tm_constants(_WGS84_A, _WGS84_F)
+_UTM_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_SOUTH = 10_000_000.0
+
+
+def _tm_forward(lon_deg, lat_deg, lon0_deg: float):
+    """Ellipsoidal transverse Mercator, origin at the equator on lon0."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    e = _TM_E
+    sphi = np.sin(phi)
+    # conformal latitude via the Gauss-Schreiber t
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j in range(6):
+        m = 2.0 * (j + 1)
+        xi += _TM_ALPHA[j] * np.sin(m * xi_p) * np.cosh(m * eta_p)
+        eta += _TM_ALPHA[j] * np.cos(m * xi_p) * np.sinh(m * eta_p)
+    return _TM_A * eta, _TM_A * xi  # (easting-from-CM, northing-from-equator)
+
+
+def _tm_inverse(x, y, lon0_deg: float):
+    eta = np.asarray(x, dtype=np.float64) / _TM_A
+    xi = np.asarray(y, dtype=np.float64) / _TM_A
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j in range(6):
+        m = 2.0 * (j + 1)
+        xi_p -= _TM_BETA[j] * np.sin(m * xi) * np.cosh(m * eta)
+        eta_p -= _TM_BETA[j] * np.cos(m * xi) * np.sinh(m * eta)
+    t = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # Newton-invert t = sinh(atanh(sin phi) - e atanh(e sin phi)) for phi
+    e = _TM_E
+    phi = np.arctan(t)
+    for _ in range(8):
+        sphi = np.sin(phi)
+        ft = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi)) - t
+        # d/dphi of the Gauss-Schreiber t
+        dt = (
+            np.cosh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+            * (1.0 - e * e)
+            / ((1.0 - (e * sphi) ** 2) * np.cos(phi))
+        )
+        phi = phi - ft / dt
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+def _utm_forward(zone: int, south: bool):
+    lon0 = -183.0 + 6.0 * zone
+
+    def go(lon, lat):
+        ex, ny = _tm_forward(lon, lat, lon0)
+        E = _UTM_FE + _UTM_K0 * ex
+        N = (_UTM_FN_SOUTH if south else 0.0) + _UTM_K0 * ny
+        return E, N
+
+    return go
+
+
+def _utm_inverse(zone: int, south: bool):
+    lon0 = -183.0 + 6.0 * zone
+
+    def go(E, N):
+        ex = (np.asarray(E, dtype=np.float64) - _UTM_FE) / _UTM_K0
+        ny = (
+            np.asarray(N, dtype=np.float64) - (_UTM_FN_SOUTH if south else 0.0)
+        ) / _UTM_K0
+        return _tm_inverse(ex, ny, lon0)
+
+    return go
+
+
+# --------------------------------------------------------------------------
+# Lambert azimuthal equal-area (ellipsoidal, oblique aspect) — Snyder,
+# USGS PP 1395 eqs. 3-12, 24-2..24-14, 3-16/3-18.  EPSG:3035 parameters.
+# --------------------------------------------------------------------------
+
+_LAEA_E = np.sqrt(_GRS80_F * (2.0 - _GRS80_F))
+_LAEA_LAT0 = np.radians(52.0)
+_LAEA_LON0 = 10.0
+_LAEA_FE = 4_321_000.0
+_LAEA_FN = 3_210_000.0
+
+
+def _laea_q(sphi: np.ndarray) -> np.ndarray:
+    e = _LAEA_E
+    return (1.0 - e * e) * (
+        sphi / (1.0 - (e * sphi) ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+_LAEA_QP = float(_laea_q(np.array(1.0)))
+_LAEA_RQ = _GRS80_A * np.sqrt(_LAEA_QP / 2.0)
+_LAEA_BETA1 = np.arcsin(float(_laea_q(np.sin(_LAEA_LAT0))) / _LAEA_QP)
+_LAEA_M1 = np.cos(_LAEA_LAT0) / np.sqrt(1.0 - (_LAEA_E * np.sin(_LAEA_LAT0)) ** 2)
+_LAEA_D = _GRS80_A * _LAEA_M1 / (_LAEA_RQ * np.cos(_LAEA_BETA1))
+
+
+def _laea_forward(lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - _LAEA_LON0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    beta = np.arcsin(np.clip(_laea_q(np.sin(phi)) / _LAEA_QP, -1.0, 1.0))
+    sb1, cb1 = np.sin(_LAEA_BETA1), np.cos(_LAEA_BETA1)
+    B = _LAEA_RQ * np.sqrt(
+        2.0 / (1.0 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(lam))
+    )
+    E = _LAEA_FE + B * _LAEA_D * np.cos(beta) * np.sin(lam)
+    N = _LAEA_FN + (B / _LAEA_D) * (
+        cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(lam)
+    )
+    return E, N
+
+
+def _laea_inverse(E, N):
+    x = (np.asarray(E, dtype=np.float64) - _LAEA_FE) / _LAEA_D
+    y = (np.asarray(N, dtype=np.float64) - _LAEA_FN) * _LAEA_D
+    rho = np.sqrt(x * x + y * y)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _LAEA_RQ), -1.0, 1.0))
+    sb1, cb1 = np.sin(_LAEA_BETA1), np.cos(_LAEA_BETA1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = _LAEA_QP * (
+            np.cos(ce) * sb1 + y * np.sin(ce) * cb1 / np.where(rho == 0, 1.0, rho)
+        )
+        lam = np.arctan2(
+            x * np.sin(ce), rho * cb1 * np.cos(ce) - y * sb1 * np.sin(ce)
+        )
+    q = np.where(rho == 0, _LAEA_QP * sb1, q)
+    lam = np.where(rho == 0, 0.0, lam)
+    # Newton-invert q(phi) (Snyder 3-16); dq/dphi from eq. 3-12's derivative
+    e = _LAEA_E
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        sphi = np.sin(phi)
+        f = _laea_q(sphi) - q
+        df = (
+            (1.0 - e * e)
+            * np.cos(phi)
+            * 2.0
+            / (1.0 - (e * sphi) ** 2) ** 2
+        )
+        step = np.where(np.abs(df) > 0, f / np.where(df == 0, 1.0, df), 0.0)
+        phi = phi - step
+    return np.degrees(lam) + _LAEA_LON0, np.degrees(phi)
+
+
 def _norm(crs: str) -> str:
-    return crs.upper().replace(" ", "")
+    c = crs.upper().replace(" ", "")
+    m = re.fullmatch(r"UTM:?(\d{1,2})([NS])", c)
+    if m:
+        zone, hemi = int(m.group(1)), m.group(2)
+        return f"EPSG:{(32600 if hemi == 'N' else 32700) + zone}"
+    return c
 
 
-_TRANSFORMS = {
-    ("EPSG:4326", "EPSG:3857"): _wgs84_to_webmercator,
-    ("EPSG:3857", "EPSG:4326"): _webmercator_to_wgs84,
-}
+def _proj_pair(crs: str):
+    """(forward lon/lat -> crs, inverse crs -> lon/lat) or None for 4326."""
+    if crs == "EPSG:4326":
+        return None
+    if crs == "EPSG:3857":
+        return _wgs84_to_webmercator, _webmercator_to_wgs84
+    if crs == "EPSG:3035":
+        return _laea_forward, _laea_inverse
+    m = re.fullmatch(r"EPSG:32([67])(\d{2})", crs)
+    if m:
+        south = m.group(1) == "7"
+        zone = int(m.group(2))
+        if 1 <= zone <= 60:
+            return _utm_forward(zone, south), _utm_inverse(zone, south)
+    raise ValueError(f"unsupported CRS {crs}")
 
 
 def reproject(
     x: np.ndarray, y: np.ndarray, src: str, dst: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized coordinate transform; identity when src == dst."""
+    """Vectorized coordinate transform; identity when src == dst.
+
+    Routes src → lon/lat → dst, so every registered CRS pair works
+    (the reference gets the same closure from pyproj)."""
     s, d = _norm(src), _norm(dst)
     if s == d:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    fn = _TRANSFORMS.get((s, d))
-    if fn is None:
-        raise ValueError(f"unsupported CRS transform {src} -> {dst}")
-    return fn(x, y)
+    sp = _proj_pair(s)
+    dp = _proj_pair(d)
+    lon, lat = sp[1](x, y) if sp else (x, y)
+    return dp[0](lon, lat) if dp else (
+        np.asarray(lon, dtype=np.float64),
+        np.asarray(lat, dtype=np.float64),
+    )
 
 
 def reproject_df(df, src: str, dst: str, x: str = "x", y: str = "y"):

@@ -278,19 +278,19 @@ def near_dup_pairs_lsh(
     return cand.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
-def ann_ivf_topk(
+def _ivf_assign(
     df: DataFrame,
-    k: int = 5,
-    n_queries: int | None = None,
-    n_lists: int = 16,
-    nprobe: int = 3,
-    key: str = "vec_id",
-    vec: str = "embedding",
-) -> DataFrame:
-    """IVF-style approximate top-k (the inverted-file counterpart of
-    ``ann_lsh_topk``): the corpus is partitioned into ``n_lists`` Voronoi
-    cells around DETERMINISTIC centroids, queries probe their ``nprobe``
-    nearest centroids, and candidates re-rank by exact cosine.
+    n_lists: int,
+    nprobe: int,
+    n_queries: int | None,
+    key: str,
+    vec: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF front half: deterministic centroids + Voronoi assignment.
+
+    Returns ``(assigned, q)`` — corpus rows tagged with their nearest
+    list_id (nbr_id, c_vec, list_id) and query rows exploded over their
+    ``nprobe`` nearest lists (q_id, q_vec, list_id).
 
     Centroid choice: the ``n_lists`` corpus vectors whose keys sort first
     under an engine-neutral md5 hash (ties by key).  This is a seeded
@@ -307,9 +307,7 @@ def ann_ivf_topk(
     Arrow-batched matmul pass over the corpus (map-only); the probe join
     is an equi-join on list id, so per-query work is
     O(nprobe × corpus / n_lists) — the classic IVF recall/cost dial.
-    Assignment ties break by centroid id; re-rank uses the same JVM fold
-    as cosine_topk so the oracle is bit-compatible (see
-    ``ann_ivf_topk_matmul`` for the throughput re-rank).
+    Assignment ties break by centroid id.
     """
     base = df.select(F.col(key).cast("long").alias("k"), F.col(vec).alias("v"))
     h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10).cast(
@@ -319,7 +317,7 @@ def ann_ivf_topk(
     cent = base.join(F.broadcast(ck), "k")
     crows = cent.collect()  # ≤ n_lists rows — driver-contract-safe
     if not crows:
-        raise ValueError("ann_ivf_topk: empty corpus — no centroids")
+        raise ValueError("ann_ivf: empty corpus — no centroids")
     cids = np.array([r["k"] for r in crows], dtype=np.int64)
     cmat = np.asarray([list(r["v"]) for r in crows], dtype=np.float64)
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
@@ -349,6 +347,30 @@ def ann_ivf_topk(
     if n_queries is not None:
         q = q.filter(F.col("q_id") < n_queries)
     q = q.withColumn("list_id", F.explode(nearest_lists(nprobe)(F.col("q_vec"))))
+    return assigned, q
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_queries: int | None = None,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k (the inverted-file counterpart of
+    ``ann_lsh_topk``): the corpus is partitioned into ``n_lists`` Voronoi
+    cells around deterministic centroids (see ``_ivf_assign``), queries
+    probe their ``nprobe`` nearest centroids, and candidates re-rank by
+    exact cosine.
+
+    Re-rank here uses the same JVM fold as cosine_topk so the oracle is
+    bit-compatible — the ORACLE TWIN.  The fold is interpreted per pair
+    (~20× slower than a matmul, measured in BENCH); for throughput use
+    ``ann_ivf_topk_matmul``, which produces identical rankings.
+    """
+    assigned, q = _ivf_assign(df, n_lists, nprobe, n_queries, key, vec)
     pairs = q.join(assigned, "list_id").filter(F.col("q_id") != F.col("nbr_id"))
     qn = F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
     cn = F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
@@ -359,6 +381,84 @@ def ann_ivf_topk(
         .select("q_id", "nbr_id", "cos")
         .distinct()
         .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
+    )
+
+
+def ann_ivf_topk_matmul(
+    df: DataFrame,
+    k: int = 5,
+    n_queries: int | None = None,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Throughput twin of ``ann_ivf_topk``: same deterministic centroids
+    and probe plan, but the re-rank runs ONE float64 matmul per inverted
+    list via a cogroup on ``list_id`` (queries that probe the list ×
+    corpus rows assigned to it), mirroring the ``simhash``/``simhash_fast``
+    oracle-vs-throughput pattern.
+
+    Each cogroup emits only its LOCAL per-query top-k — the global top-k
+    over ``nprobe`` probed lists is a subset of the union of per-list
+    top-ks, so the final window shuffles O(queries × nprobe × k) candidate
+    rows instead of O(queries × nprobe × corpus / n_lists).  Rankings are
+    identical to the fold path at float64 (ties broken by nbr_id both
+    sides); BENCH records the speedup at 1M vectors.
+
+    Scale shape: a list holds ~corpus/n_lists rows — grow ``n_lists`` with
+    the corpus (the standard IVF ~sqrt(N) rule) so each cogroup's matmul
+    stays executor-sized; the groups themselves spread over the cluster.
+    """
+    assigned, q = _ivf_assign(df, n_lists, nprobe, n_queries, key, vec)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def rerank(qg: pd.DataFrame, cg: pd.DataFrame) -> pd.DataFrame:
+        if qg.empty or cg.empty:
+            return pd.DataFrame({"q_id": [], "nbr_id": [], "cos": []}).astype(
+                {"q_id": np.int64, "nbr_id": np.int64, "cos": np.float64}
+            )
+        qids = qg["q_id"].to_numpy(np.int64)
+        cids = cg["nbr_id"].to_numpy(np.int64)
+        qm = np.asarray(qg["q_vec"].tolist(), dtype=np.float64)
+        cm = np.asarray(cg["c_vec"].tolist(), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T  # (Q_probing_this_list, list_size)
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # self-pairs out
+        kk = min(k, sims.shape[1])
+        # per-query local top-k, ties by nbr_id asc (lexsort: last key primary)
+        idx = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = idx.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pd.DataFrame(
+            {
+                "q_id": qids[rows[keep]],
+                "nbr_id": cids[cols[keep]],
+                "cos": sims[rows[keep], cols[keep]],
+            }
+        )
+
+    cand = (
+        q.groupby("list_id")
+        .cogroup(assigned.groupby("list_id"))
+        .applyInPandas(rerank, schema=out_schema)
+    )
+    # no distinct needed: each corpus vector lives in exactly ONE list, so a
+    # (q, nbr) pair can only surface from that one cogroup
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
     )

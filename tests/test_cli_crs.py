@@ -174,3 +174,52 @@ def test_cli_poly_raster_conservation(spark, tmp_path):
         spark.read.parquet(dst).groupBy().sum("disaggregated").collect()[0][0]
     )
     assert total == pytest.approx(8.0)  # 4 zones x value 2, mass conserved
+
+
+def test_cli_poly_raster_laea_data_crs(spark, tmp_path):
+    """Round-3: zones supplied in EPSG:3035 (LAEA Europe — the reference's
+    EU energy-domain CRS) against a 4326 proxy raster; --to-data-crs brings
+    result coordinates back to LAEA meters, conservation intact."""
+    from gregor_spark.cli import main
+    from gregor_spark.model.raster import RasterMeta, raster_df
+    from gregor_spark.model.zones import ZoneSet
+
+    cells = raster_df(spark, RasterMeta(**FX.RASTER_META), FX.RASTER_VALUES)
+    proxy_path = str(tmp_path / "proxy.parquet")
+    cells.write.parquet(proxy_path)
+    zones4326 = ZoneSet.from_fixture(FX.SEG_2X2, values={z: 2.0 for z in range(4)})
+    zones3035 = crs.reproject_zones(zones4326, "EPSG:4326", "EPSG:3035")
+    zones_path = str(tmp_path / "zones3035.json")
+    with open(zones_path, "w") as f:
+        json.dump(
+            [
+                {
+                    "zone_id": int(z),
+                    "xs": list(map(float, x)),
+                    "ys": list(map(float, y)),
+                    "value": zones3035.values[int(z)],
+                }
+                for z, x, y in zip(zones3035.zone_ids, zones3035.xs, zones3035.ys)
+            ],
+            f,
+        )
+    dst = str(tmp_path / "disagg3035.parquet")
+    main(
+        [
+            "poly-raster", zones_path, "value", proxy_path, dst,
+            "--to-data-crs", "--data-crs", "EPSG:3035", "--proxy-crs", "EPSG:4326",
+        ]
+    )
+    rows = spark.read.parquet(dst).collect()
+    assert sum(r["disaggregated"] for r in rows) == pytest.approx(8.0)
+    # coordinates came back in LAEA meters
+    lf = FX.raster_long_form()
+    ex, ey = crs.reproject(
+        np.array([c[2] for c in lf]), np.array([c[3] for c in lf]),
+        "EPSG:4326", "EPSG:3035",
+    )
+    got = {(r["row"], r["col"]): (r["x"], r["y"]) for r in rows}
+    for (r_, c_, _x, _y, _v), gx, gy in zip(lf, ex, ey):
+        if (r_, c_) in got:
+            assert got[(r_, c_)][0] == pytest.approx(gx)
+            assert got[(r_, c_)][1] == pytest.approx(gy)

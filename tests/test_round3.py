@@ -322,3 +322,48 @@ def test_poly_to_poly_concave_conservation(spark):
     }
     for s, v in per_src.items():
         assert v == pytest.approx(float(s + 1), rel=1e-12)
+
+
+# ---------------------------------------------- IVF matmul re-rank (round 3)
+
+
+def test_ann_ivf_matmul_matches_fold(spark):
+    """The cogroup-per-list matmul re-rank must produce the identical
+    (query, rank, nbr, cos@1e-9) table as the fold oracle twin — same
+    centroids, same probes, same tie rules."""
+    import numpy as np
+
+    from gregor_spark.ops.similarity import ann_ivf_topk, ann_ivf_topk_matmul
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(500 + 13 * i), [float(x) for x in rng.normal(size=8)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = ann_ivf_topk(df, k=4, n_lists=8, nprobe=3).collect()
+    mat = ann_ivf_topk_matmul(df, k=4, n_lists=8, nprobe=3).collect()
+    f = {(r["vec_id"], r["rank"]): (r["nbr_id"], round(r["cos"], 9)) for r in fold}
+    m = {(r["vec_id"], r["rank"]): (r["nbr_id"], round(r["cos"], 9)) for r in mat}
+    assert f == m and len(f) > 0
+
+
+def test_ann_ivf_matmul_self_exclusion_and_k(spark):
+    """Every query gets exactly k neighbors, never itself, even when k
+    exceeds a probed list's size for some queries."""
+    import numpy as np
+
+    from gregor_spark.ops.similarity import ann_ivf_topk_matmul
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_ivf_topk_matmul(df, k=5, n_lists=6, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        assert r["nbr_id"] != r["vec_id"]
+        by_q.setdefault(r["vec_id"], []).append(r["rank"])
+    assert len(by_q) == 60
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
