@@ -1533,6 +1533,57 @@ WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 delta-dedup contract: even doc_ids play the EXISTING corpus
+    (their minhash-band signature index), odd doc_ids the NEW shard; each
+    shard doc keeps or drops (with its canonical dup_of) against index
+    matches, re-ingestion, and smaller-id shard matches.  The oracle
+    replays the banding and both equi-joins in SQL."""
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    shard = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_bands(existing)
+    out = D.dedup_incremental(shard, index)
+    return out.select(
+        "doc_id", F.col("keep").cast("int").alias("keep"), "dup_of"
+    )
+
+
+_DEDUP_INCR_SQL = f"""
+WITH base AS ({_MINHASH_SQL}),
+banded AS (
+  SELECT doc_id, CAST(floor(perm / 4.0) AS BIGINT) AS band,
+         string_agg(minh::VARCHAR, ',' ORDER BY perm) AS band_key
+  FROM base GROUP BY 1, 2
+),
+idxb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+shb  AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+vs_idx AS (
+  SELECT s.doc_id, min(i.doc_id) AS dup_idx
+  FROM shb s JOIN idxb i ON s.band = i.band AND s.band_key = i.band_key
+  GROUP BY 1
+),
+intra AS (
+  SELECT x.doc_id, min(y.doc_id) AS dup_shard
+  FROM shb x JOIN shb y
+    ON x.band = y.band AND x.band_key = y.band_key AND y.doc_id < x.doc_id
+  GROUP BY 1
+),
+reing AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0)
+SELECT s.doc_id,
+       CASE WHEN r.doc_id IS NULL AND v.dup_idx IS NULL AND i.dup_shard IS NULL
+            THEN 1 ELSE 0 END AS keep,
+       CASE WHEN r.doc_id IS NULL AND v.dup_idx IS NULL AND i.dup_shard IS NULL
+            THEN NULL
+            ELSE least(v.dup_idx, i.dup_shard,
+                       CASE WHEN r.doc_id IS NOT NULL THEN s.doc_id END) END AS dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) s
+LEFT JOIN reing r ON r.doc_id = s.doc_id
+LEFT JOIN vs_idx v ON v.doc_id = s.doc_id
+LEFT JOIN intra i ON i.doc_id = s.doc_id
+"""
+
+
 def q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 arbitrary-CRS kernel contract: deterministic per-doc lon/lat
     in a European box, reprojected EPSG:4326 -> EPSG:3035 (ellipsoidal
@@ -1608,6 +1659,7 @@ FROM b
 REGISTRY.update(
     {
         "reproject_laea": (q_reproject_laea, _REPROJECT_LAEA_SQL),
+        "dedup_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
         "belongs_holes": (q_belongs_holed, _BELONGS_HOLED_SQL),
         "zonal_sum_holes": (q_zonal_sum_holed, _ZONAL_HOLED_SQL),
         "agg_points_overlap": (q_agg_points_overlap, _AGG_POINTS_OVERLAP_SQL),

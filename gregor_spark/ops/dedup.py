@@ -201,21 +201,27 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def minhash_bands(
     docs: DataFrame,
     text: str = "text",
     k: int = 3,
     num_perm: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: docs agreeing on ALL
-    minhash rows within any band.  Equi-join on (band, band_key) — the
-    classic sub-quadratic LSH join; exact Jaccard re-scoring is the
-    caller's follow-up (jaccard_pairs on the candidates)."""
-    # bands come straight off the wide signature: one groupBy total — the
-    # old long-form path paid a second shuffle (collect_list per band).
-    # A trailing partial band keeps the leftover permutations in play when
-    # num_perm % rows_per_band != 0 (matching band = perm // rows_per_band).
+    """(doc_id, band, band_key) — the LSH banding of the wide MinHash
+    signature: the PERSISTABLE SIGNATURE INDEX for incremental dedup.
+
+    Bands come straight off the wide signature: one groupBy total (the
+    old long-form path paid a second shuffle — collect_list per band).
+    A trailing partial band keeps the leftover permutations in play when
+    num_perm % rows_per_band != 0 (matching band = perm // rows_per_band).
+    Docs with no k-shingles (< k tokens) have no rows here — they carry
+    no near-dup signal; exact dedup (dedup_exact) covers them.
+
+    At 100 TB the index is written once with
+    ``sources.iceberg_like.write_table(bands, path, bucket_by="band_key")``
+    so each incremental shard's delta join co-locates with the index
+    buckets instead of reshuffling the whole corpus per shard."""
     wide = _minhash_wide(docs, text, k, num_perm)
     n_bands = (num_perm + rows_per_band - 1) // rows_per_band
     band_rows = []
@@ -228,9 +234,23 @@ def lsh_candidate_pairs(
             ],
         )
         band_rows.extend([F.lit(b).cast("long"), key])
-    banded = wide.select(
+    return wide.select(
         "doc_id", F.stack(F.lit(n_bands), *band_rows).alias("band", "band_key")
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs agreeing on ALL
+    minhash rows within any band.  Equi-join on (band, band_key) — the
+    classic sub-quadratic LSH join; exact Jaccard re-scoring is the
+    caller's follow-up (jaccard_pairs on the candidates)."""
+    banded = minhash_bands(docs, text, k, num_perm, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -243,6 +263,93 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Delta-dedup a NEW shard against a persisted corpus signature index
+    — the real 100 TB pipeline shape ("new shard vs existing corpus", not
+    batch-from-scratch).  ``index`` is a ``minhash_bands`` table
+    (doc_id, band, band_key), typically ``read_table`` of a layout written
+    with ``write_table(..., bucket_by="band_key")``.
+
+    Returns one row per new doc: (doc_id, keep, dup_of) where a doc is
+    DROPPED (keep = false) iff any of
+      * its doc_id already exists in the index (re-ingestion — catches
+        even signature-less short docs),
+      * it shares a (band, band_key) with an indexed doc, or
+      * it shares a (band, band_key) with a smaller-id doc in the SAME
+        shard (deterministic first-id-wins within the batch);
+    ``dup_of`` is the smallest such matching doc id (NULL when kept).
+    Note the within-shard rule is by-pair, not by-component: if A drops
+    against the index and B only matches A, B still drops (to A) — the
+    same canonical-id convention as ``dedup_clusters``' min-label.
+
+    IDEMPOTENT by construction: append the kept docs' bands (plus their
+    ids) to the index and re-run the same shard — every previously-kept
+    doc now hits the re-ingestion rule, every previously-dropped doc
+    drops again (its match is still indexed or still in the shard), so
+    the second pass keeps nothing (asserted in tests).
+
+    Scale shape: two equi-joins on (band, band_key) — shard×index and
+    shard×shard — plus one join on doc_id; all shuffles are keyed by the
+    band key, so a bucketed index co-locates its side for free.  Hot
+    band_keys (boilerplate bands) skew exactly like hot shingles; the
+    same histogram-salt used for cell joins applies (operators/
+    spatial_join.py) when a shard's band histogram shows heavy keys."""
+    nb = minhash_bands(new_docs, text, k, num_perm, rows_per_band)
+    idx = index.select(
+        F.col("doc_id").alias("i_id"),
+        F.col("band").alias("i_band"),
+        F.col("band_key").alias("i_key"),
+    )
+    vs_idx = (
+        nb.join(idx, (nb["band"] == idx["i_band"]) & (nb["band_key"] == idx["i_key"]))
+        .groupBy("doc_id")
+        .agg(F.min("i_id").alias("dup_idx"))
+    )
+    x = minhash_bands(new_docs, text, k, num_perm, rows_per_band)  # fresh lineage
+    y = nb.select(
+        F.col("doc_id").alias("y_id"),
+        F.col("band").alias("y_band"),
+        F.col("band_key").alias("y_key"),
+    )
+    intra = (
+        x.join(
+            y,
+            (x["band"] == y["y_band"])
+            & (x["band_key"] == y["y_key"])
+            & (y["y_id"] < x["doc_id"]),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("y_id").alias("dup_shard"))
+    )
+    reing = index.select(F.col("doc_id")).distinct().withColumn("reing", F.lit(True))
+    out = (
+        new_docs.select("doc_id")
+        .join(reing, "doc_id", "left")
+        .join(vs_idx, "doc_id", "left")
+        .join(intra, "doc_id", "left")
+    )
+    keep = (
+        F.col("reing").isNull()
+        & F.col("dup_idx").isNull()
+        & F.col("dup_shard").isNull()
+    )
+    dup_of = F.when(keep, F.lit(None).cast("long")).otherwise(
+        F.least(
+            F.col("dup_idx"),
+            F.col("dup_shard"),
+            F.when(F.col("reing"), F.col("doc_id")),
+        )
+    )
+    return out.select("doc_id", keep.alias("keep"), dup_of.alias("dup_of"))
 
 
 def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:

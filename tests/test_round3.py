@@ -367,3 +367,95 @@ def test_ann_ivf_matmul_self_exclusion_and_k(spark):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+# ----------------------------------------------- incremental dedup (round 3)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_incremental_decisions(spark):
+    """Shard docs drop against the index, against re-ingestion, and
+    against smaller-id shard mates — with the smallest match as dup_of."""
+    from gregor_spark.ops.dedup import dedup_incremental, minhash_bands
+
+    corpus = _mk_docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+    ])
+    index = minhash_bands(corpus)
+    shard = _mk_docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),   # dup of indexed 0
+        (3, "totally novel text with many fresh words here"),  # keep
+        (5, "totally novel text with many fresh words here"),  # intra-shard dup of 3
+        (7, "unique septenary content flowing onward boldly"),  # keep
+    ])
+    got = {r["doc_id"]: (r["keep"], r["dup_of"])
+           for r in dedup_incremental(shard, index).collect()}
+    assert got[1] == (False, 0)
+    assert got[3] == (True, None)
+    assert got[5] == (False, 3)
+    assert got[7] == (True, None)
+
+
+def test_dedup_incremental_reingestion_short_doc(spark):
+    """A doc too short to shingle-match still drops on re-ingestion by
+    doc_id — the id rule catches what the signature cannot."""
+    from gregor_spark.ops.dedup import dedup_incremental, minhash_bands
+
+    corpus = _mk_docs(spark, [(4, "hi"), (6, "completely different words")])
+    index = minhash_bands(corpus)
+    shard = _mk_docs(spark, [(4, "hi"), (9, "brand new content here truly")])
+    got = {r["doc_id"]: (r["keep"], r["dup_of"])
+           for r in dedup_incremental(shard, index).collect()}
+    assert got[4] == (False, 4)   # re-ingested: dup of itself in the index
+    assert got[9] == (True, None)
+
+
+def test_dedup_incremental_idempotent_via_persisted_index(spark, tmp_path):
+    """The full pipeline loop: build index -> write_table(bucket_by=
+    band_key) -> run shard -> append kept docs' bands -> re-run the SAME
+    shard -> zero keeps (every doc now re-ingested or still matched)."""
+    from gregor_spark.ops.dedup import dedup_incremental, minhash_bands
+    from gregor_spark.sources.iceberg_like import read_table, write_table
+
+    corpus = _mk_docs(spark, [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+    ])
+    path = str(tmp_path / "sig_index")
+    write_table(minhash_bands(corpus), path, bucket_by="band_key", n_buckets=4)
+    index = read_table(spark, path)
+
+    shard = _mk_docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally novel text with many fresh words here"),
+        (5, "totally novel text with many fresh words here"),
+        (7, "hm"),   # too short to signature-match anything: keeps
+    ])
+    first = dedup_incremental(shard, index)
+    kept_ids = [r["doc_id"] for r in first.filter("keep").collect()]
+    assert sorted(kept_ids) == [3, 7]
+
+    # merge the kept docs into the index: their bands + an id marker row
+    # for signature-less docs (band = -1 carries no joinable band_key)
+    kept_docs = shard.join(first.filter("keep").select("doc_id"), "doc_id")
+    kept_bands = minhash_bands(kept_docs).unionByName(
+        kept_docs.select(
+            "doc_id",
+            F.lit(-1).cast("long").alias("band"),
+            F.lit(None).cast("string").alias("band_key"),
+        )
+    )
+    write_table(
+        index.select("doc_id", "band", "band_key").unionByName(kept_bands),
+        path + "_v2", bucket_by="band_key", n_buckets=4,
+    )
+    index2 = read_table(spark, path + "_v2")
+    second = dedup_incremental(shard, index2)
+    assert second.filter("keep").count() == 0
+    # and deterministically so: dup_of for re-ingested kept docs is themselves
+    got = {r["doc_id"]: r["dup_of"] for r in second.collect()}
+    assert got[3] == 3 and got[7] == 7 and got[1] == 0 and got[5] == 3
