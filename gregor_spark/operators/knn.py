@@ -101,11 +101,18 @@ def knn_cell_join(
     py: str = "y",
     fact_key: str = "point_id",
     proxy_key: str = "proxy_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed exact kNN via Morton-cell candidate join with
     resolution-coarsening escalation (see module docstring).
 
     Returns (fact columns..., rank, proxy_id, d2).
+
+    ``stats`` (optional dict) is filled with {"res0": starting resolution,
+    "rounds": escalation rounds executed} — the round count is the
+    density-uniformity diagnostic: clustered proxy layouts coarsen more
+    before every fact satisfies the guard, and the bench records that it
+    stays small (BENCH/BASELINE.md).
     """
     from .spatial_join import neighbor_cells_col, with_cell_id
     from .tiles import with_parent_cell
@@ -142,8 +149,13 @@ def knn_cell_join(
         F.col("d2").asc(), F.col("proxy_id").asc()
     )
     w_fact = Window.partitionBy(fact_key)
+    if stats is not None:
+        stats["res0"] = res
+        stats["rounds"] = 0
     try:
         for rr in range(res, -1, -1):
+            if stats is not None:
+                stats["rounds"] += 1
             f = with_parent_cell(pending, res, rr, cell="_fcell", out="_fc")
             p = with_parent_cell(keyed_p, res, rr, cell="_pcell", out="_pc")
             cand = f.withColumn(

@@ -459,3 +459,25 @@ def test_dedup_incremental_idempotent_via_persisted_index(spark, tmp_path):
     # and deterministically so: dup_of for re-ingested kept docs is themselves
     got = {r["doc_id"]: r["dup_of"] for r in second.collect()}
     assert got[3] == 3 and got[7] == 7 and got[1] == 0 and got[5] == 3
+
+
+def test_knn_cell_join_stats_rounds(spark):
+    """The stats out-param records the starting resolution and the number
+    of coarsening rounds (the density-uniformity diagnostic the bench
+    tracks for clustered layouts)."""
+    from gregor_spark.operators.knn import knn_cell_join
+
+    facts = spark.createDataFrame(
+        [(i, 0.1 + 0.01 * i, 10.0 + 0.01 * i) for i in range(40)],
+        "point_id long, x double, y double",
+    )
+    proxies = spark.createDataFrame(
+        [(j, 0.5 + 0.3 * j, 10.2 + 0.3 * j) for j in range(5)],
+        "proxy_id long, x double, y double",
+    )
+    stats = {}
+    out = knn_cell_join(
+        facts, proxies, k=2, bounds=(-0.25, 9.75, 1.75, 11.75), stats=stats
+    )
+    assert out.count() == 80
+    assert stats["res0"] >= 0 and 1 <= stats["rounds"] <= stats["res0"] + 1
