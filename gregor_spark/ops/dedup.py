@@ -323,7 +323,12 @@ def dedup_incremental(
     band_keys (boilerplate bands) skew exactly like hot shingles; the
     same histogram-salt used for cell joins applies (operators/
     spatial_join.py) when a shard's band histogram shows heavy keys."""
-    nb = minhash_bands(new_docs, text, k, num_perm, rows_per_band)
+    # one shingling pass: the band table feeds three consumers (index join,
+    # both sides of the intra-shard self-join) — localCheckpoint pins it
+    # (shard-sized, not corpus-sized) instead of re-shingling per consumer
+    nb = minhash_bands(new_docs, text, k, num_perm, rows_per_band).localCheckpoint(
+        eager=False
+    )
     idx = index.select(
         F.col("doc_id").alias("i_id"),
         F.col("band").alias("i_band"),
@@ -334,7 +339,7 @@ def dedup_incremental(
         .groupBy("doc_id")
         .agg(F.min("i_id").alias("dup_idx"))
     )
-    x = minhash_bands(new_docs, text, k, num_perm, rows_per_band)  # fresh lineage
+    x = nb.alias("x")
     y = nb.select(
         F.col("doc_id").alias("y_id"),
         F.col("band").alias("y_band"),
