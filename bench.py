@@ -192,24 +192,37 @@ def run_embeddings() -> dict:
     ).count()
     sec = time.time() - t0
 
-    # IVF re-rank: fold (oracle twin) vs cogroup matmul at the same probe
-    # plan — the judge-flagged 20x-interpreted-fold hot path, measured
-    from gregor_spark.ops.similarity import ann_ivf_topk, ann_ivf_topk_matmul
+    # IVF re-rank: fold (oracle twin) vs cogroup matmul over the SAME
+    # persisted assignment (the front half — centroid pick + Voronoi
+    # assignment — is shared by construction, so it is timed once and the
+    # re-ranks compare apples to apples; end-to-end = front + re-rank)
+    from gregor_spark.ops.similarity import (
+        _ivf_assign,
+        _ivf_rerank_fold,
+        _ivf_rerank_matmul,
+    )
 
     emb2 = emb.persist()
     emb2.count()  # materialize once so both variants read the same input
-    ivf_kwargs = dict(
-        k=10,
-        n_queries=int(os.environ.get("SPARK_GRAFT_IVF_QUERIES", "256")),
-        n_lists=int(os.environ.get("SPARK_GRAFT_IVF_LISTS", "1024")),
-        nprobe=int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "8")),
-    )
+    k = 10
+    n_queries = int(os.environ.get("SPARK_GRAFT_IVF_QUERIES", "256"))
+    n_lists = int(os.environ.get("SPARK_GRAFT_IVF_LISTS", "1024"))
+    nprobe = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "8"))
     t0 = time.time()
-    rows_m = ann_ivf_topk_matmul(emb2, **ivf_kwargs).count()
+    assigned, q = _ivf_assign(emb2, n_lists, nprobe, n_queries, "vec_id", "embedding")
+    assigned = assigned.persist()
+    qp = q.persist()
+    assigned.count()
+    qp.count()
+    ivf_front_sec = time.time() - t0
+    t0 = time.time()
+    rows_m = _ivf_rerank_matmul(assigned, qp, k, "vec_id").count()
     ivf_matmul_sec = time.time() - t0
     t0 = time.time()
-    rows_f = ann_ivf_topk(emb2, **ivf_kwargs).count()
+    rows_f = _ivf_rerank_fold(assigned, qp, k, "vec_id").count()
     ivf_fold_sec = time.time() - t0
+    assigned.unpersist()
+    qp.unpersist()
     emb2.unpersist()
     spark.stop()
     return {
@@ -220,10 +233,14 @@ def run_embeddings() -> dict:
         "sec": round(sec, 2),
         "vectors_per_sec": round(n / sec, 1),
         "ivf": {
-            **ivf_kwargs,
-            "matmul_sec": round(ivf_matmul_sec, 2),
-            "fold_sec": round(ivf_fold_sec, 2),
-            "speedup": round(ivf_fold_sec / ivf_matmul_sec, 2),
+            "k": k,
+            "n_queries": n_queries,
+            "n_lists": n_lists,
+            "nprobe": nprobe,
+            "front_sec": round(ivf_front_sec, 2),
+            "rerank_matmul_sec": round(ivf_matmul_sec, 2),
+            "rerank_fold_sec": round(ivf_fold_sec, 2),
+            "rerank_speedup": round(ivf_fold_sec / ivf_matmul_sec, 2),
             "rows_matmul": rows_m,
             "rows_fold": rows_f,
         },
