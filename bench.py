@@ -422,7 +422,16 @@ def run_scaling() -> dict:
     modes = tuple(
         os.environ.get("SPARK_GRAFT_SCALE_MODES", "broadcast,partitioned,salted").split(",")
     )
-    for cpus in (8, 32):
+    # N and 4N parallelism (the brief's cluster-size stand-in); overridable
+    # because the right pair depends on the host — on a box whose vCPUs
+    # oversubscribe physical cores, 4,16 isolates the engine's scaling from
+    # the hardware's (run the raw-CPU burn calibration alongside, see
+    # BENCH/BASELINE.md round-3 notes)
+    lo, hi = (
+        int(c)
+        for c in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "8,32").split(",")
+    )
+    for cpus in (lo, hi):
         spark = get_spark(app=f"gregor-scale-{cpus}", master=f"local[{cpus}]")
         ensure_corpus(spark, n_docs)
         for mode in modes:
@@ -437,8 +446,8 @@ def run_scaling() -> dict:
         spark.stop()
     for mode in modes:
         out[f"{mode}_efficiency"] = (
-            out[f"{mode}_rate_32"] / out[f"{mode}_rate_8"]
-        ) / 4.0
+            out[f"{mode}_rate_{hi}"] / out[f"{mode}_rate_{lo}"]
+        ) / (hi / lo)
     return out
 
 

@@ -11,8 +11,9 @@ Reference parity notes:
 * ``poly-raster`` pre-clips the proxy to the zone bounds "for better
   performance" (cli.py:55-57) — kept as an explicit filter even though
   Catalyst pushes it into the scan anyway;
-* zone layers travel as a small JSON sidecar (zone_id, xs, ys, value)
-  instead of GeoJSON (no GDAL here) — same information.
+* zone layers load from GeoJSON FeatureCollections (parsed directly —
+  GDAL-free; Polygon/MultiPolygon with holes, feature id/properties) or
+  from the engine's small JSON sidecar (zone_id, xs, ys, value).
 """
 
 from __future__ import annotations
@@ -23,11 +24,20 @@ import os
 import sys
 
 
-def _load_zones(path: str):
+def _load_zones(path: str, value_property: str | None = None):
+    """Zone layer from GeoJSON (FeatureCollection — the reference's
+    gpd.read_file surface, parsed without GDAL; holes + multipolygons
+    honored; ``value_property`` = the data column, like the reference's
+    <column> argument) or the engine's plain JSON sidecar
+    (zone_id/xs/ys/value)."""
     from .model.zones import ZoneSet
 
     with open(path) as f:
         data = json.load(f)
+    if isinstance(data, dict) and data.get("type") == "FeatureCollection":
+        from .sources.geojson import zoneset_from_geojson
+
+        return zoneset_from_geojson(data, value_property=value_property or "value")
     return ZoneSet(
         [z["zone_id"] for z in data],
         [z["xs"] for z in data],
@@ -94,7 +104,7 @@ def main(argv: list[str] | None = None) -> None:
         from .model.raster import clip_bbox
         from .operators.disaggregate import disaggregate_polygon_to_raster
 
-        zones = _load_zones(args.data)
+        zones = _load_zones(args.data, args.column)
         proxy = spark.read.parquet(args.proxy)
         if args.data_crs != args.proxy_crs:
             from .geo.crs import reproject_zones
@@ -118,7 +128,7 @@ def main(argv: list[str] | None = None) -> None:
     else:  # poly-point
         from .operators.disaggregate import disaggregate_polygon_to_point
 
-        zones = _load_zones(args.data)
+        zones = _load_zones(args.data, args.column)
         pts = spark.read.parquet(args.proxy)
         out = disaggregate_polygon_to_point(
             zones,
