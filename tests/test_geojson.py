@@ -101,9 +101,8 @@ def test_roundtrip_lossless():
     from gregor_spark.model import fixtures as FX
     from gregor_spark.model.zones import ZoneSet
 
-    src = ZoneSet.from_fixture(FX.SEG_HOLED, values={z: 2.0 for z in range(2)}) \
-        if hasattr(FX, "SEG_HOLED") else ZoneSet.from_fixture(
-            FX.SEG_2X2, values={z: 2.0 for z in range(4)})
+    src = ZoneSet.from_fixture(FX.SEG_HOLED)
+    src.values = {int(z): 2.0 + int(z) for z in src.zone_ids}
     gj = zoneset_to_geojson(src)
     back = zoneset_from_geojson(gj, value_property="value")
     assert list(back.zone_ids) == list(src.zone_ids)
