@@ -317,43 +317,55 @@ def dedup_incremental(
     drops again (its match is still indexed or still in the shard), so
     the second pass keeps nothing (asserted in tests).
 
-    Scale shape: two equi-joins on (band, band_key) — shard×index and
-    shard×shard — plus one join on doc_id; all shuffles are keyed by the
-    band key, so a bucketed index co-locates its side for free.  Hot
-    band_keys (boilerplate bands) skew exactly like hot shingles; the
-    same histogram-salt used for cell joins applies (operators/
-    spatial_join.py) when a shard's band histogram shows heavy keys."""
-    # one shingling pass: the band table feeds three consumers (index join,
-    # both sides of the intra-shard self-join) — localCheckpoint pins it
-    # (shard-sized, not corpus-sized) instead of re-shingling per consumer
+    Scale shape — NO per-band quadratic, ever: a doc's decision needs only
+    its MINIMUM-id match, and min distributes over band groups, so both
+    lookups pre-aggregate to one row per (band, band_key) and join
+    one-to-one:
+
+      * vs index — the index collapses to (band, band_key) → min(doc_id)
+        (a table the size of the DISTINCT band keys, not the corpus);
+        each shard band row matches at most one aggregate row.  A
+        boilerplate band shared by 10^6 corpus docs contributes ONE row.
+      * intra-shard — group-min over the shard's own band table, joined
+        back and filtered to g_min < doc_id.  min{y < x : y shares a
+        band with x} equals min over x's groups of (min(group) < x)
+        because the group minimum is itself a band-mate — proven
+        equivalent to the naive self-join, which the SQL oracle still
+        uses (making the oracle an independent formulation, not a
+        replay).
+
+    Join output is O(shard band rows) regardless of band skew — the
+    boilerplate-key blowup that needs max_df capping in jaccard and
+    salting in the cell join simply cannot occur here."""
+    # one shingling pass: the band table feeds three consumers —
+    # localCheckpoint pins it (shard-sized, not corpus-sized)
     nb = minhash_bands(new_docs, text, k, num_perm, rows_per_band).localCheckpoint(
         eager=False
     )
-    idx = index.select(
-        F.col("doc_id").alias("i_id"),
-        F.col("band").alias("i_band"),
-        F.col("band_key").alias("i_key"),
-    )
+    idx_min = index.groupBy(
+        F.col("band").alias("i_band"), F.col("band_key").alias("i_key")
+    ).agg(F.min("doc_id").alias("i_min"))
     vs_idx = (
-        nb.join(idx, (nb["band"] == idx["i_band"]) & (nb["band_key"] == idx["i_key"]))
-        .groupBy("doc_id")
-        .agg(F.min("i_id").alias("dup_idx"))
-    )
-    x = nb.alias("x")
-    y = nb.select(
-        F.col("doc_id").alias("y_id"),
-        F.col("band").alias("y_band"),
-        F.col("band_key").alias("y_key"),
-    )
-    intra = (
-        x.join(
-            y,
-            (x["band"] == y["y_band"])
-            & (x["band_key"] == y["y_key"])
-            & (y["y_id"] < x["doc_id"]),
+        nb.join(
+            idx_min,
+            (nb["band"] == idx_min["i_band"]) & (nb["band_key"] == idx_min["i_key"]),
         )
         .groupBy("doc_id")
-        .agg(F.min("y_id").alias("dup_shard"))
+        .agg(F.min("i_min").alias("dup_idx"))
+    )
+    gm = nb.groupBy(
+        F.col("band").alias("g_band"), F.col("band_key").alias("g_key")
+    ).agg(F.min("doc_id").alias("g_min"))
+    x = nb.alias("x")
+    intra = (
+        x.join(
+            gm,
+            (x["band"] == gm["g_band"])
+            & (x["band_key"] == gm["g_key"])
+            & (gm["g_min"] < x["doc_id"]),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("g_min").alias("dup_shard"))
     )
     reing = index.select(F.col("doc_id")).distinct().withColumn("reing", F.lit(True))
     out = (
