@@ -481,3 +481,40 @@ def test_knn_cell_join_stats_rounds(spark):
     )
     assert out.count() == 80
     assert stats["res0"] >= 0 and 1 <= stats["rounds"] <= stats["res0"] + 1
+
+
+def test_dedup_incremental_hot_band(spark):
+    """Maximally hot band: thousands of EXACT copies in the index all
+    share every band (the web-crawl boilerplate-page case).  The group-min
+    pre-aggregation keeps the join linear — and the decision is correct:
+    copies drop to the smallest indexed id, novels keep."""
+    from gregor_spark.ops.dedup import dedup_incremental, minhash_bands
+
+    text = "the same boilerplate page body repeated verbatim everywhere"
+    corpus = spark.range(5000).selectExpr("id AS doc_id", f"'{text}' AS text")
+    index = minhash_bands(corpus)
+    shard = _mk_docs(spark, [
+        (100_000, text),                                     # copy -> dup of 0
+        (100_001, text),                                     # copy -> dup of 0
+        (100_002, "genuinely new content never seen before anywhere"),
+    ])
+    got = {r["doc_id"]: (r["keep"], r["dup_of"])
+           for r in dedup_incremental(shard, index).collect()}
+    assert got[100_000] == (False, 0)
+    assert got[100_001] == (False, 0)
+    assert got[100_002] == (True, None)
+
+
+def test_write_table_append_manifest(spark, tmp_path):
+    """mode='append' extends the bucketed layout and the manifest counts
+    the UNION (footer metadata covers old + new files, no table scan)."""
+    from gregor_spark.sources.iceberg_like import read_table, write_table
+
+    path = str(tmp_path / "appendable")
+    df1 = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_table(df1, path, bucket_by="k", n_buckets=4)
+    df2 = spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v")
+    m = write_table(df2, path, bucket_by="k", n_buckets=4, mode="append")
+    assert m["total_rows"] == 150 and sum(m["bucket_rows"].values()) == 150
+    assert read_table(spark, path).count() == 150
+    assert read_table(spark, path).agg({"k": "max"}).collect()[0][0] == 149
