@@ -408,6 +408,80 @@ def run_knn() -> dict:
     return out
 
 
+def run_dedup_incremental() -> dict:
+    """Delta-dedup throughput at volume: build a band index over a large
+    corpus once (the amortized side), then dedup a 10%-sized shard whose
+    docs are 50% copies of corpus docs / 50% novel — the steady-state
+    shape of a continuously-ingesting pipeline.  Reports index-build and
+    per-shard wall time separately (the shard join is the recurring
+    cost)."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.ops.dedup import dedup_incremental, minhash_bands
+    from gregor_spark.session import get_spark
+
+    n_index = int(os.environ.get("SPARK_GRAFT_DEDUP_INDEX", "400000"))
+    n_shard = int(os.environ.get("SPARK_GRAFT_DEDUP_SHARD", "40000"))
+    spark = get_spark(app="gregor-dedup-bench", master=f"local[{CPUS}]")
+    corpus = synthetic_skew_docs(spark, n_index, hot_frac=0.0).persist()
+    corpus.count()
+    t0 = time.time()
+    index = minhash_bands(corpus).persist()
+    index_rows = index.count()
+    build_sec = time.time() - t0
+    # shard: even slots copy corpus doc (id % n_index), odd slots novel
+    base = spark.range(n_shard).select(
+        (F.col("id") + F.lit(10_000_000)).alias("doc_id"), F.col("id").alias("slot")
+    )
+    copies = base.filter(F.col("slot") % 2 == 0).join(
+        corpus.select(
+            F.col("doc_id").alias("src_id"), F.col("text")
+        ),
+        F.col("slot") % F.lit(n_index) == F.col("src_id"),
+    ).select("doc_id", "text")
+    novel_body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(20)),
+            lambda j: F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("novel_"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("_"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+    )
+    novel = base.filter(F.col("slot") % 2 == 1).select(
+        "doc_id", novel_body.alias("text")
+    )
+    shard = copies.unionByName(novel).persist()
+    shard_n = shard.count()
+    t0 = time.time()
+    dec = dedup_incremental(shard, index)
+    agg = dec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+    ).collect()[0]
+    shard_sec = time.time() - t0
+    spark.stop()
+    return {
+        "n_index": n_index,
+        "index_band_rows": index_rows,
+        "index_build_sec": round(build_sec, 2),
+        "n_shard": shard_n,
+        "shard_sec": round(shard_sec, 2),
+        "shard_docs_per_sec": round(shard_n / shard_sec, 1),
+        "kept": agg["kept"],
+        "dropped": agg["n"] - agg["kept"],
+    }
+
+
 def run_scaling() -> dict:
     """Same north-rule job at two parallelism levels (the sandbox stand-in
     for N vs 4N executors)."""
@@ -464,6 +538,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--jaccard-skew" in sys.argv:
         print(json.dumps(run_jaccard_skew()))
+        sys.exit(0)
+    if "--dedup" in sys.argv:
+        print(json.dumps(run_dedup_incremental()))
         sys.exit(0)
     times = run_headline()
     total = round(

@@ -544,7 +544,8 @@ _MINHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sv AS (
   SELECT doc_id,
-         list_transform({_SHINGLES}, s -> {_TOKINT.format(t='s')}) AS vals
+         list_transform({_SHINGLES},
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS vals
   FROM t
 )
 SELECT doc_id, CAST(j.g AS BIGINT) AS perm,

@@ -41,7 +41,14 @@ def dedup_exact(docs: DataFrame, text: str = "text") -> DataFrame:
 
 
 def _shingle_int(s) -> "F.Column":
-    return _token_int(s)
+    """Shingle → 60-bit md5-prefix int (see _md5_int).  MinHash minima are
+    only as discriminative as the underlying hash: the cheap
+    first-char/last-char/length _token_int collapses to a few hundred
+    values on uniform-alphabet corpora (hex ids, URLs, code), making
+    every doc share bands — measured on an md5-token synthetic corpus:
+    3988/4000 novel docs false-matched.  md5 is engine-neutral, so every
+    oracle replays it exactly."""
+    return _md5_int(s)
 
 
 def shingle_table(docs: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
@@ -191,11 +198,20 @@ def _minhash_wide(
     row per doc (round 1 crossJoined ×num_perm — num_perm× the explode
     volume; and the original pure-column form recomputed the shingling
     num_perm× because nested lambdas defeat CSE).
-    ``h_j(s) = ((2j+1)·s + 12345j + 987) mod (2^31-1)``.
+    ``h_j(s) = ((2j+1)·s + 12345j + 987) mod (2^31-1)`` with the 60-bit
+    shingle hash reduced mod 2^31-1 FIRST — (2j+1)·s on the raw 60-bit
+    value overflows int64 (Spark would silently wrap while the DuckDB
+    oracle errors; pre-reduction keeps the product ≤ 33·2^31, exact in
+    both engines).
     """
     sh = docs.select(
         "doc_id",
-        F.explode(F.transform(word_shingles(F.col(text), k), _shingle_int)).alias("s"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text), k),
+                lambda x: _shingle_int(x) % F.lit(MERSENNE),
+            )
+        ).alias("s"),
     )
     aggs = [
         F.min(
