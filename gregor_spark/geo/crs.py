@@ -17,6 +17,10 @@ transforms it needs directly (public formulas):
                      equal-area per Snyder (Map Projections — A Working
                      Manual, USGS PP 1395, pp. 187-190), GRS80 ellipsoid,
                      origin 52°N 10°E, FE 4321000, FN 3210000.
+* EPSG:4258        — ETRS89 lon/lat, treated as coincident with WGS84
+                     (datum delta is epoch-dependent and sub-metre).
+* EPSG:258xx       — ETRS89 / UTM zone xx north (GRS80), zones 28-38 —
+                     the EU national grids (e.g. 25832 for Germany).
 
 Any pair among these routes through lon/lat (src inverse → dst forward).
 Everything is vectorized numpy, exposed both driver-side (ZoneSet) and
@@ -97,14 +101,16 @@ def _tm_constants(a: float, f: float):
     return A, alpha, beta, e
 
 
-_TM_A, _TM_ALPHA, _TM_BETA, _TM_E = _tm_constants(_WGS84_A, _WGS84_F)
+_TM_WGS84 = _tm_constants(_WGS84_A, _WGS84_F)
+_TM_GRS80 = _tm_constants(_GRS80_A, _GRS80_F)
 _UTM_K0 = 0.9996
 _UTM_FE = 500_000.0
 _UTM_FN_SOUTH = 10_000_000.0
 
 
-def _tm_forward(lon_deg, lat_deg, lon0_deg: float):
+def _tm_forward(lon_deg, lat_deg, lon0_deg: float, consts=_TM_WGS84):
     """Ellipsoidal transverse Mercator, origin at the equator on lon0."""
+    _TM_A, _TM_ALPHA, _TM_BETA, _TM_E = consts
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     e = _TM_E
@@ -121,7 +127,8 @@ def _tm_forward(lon_deg, lat_deg, lon0_deg: float):
     return _TM_A * eta, _TM_A * xi  # (easting-from-CM, northing-from-equator)
 
 
-def _tm_inverse(x, y, lon0_deg: float):
+def _tm_inverse(x, y, lon0_deg: float, consts=_TM_WGS84):
+    _TM_A, _TM_ALPHA, _TM_BETA, _TM_E = consts
     eta = np.asarray(x, dtype=np.float64) / _TM_A
     xi = np.asarray(y, dtype=np.float64) / _TM_A
     xi_p, eta_p = xi.copy(), eta.copy()
@@ -147,11 +154,11 @@ def _tm_inverse(x, y, lon0_deg: float):
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
 
 
-def _utm_forward(zone: int, south: bool):
+def _utm_forward(zone: int, south: bool, consts=_TM_WGS84):
     lon0 = -183.0 + 6.0 * zone
 
     def go(lon, lat):
-        ex, ny = _tm_forward(lon, lat, lon0)
+        ex, ny = _tm_forward(lon, lat, lon0, consts)
         E = _UTM_FE + _UTM_K0 * ex
         N = (_UTM_FN_SOUTH if south else 0.0) + _UTM_K0 * ny
         return E, N
@@ -159,7 +166,7 @@ def _utm_forward(zone: int, south: bool):
     return go
 
 
-def _utm_inverse(zone: int, south: bool):
+def _utm_inverse(zone: int, south: bool, consts=_TM_WGS84):
     lon0 = -183.0 + 6.0 * zone
 
     def go(E, N):
@@ -167,7 +174,7 @@ def _utm_inverse(zone: int, south: bool):
         ny = (
             np.asarray(N, dtype=np.float64) - (_UTM_FN_SOUTH if south else 0.0)
         ) / _UTM_K0
-        return _tm_inverse(ex, ny, lon0)
+        return _tm_inverse(ex, ny, lon0, consts)
 
     return go
 
@@ -256,8 +263,13 @@ def _norm(crs: str) -> str:
 
 
 def _proj_pair(crs: str):
-    """(forward lon/lat -> crs, inverse crs -> lon/lat) or None for 4326."""
-    if crs == "EPSG:4326":
+    """(forward lon/lat -> crs, inverse crs -> lon/lat) or None for 4326.
+
+    EPSG:4258 (ETRS89 lon/lat) is treated as coincident with WGS84: the
+    datum difference is time-dependent and sub-metre (plate drift since
+    1989), far below this engine's use cases and unresolvable without an
+    epoch — the same practical convention GIS tools default to."""
+    if crs in ("EPSG:4326", "EPSG:4258"):
         return None
     if crs == "EPSG:3857":
         return _wgs84_to_webmercator, _webmercator_to_wgs84
@@ -269,6 +281,14 @@ def _proj_pair(crs: str):
         zone = int(m.group(2))
         if 1 <= zone <= 60:
             return _utm_forward(zone, south), _utm_inverse(zone, south)
+    m = re.fullmatch(r"EPSG:258(\d{2})", crs)
+    if m:  # ETRS89 / UTM zone NN north (GRS80 ellipsoid) — EU national grids
+        zone = int(m.group(1))
+        if 28 <= zone <= 38:
+            return (
+                _utm_forward(zone, False, _TM_GRS80),
+                _utm_inverse(zone, False, _TM_GRS80),
+            )
     raise ValueError(f"unsupported CRS {crs}")
 
 

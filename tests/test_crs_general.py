@@ -214,3 +214,30 @@ def test_reproject_zones_utm():
     E, N = reproject(xs[0], ys[0], "EPSG:4326", "EPSG:32631")
     assert np.abs(zp.xs[0] - E).max() < 1e-9
     assert np.abs(zp.ys[0] - N).max() < 1e-9
+
+
+# ----------------------------------------- ETRS89 / EPSG:258xx (round 3b)
+
+
+def test_etrs89_utm_roundtrip_and_ellipsoid():
+    """EPSG:25832 (GRS80) round-trips at 1e-9° and differs from
+    EPSG:32632 (WGS84) by the sub-mm ellipsoid delta — present (the
+    GRS80 constants really are used) but tiny."""
+    lon = RNG.uniform(6.5, 11.5, 4000)
+    lat = RNG.uniform(47.0, 55.0, 4000)
+    E, N = reproject(lon, lat, "EPSG:4258", "EPSG:25832")
+    lon2, lat2 = reproject(E, N, "EPSG:25832", "EPSG:4258")
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    E2, N2 = reproject(lon, lat, "EPSG:4326", "EPSG:32632")
+    dN = np.abs(N - N2)
+    assert dN.max() < 1e-3       # sub-mm: same zone, different ellipsoid
+    assert dN.max() > 1e-6       # ...but NOT identical constants
+
+
+def test_etrs89_identity_and_zone_range():
+    lon = np.array([10.0]); lat = np.array([52.0])
+    same = reproject(lon, lat, "EPSG:4326", "EPSG:4258")
+    assert same[0][0] == 10.0 and same[1][0] == 52.0
+    with pytest.raises(ValueError):
+        reproject(lon, lat, "EPSG:4326", "EPSG:25820")  # outside 28-38
