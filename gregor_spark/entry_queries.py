@@ -590,7 +590,8 @@ def _simhash_sql(bits: int = 16) -> str:
     total = " + ".join(terms)
     return f"""
 WITH t AS (
-  SELECT doc_id, list_transform({_TOKS}, t -> {_TOKINT.format(t='t')}) AS hs
+  SELECT doc_id, list_transform({_TOKS},
+    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
   FROM documents
 )
 SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t

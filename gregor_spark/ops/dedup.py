@@ -408,9 +408,12 @@ def dedup_incremental(
 def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — sign-aggregated ``bits``-wide fingerprint over
     token hashes; near-duplicate docs land within small Hamming distance.
-    Pure column expressions: per-bit signed sums via aggregate folds."""
+    Pure column expressions: per-bit signed sums via aggregate folds.
+    Token hashes are the 60-bit md5 prefix (same rationale as
+    _shingle_int: the cheap char/length hash collapses on
+    uniform-alphabet corpora, which flattens the per-bit sums)."""
     toks = tokens(F.col(text))
-    hs = F.transform(toks, _token_int)
+    hs = F.transform(toks, _md5_int)
 
     def bit_fold(j: int):
         # NB: bind j via closure, not a default arg — pyspark introspects
@@ -581,7 +584,7 @@ def simhash_fast(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFra
     O(docs) rows of ``bits`` ints regardless of document length — the
     100 TB-safe shape.  ``simhash`` stays as the oracle twin (parity
     asserted in tests)."""
-    hs = F.transform(tokens(F.col(text)), _token_int)
+    hs = F.transform(tokens(F.col(text)), _md5_int)
     ex = docs.select("doc_id", F.explode(hs).alias("_h"))
     sums = ex.groupBy("doc_id").agg(
         *[
