@@ -57,6 +57,7 @@ HEADLINE = [
     "reproject_laea",      # r3: arbitrary-CRS kernel (LAEA ellipsoidal)
     "dedup_incremental",   # r3: delta-dedup vs persisted band index
     "ann_ivf_matmul",      # r3: IVF cogroup matmul re-rank
+    "events_asof",         # r3: as-of join (union+window, no range join)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

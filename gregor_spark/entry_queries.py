@@ -1658,8 +1658,59 @@ FROM b
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 as-of join: each purchase matched to the user's latest
+    view at-or-before it (backward inclusive).  Engine = union-tag + one
+    window (single shuffle, no range join — ops/temporal.py); oracle =
+    DuckDB's NATIVE ASOF JOIN, a fully independent implementation.
+    The view side dedupes to one row per (user, ts) via max_by so the
+    at-tie winner is defined in both engines."""
+    from .ops.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    out = asof_join(purchases, views, on="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value_r"),
+        F.col("r_view_id").alias("view_id"),
+        # r_ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast
+        # is a pure type change and unix_micros matches DuckDB's epoch_us
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("view_ts_us"),
+        F.round("r_view_value", 6).alias("view_value_r"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id,
+         arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, round(p.value, 6) AS value_r,
+       v.view_id, epoch_us(v.ts) AS view_ts_us,
+       round(v.view_value, 6) AS view_value_r
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 REGISTRY.update(
     {
+        "events_asof": (q_events_asof, _EVENTS_ASOF_SQL),
         "reproject_laea": (q_reproject_laea, _REPROJECT_LAEA_SQL),
         "dedup_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
         "belongs_holes": (q_belongs_holed, _BELONGS_HOLED_SQL),

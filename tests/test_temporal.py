@@ -1,0 +1,66 @@
+"""asof_join edge semantics: backward-inclusive ties, missing-match NULLs,
+per-key isolation, and the no-range-join plan shape."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_asof_join_semantics(spark):
+    from gregor_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts(5), 10),   # after r@3 -> matches 3
+            (2, _ts(2), 10),   # before any right row -> NULL
+            (3, _ts(3), 10),   # ties r@3 -> inclusive, matches 3
+            (4, _ts(9), 10),   # after r@3 and r@7 -> matches 7
+            (5, _ts(9), 20),   # other key: only r@8 exists -> matches 8
+            (6, _ts(1), 30),   # key with no right rows at all -> NULL
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, _ts(3), 10, 0.3),
+            (102, _ts(7), 10, 0.7),
+            (103, _ts(8), 20, 0.8),
+        ],
+        "rid long, ts timestamp, user_id long, val double",
+    )
+    out = {
+        r["event_id"]: (r["r_rid"], r["r_val"])
+        for r in asof_join(left, right, on="user_id", ts="ts").collect()
+    }
+    assert out[1] == (101, 0.3)
+    assert out[2] == (None, None)
+    assert out[3] == (101, 0.3)   # equal ts counts (backward inclusive)
+    assert out[4] == (102, 0.7)
+    assert out[5] == (103, 0.8)
+    assert out[6] == (None, None)
+    assert len(out) == 6          # every left row exactly once
+
+
+def test_asof_join_plan_has_no_range_join(spark):
+    """The operator must plan as union + window — ONE shuffle on the key,
+    no BroadcastNestedLoop/cartesian from a range predicate."""
+    from gregor_spark.ops.temporal import asof_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+    )
+    right = spark.range(40).select(
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(F.col("id") * 97).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+    )
+    plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # the window's (+AQE coalesce at most)
