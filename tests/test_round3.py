@@ -132,11 +132,13 @@ def test_dedup_clusters_flat_rounds_deep_chain(spark):
     ).count()
     assert bad == 0
     # flat per-round cost: the tail rounds must not exceed a small multiple
-    # of the early rounds (pre-fix they grow superlinearly: round 16 chains
-    # 16 joins of lineage).  Generous bound for VM noise.
+    # of the early rounds.  Pre-fix they grow ~linearly with round number
+    # (round 16 chains 16 joins of lineage, ≳16× round 1), so a 5× bound
+    # still catches the regression decisively while tolerating this VM's
+    # bursty steal (a 3×+0.5s bound flaked once under ambient load).
     early = sorted(times[1:6])[len(times[1:6]) // 2]  # median of rounds 1-5
     late = sorted(times[-5:])[len(times[-5:]) // 2]  # median of last 5
-    assert late < 3.0 * early + 0.5, f"per-round times grew: {times}"
+    assert late < 5.0 * early + 1.0, f"per-round times grew: {times}"
 
 
 def test_dedup_clusters_raises_without_convergence(spark):
