@@ -455,9 +455,14 @@ def _ivf_rerank_matmul(
         cids = cg["nbr_id"].to_numpy(np.int64)
         qm = np.asarray(qg["q_vec"].tolist(), dtype=np.float64)
         cm = np.asarray(cg["c_vec"].tolist(), dtype=np.float64)
-        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = qm @ cm.T  # (Q_probing_this_list, list_size)
+        # dot FIRST, then one divide by the norm product — the same float64
+        # operation order as the fold path and the SQL oracle
+        # (dot/(|q||c|)).  Pre-normalizing each vector instead computes
+        # (q/|q|)·(c/|c|), which differs in the last ulp and can swap
+        # near-tied neighbor RANKS between engine and oracle.
+        qn = np.linalg.norm(qm, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        sims = (qm @ cm.T) / np.outer(qn, cn)  # (Q_probing_this_list, list_size)
         sims[qids[:, None] == cids[None, :]] = -np.inf  # self-pairs out
         kk = min(k, sims.shape[1])
         # per-query local top-k, ties by nbr_id asc (lexsort: last key primary)

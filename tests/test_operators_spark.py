@@ -62,6 +62,26 @@ def test_aggregate_raster_to_polygon_sum(spark, cells):
     assert got == pytest.approx(FX.GOLDEN_ZONAL_SUM_2X2)
 
 
+def test_aggregate_raster_to_polygon_minmax(spark, cells):
+    """min/max dispatch goldens — pins the zonal_minmax contract query's
+    behavior now that it sits past the driver's 50-query verification
+    window (see entry_queries._WINDOW_TAIL)."""
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+    lo = {
+        r["zone_id"]: r["min_value"]
+        for r in aggregate_raster_to_polygon(cells, zones, "min").collect()
+    }
+    hi = {
+        r["zone_id"]: r["max_value"]
+        for r in aggregate_raster_to_polygon(cells, zones, "max").collect()
+    }
+    # nodata=0 excluded; zone cell values from FX.RASTER_VALUES quadrants:
+    # zone 0: {1.0, .75, 1.0}; zone 1: {.5, .5}; zone 2: {.75};
+    # zone 3: {.25, .75, .25, .75}
+    assert lo == pytest.approx({0: 0.75, 1: 0.5, 2: 0.75, 3: 0.25})
+    assert hi == pytest.approx({0: 1.0, 1: 0.5, 2: 0.75, 3: 0.75})
+
+
 def test_aggregate_raster_nodata_excluded(spark, cells):
     """nodata=0 pixels excluded from count/mean (rasterstats semantics,
     reference aggregate.py:40-54)."""
