@@ -412,6 +412,7 @@ def ann_ivf_topk_matmul(
     nprobe: int = 3,
     key: str = "vec_id",
     vec: str = "embedding",
+    max_list_rows: int | None = 200_000,
 ) -> DataFrame:
     """Throughput twin of ``ann_ivf_topk``: same deterministic centroids
     and probe plan, but the re-rank runs ONE float64 matmul per inverted
@@ -429,15 +430,37 @@ def ann_ivf_topk_matmul(
     Scale shape: a list holds ~corpus/n_lists rows — grow ``n_lists`` with
     the corpus (the standard IVF ~sqrt(N) rule) so each cogroup's matmul
     stays executor-sized; the groups themselves spread over the cluster.
+    The hash-uniform centroid sampling balances EXPECTED list sizes, but
+    an adversarial corpus (say 10⁶ near-identical vectors) still lands one
+    hot list — ``max_list_rows`` bounds that cogroup (see
+    ``_ivf_rerank_matmul``); ``None`` disables the histogram pass.
     """
     assigned, q = _ivf_assign(df, n_lists, nprobe, n_queries, key, vec)
-    return _ivf_rerank_matmul(assigned, q, k, key)
+    return _ivf_rerank_matmul(assigned, q, k, key, max_list_rows)
 
 
 def _ivf_rerank_matmul(
-    assigned: DataFrame, q: DataFrame, k: int, key: str
+    assigned: DataFrame,
+    q: DataFrame,
+    k: int,
+    key: str,
+    max_list_rows: int | None = None,
 ) -> DataFrame:
-    """Cogroup-matmul re-rank over an ``_ivf_assign`` output pair."""
+    """Cogroup-matmul re-rank over an ``_ivf_assign`` output pair.
+
+    ``max_list_rows`` bounds the HOT-LIST cogroup: Voronoi lists larger
+    than the cap are split over ``ceil(n / max_list_rows)`` hash slots
+    (the ``hot_cells`` histogram pattern from operators/spatial_join.py —
+    one partial-agg pass over the assignment, a broadcast-joined slot
+    table of ≤ n_lists rows).  Queries probing a split list replicate
+    across its slots; each corpus row lives in exactly ONE (list, slot),
+    so per-cogroup corpus rows ≤ max_list_rows BY CONSTRUCTION and the
+    output is identical — the union of per-slot top-k contains the
+    per-list top-k, and the final window re-ranks globally (parity with
+    the unsplit path asserted in tests on an all-hot corpus).  Query-side
+    replication cost is O(queries × nprobe × slots-per-hot-list) rows —
+    the recall/cost dial stays nprobe, the cap only flattens stragglers.
+    """
     out_schema = T.StructType(
         [
             T.StructField("q_id", T.LongType()),
@@ -478,13 +501,45 @@ def _ivf_rerank_matmul(
             }
         )
 
+    group_cols = ["list_id"]
+    if max_list_rows is not None:
+        # the histogram makes `assigned` dual-consumed; pin it so the
+        # Arrow assignment UDF runs once (assignment output is narrow —
+        # id + vector + list — so the checkpoint is corpus-sized but flat)
+        assigned = assigned.localCheckpoint(eager=False)
+        slots = (
+            assigned.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "list_id",
+                F.ceil(F.col("_n") / F.lit(max_list_rows)).cast("int").alias("_slots"),
+            )
+        )
+        assigned = (
+            assigned.join(F.broadcast(slots), "list_id")
+            .withColumn(
+                "_slot",
+                F.pmod(F.xxhash64(F.col("nbr_id")), F.col("_slots")).cast("int"),
+            )
+            .drop("_slots")
+        )
+        # inner join drops queries probing corpus-empty lists — those
+        # cogroups produced zero candidates anyway
+        q = (
+            q.join(F.broadcast(slots), "list_id")
+            .withColumn(
+                "_slot", F.explode(F.sequence(F.lit(0), F.col("_slots") - 1))
+            )
+            .drop("_slots")
+        )
+        group_cols = ["list_id", "_slot"]
     cand = (
-        q.groupby("list_id")
-        .cogroup(assigned.groupby("list_id"))
+        q.groupby(*group_cols)
+        .cogroup(assigned.groupby(*group_cols))
         .applyInPandas(rerank, schema=out_schema)
     )
-    # no distinct needed: each corpus vector lives in exactly ONE list, so a
-    # (q, nbr) pair can only surface from that one cogroup
+    # no distinct needed: each corpus vector lives in exactly ONE
+    # (list, slot), so a (q, nbr) pair can only surface from one cogroup
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -24,7 +24,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """True when Spark can ORDER BY a column of this type (everything but
+    maps, at any nesting depth)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -40,11 +53,19 @@ def asof_join(
     NULLs when no right row precedes.  Ties on ts count the right row
     (it is "already in force" at that instant).
 
-    Deterministic: among right rows sharing the exact same ts, the one
-    with the greatest (ts, original column order) window position wins —
-    ensure right-side ts are unique per key for fully defined output
-    (the contract query's oracle pairs it with DuckDB's ASOF JOIN, which
-    has the same uniqueness expectation).
+    FULLY deterministic, duplicate (key, ts) right rows included: among
+    right rows sharing the exact same (key, ts), the one with the
+    GREATEST payload struct (field-order lexicographic comparison over
+    the non-key right columns) wins — a tertiary window sort key, so the
+    result never depends on partitioning or parallelism (asserted at
+    local[8] vs local[32] in tests/test_temporal.py).  When the payload
+    contains a map (not orderable in Spark), the tie-break falls back to
+    the payload's canonical JSON — still deterministic, just not a
+    meaningful ordering.  An independent oracle replays the rule as
+    ``max_by(payload, (ts, payload))`` per (key, ts); DuckDB's native
+    ASOF JOIN (the contract query's oracle) leaves the tie winner
+    undefined, so the contract pre-dedupes — the OPERATOR no longer
+    needs that caller discipline.
     """
     r_payload = [c for c in right.columns if c != on]
     l_side = left.select(
@@ -66,10 +87,23 @@ def asof_join(
         F.struct(*r_payload).alias("_r"),
     )
     # side 0 < 1: at equal ts the right row sorts BEFORE the left row, so
-    # the carried last() includes it — backward-inclusive semantics
+    # the carried last() includes it — backward-inclusive semantics.
+    # Tertiary key: among equal-(ts, side=0) right rows, last() must not
+    # pick an arbitrary one — order by the payload itself so the greatest
+    # struct wins.  Left rows all carry _r = NULL (asc_nulls_first keeps
+    # them ordered, and their relative order is output-irrelevant: each
+    # left row emits its own result and sees the same carried _match).
+    r_struct_type = right.select(F.struct(*r_payload).alias("s")).schema[
+        "s"
+    ].dataType
+    tie = (
+        F.col("_r")
+        if _orderable(r_struct_type)
+        else F.to_json(F.col("_r"))
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_side.unionByName(r_side).withColumn(

@@ -45,6 +45,48 @@ def test_asof_join_semantics(spark):
     assert len(out) == 6          # every left row exactly once
 
 
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Duplicate (key, ts) right rows: the GREATEST payload struct wins
+    (field-order lexicographic — here the larger rid), identically at two
+    parallelism levels, so the operator is fully defined without caller
+    pre-dedup."""
+    from gregor_spark.ops.temporal import asof_join
+
+    left_rows = [(i, _ts(5 + (i % 3)), 10 + (i % 4)) for i in range(200)]
+    # three right rows per (key, ts) — same ts, different payloads
+    right_rows = [
+        (rid, _ts(secs), key, rid * 0.1)
+        for key in (10, 11, 12, 13)
+        for secs in (3, 5, 6)
+        for rid in (key * 100 + secs * 10 + d for d in (0, 1, 2))
+    ]
+    expected_rid = {
+        (key, secs): max(key * 100 + secs * 10 + d for d in (0, 1, 2))
+        for key in (10, 11, 12, 13)
+        for secs in (3, 5, 6)
+    }
+    results = []
+    for shuffle in ("3", "32"):
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+        left = spark.createDataFrame(
+            left_rows, "event_id long, ts timestamp, user_id long"
+        ).repartition(int(shuffle))
+        right = spark.createDataFrame(
+            right_rows, "rid long, ts timestamp, user_id long, val double"
+        ).repartition(int(shuffle))
+        got = {
+            r["event_id"]: r["r_rid"]
+            for r in asof_join(left, right, on="user_id", ts="ts").collect()
+        }
+        results.append(got)
+    spark.conf.unset("spark.sql.shuffle.partitions")
+    assert results[0] == results[1]  # parallelism-independent
+    for event_id, ts, key in left_rows:
+        secs = 5 + (event_id % 3)
+        best = max(s for s in (3, 5, 6) if s <= secs)
+        assert results[0][event_id] == expected_rid[(key, best)]
+
+
 def test_asof_join_plan_has_no_range_join(spark):
     """The operator must plan as union + window — ONE shuffle on the key,
     no BroadcastNestedLoop/cartesian from a range predicate."""
