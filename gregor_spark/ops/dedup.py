@@ -251,8 +251,20 @@ def minhash_bands(
     old long-form path paid a second shuffle — collect_list per band).
     A trailing partial band keeps the leftover permutations in play when
     num_perm % rows_per_band != 0 (matching band = perm // rows_per_band).
-    Docs with no k-shingles (< k tokens) have no rows here — they carry
-    no near-dup signal; exact dedup (dedup_exact) covers them.
+
+    Short-document semantics (follows from word_shingles' ``greatest(n -
+    k + 1, 1)``, pinned in tests/test_round4.py):
+      * 1 ≤ tokens < k → ONE whole-text shingle, so the doc gets bands
+        and near-dup detection degrades to exact-match on its full text
+        (two 2-token docs band-match iff their texts are identical);
+      * empty / whitespace-only / NULL text → the single '' shingle
+        (concat_ws maps NULL to empty), shared by ALL contentless docs:
+        they band-match each other and dedup to the smallest-id
+        contentless doc — intended, since no-content docs ARE exact
+        duplicates of one another.
+    EVERY doc therefore has band rows; the streaming index's band = -1
+    marker rows are redundancy for the re-ingestion rule, not the only
+    trace of short docs.
 
     At 100 TB the index is written once with
     ``sources.iceberg_like.write_table(bands, path, bucket_by="band_key")``
@@ -317,8 +329,10 @@ def dedup_incremental(
 
     Returns one row per new doc: (doc_id, keep, dup_of) where a doc is
     DROPPED (keep = false) iff any of
-      * its doc_id already exists in the index (re-ingestion — catches
-        even signature-less short docs),
+      * its doc_id already exists in the index (re-ingestion; every doc
+        — short, empty, or NULL-text — carries a signature, see
+        minhash_bands, so this rule is id-equality belt-and-braces on
+        top of the band match),
       * it shares a (band, band_key) with an indexed doc, or
       * it shares a (band, band_key) with a smaller-id doc in the SAME
         shard (deterministic first-id-wins within the batch);

@@ -100,22 +100,50 @@ def _close_ring(rx: np.ndarray, ry: np.ndarray) -> list[list[float]]:
     return pts
 
 
+def _containing_part(hole_rings, exterior_rings) -> int:
+    """Index of the exterior ring containing the hole (tested on one hole
+    vertex — holes nest strictly inside their exterior, so any vertex
+    decides).  Falls back to part 0 only when no exterior contains the
+    vertex (already-invalid input; keeps serialization total)."""
+    from ..geo.kernels import points_strictly_inside
+
+    hx, hy = hole_rings
+    for i, (ex, ey) in enumerate(exterior_rings):
+        if points_strictly_inside(hx[:1], hy[:1], ex, ey)[0]:
+            return i
+    return 0
+
+
 def zoneset_to_geojson(
     zones, path: str | None = None, value_property: str = "value"
 ) -> dict:
     """Serialize a ZoneSet as a GeoJSON FeatureCollection (the round-trip
     inverse of ``zoneset_from_geojson``).  Exterior parts each become a
-    Polygon in a MultiPolygon (single part → plain Polygon); holes attach
-    to the FIRST part (the engine's even-odd kernels are part-agnostic, so
-    the hole membership is a serialization choice, not a semantic one)."""
+    Polygon in a MultiPolygon (single part → plain Polygon); each hole
+    attaches to the part whose exterior CONTAINS it (a point-in-ring test
+    on one hole vertex) — the engine's own even-odd kernels are
+    part-agnostic, but RFC 7946 consumers reject an interior ring outside
+    its exterior, so membership matters for interchange.  A zone whose
+    rings are ALL holes raises ValueError (no valid serialization
+    exists)."""
     features = []
     for k, zid in enumerate(zones.zone_ids):
         zid = int(zid)
         rings = zones.zone_rings(k)
-        exteriors = [_close_ring(rx, ry) for rx, ry, hole in rings if not hole]
-        holes = [_close_ring(rx, ry) for rx, ry, hole in rings if hole]
+        ext_open = [(rx, ry) for rx, ry, hole in rings if not hole]
+        if not ext_open:
+            raise ValueError(
+                f"zone {zid}: every ring is a hole — no exterior to "
+                "serialize (GeoJSON requires ring 0 of each part to be "
+                "an exterior)"
+            )
+        exteriors = [_close_ring(rx, ry) for rx, ry in ext_open]
         polys = [[ext] for ext in exteriors]
-        polys[0].extend(holes)
+        for rx, ry, hole in rings:
+            if hole:
+                polys[_containing_part((rx, ry), ext_open)].append(
+                    _close_ring(rx, ry)
+                )
         geom = (
             {"type": "Polygon", "coordinates": polys[0]}
             if len(polys) == 1

@@ -70,3 +70,199 @@ def test_ann_ivf_hot_list_slots_bound_cogroup_rows(spark):
     # hash slots are uniform in expectation; allow 2x headroom over the
     # exact cap (the guarantee is O(cap) per cogroup, not an exact cut)
     assert max_slot <= 2 * cap
+
+
+# ------------------------------------------ streaming dedup crash safety
+
+
+def _decisions_map(spark, dec_path):
+    return {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in spark.read.parquet(dec_path).collect()
+    }
+
+
+def test_dedup_stream_replay_after_index_write(spark, tmp_path):
+    """Replaying a FULLY-written batch (crash after both writes but before
+    the stream checkpoint commit) must reproduce the original decisions —
+    the old append-based protocol instead flagged every kept doc as
+    re-ingested (keep=false, dup_of=itself), silently dropping it from
+    the kept output."""
+    from gregor_spark.streaming.dedup_stream import process_batch
+
+    index_path = str(tmp_path / "index")
+    dec_path = str(tmp_path / "decisions")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "one two three four five six seven"),
+            (12, "alpha beta gamma delta epsilon zeta"),  # dup of 10
+        ],
+        "doc_id long, text string",
+    )
+    process_batch(batch, 0, index_path, dec_path)
+    first = _decisions_map(spark, dec_path)
+    assert first == {10: (True, None), 11: (True, None), 12: (False, 10)}
+    # full replay of the same batch id — every crash point between the
+    # two writes and the checkpoint commit lands here or earlier
+    process_batch(batch, 0, index_path, dec_path)
+    assert _decisions_map(spark, dec_path) == first
+    # index partition was overwritten, not doubled
+    idx = spark.read.parquet(index_path)
+    assert idx.filter(F.col("band") >= 0).select("doc_id").distinct().count() == 2
+
+
+def test_dedup_stream_partial_crash_simulation(spark, tmp_path):
+    """Crash with batch 1's INDEX partition written but its decisions
+    missing (the old protocol's worst window): the replay must not see
+    its own bands."""
+    from gregor_spark.streaming.dedup_stream import index_rows_for, process_batch
+
+    index_path = str(tmp_path / "index")
+    dec_path = str(tmp_path / "decisions")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    process_batch(b0, 0, index_path, dec_path)
+    b1 = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta"),  # dup of batch-0 doc 1
+            (3, "novel words never seen before anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    # simulate the WORST pre-fix crash: batch 1's INDEX rows land but its
+    # decisions do not (the old protocol's index-first ordering), then the
+    # batch replays
+    index_rows_for(b1.filter("doc_id = 3")).write.mode("overwrite").parquet(
+        f"{index_path}/batch_id=1"
+    )
+    process_batch(b1, 1, index_path, dec_path)
+    got = _decisions_map(spark, dec_path)
+    assert got[2] == (False, 1)
+    assert got[3] == (True, None)  # NOT flagged as re-ingested
+
+
+def test_read_index_missing_vs_corrupt(spark, tmp_path):
+    """A missing index directory is an empty index; a genuinely corrupt
+    index must RAISE, not silently dedup against nothing."""
+    from gregor_spark.streaming.dedup_stream import read_index
+
+    assert read_index(spark, str(tmp_path / "nope")).count() == 0
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        read_index(spark, str(bad)).collect()
+
+
+# --------------------------------------- short/empty/null doc signatures
+
+
+def test_minhash_bands_short_and_empty_docs(spark):
+    """Pin the short-document banding semantics the docstring promises:
+    sub-k docs band-match iff texts are identical; empty, whitespace-only
+    and NULL-text docs all share one '' signature (contentless docs are
+    exact duplicates of one another)."""
+    from gregor_spark.ops.dedup import dedup_incremental, minhash_bands
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd"),          # 2 tokens < k=3: one whole-text shingle
+            (2, "ab cd"),          # identical short text -> matches 1
+            (3, "ab ce"),          # different short text -> no match
+            (4, ""),               # empty
+            (5, "   "),            # whitespace-only == empty
+            (6, None),             # NULL == empty (concat_ws skips nulls)
+        ],
+        "doc_id long, text string",
+    )
+    bands = minhash_bands(docs)
+    by_doc = {
+        d: {(r["band"], r["band_key"]) for r in rows}
+        for d, rows in (
+            (d, [r for r in bands.collect() if r["doc_id"] == d])
+            for d in (1, 2, 3, 4, 5, 6)
+        )
+    }
+    assert by_doc[1] == by_doc[2] and by_doc[1]  # identical short texts match
+    assert by_doc[1] != by_doc[3]                # different short texts don't
+    assert by_doc[4] == by_doc[5] == by_doc[6] and by_doc[4]  # contentless
+    assert by_doc[4] != by_doc[1]
+    # incremental dedup consequence: contentless docs in a shard drop
+    # against the smallest-id contentless doc already indexed
+    index = minhash_bands(docs.filter("doc_id = 4"))
+    out = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in dedup_incremental(
+            docs.filter("doc_id in (5, 6)"), index
+        ).collect()
+    }
+    assert out[5] == (False, 4)
+    assert out[6] == (False, 4)
+
+
+# --------------------------------------- GeoJSON multi-part hole placement
+
+
+def _box(x0, y0, x1, y1):
+    return (
+        np.array([x0, x1, x1, x0], dtype=np.float64),
+        np.array([y0, y0, y1, y1], dtype=np.float64),
+    )
+
+
+def test_geojson_hole_attaches_to_containing_part():
+    """A MultiPolygon hole must serialize inside the part whose exterior
+    contains it (RFC 7946 validity), not blindly on part 0."""
+    from gregor_spark.model.zones import ZoneSet
+    from gregor_spark.sources.geojson import (
+        zoneset_from_geojson,
+        zoneset_to_geojson,
+    )
+
+    p1x, p1y = _box(0, 0, 1, 1)     # part 0: unit box at origin
+    p2x, p2y = _box(10, 10, 14, 14)  # part 1: box far away
+    hx, hy = _box(11, 11, 12, 12)    # hole INSIDE part 1
+    zones = ZoneSet(
+        np.array([7]),
+        [p1x],
+        [p1y],
+        {},
+        extra_rings=[[(p2x, p2y, False), (hx, hy, True)]],
+    )
+    gj = zoneset_to_geojson(zones)
+    geom = gj["features"][0]["geometry"]
+    assert geom["type"] == "MultiPolygon"
+    parts = geom["coordinates"]
+    assert len(parts) == 2
+    assert len(parts[0]) == 1      # part 0: exterior only
+    assert len(parts[1]) == 2      # part 1: exterior + its hole
+    hole = parts[1][1]
+    assert {tuple(p) for p in hole[:-1]} == {
+        (11.0, 11.0), (12.0, 11.0), (12.0, 12.0), (11.0, 12.0)
+    }
+    # and the round trip preserves ring membership semantics
+    back = zoneset_from_geojson(gj)
+    kinds = [(bool(h)) for _x, _y, h in back.zone_rings(0)]
+    assert kinds.count(True) == 1 and kinds.count(False) == 2
+
+
+def test_geojson_all_holes_zone_raises():
+    from gregor_spark.model.zones import ZoneSet
+    from gregor_spark.sources.geojson import zoneset_to_geojson
+
+    hx, hy = _box(0, 0, 1, 1)
+    # primary ring marked as... there is no way to mark the PRIMARY ring
+    # as a hole through the dataclass, so build the degenerate case via a
+    # zone whose rings list is all holes by monkeypatching zone_rings
+    zones = ZoneSet(np.array([1]), [hx], [hy], {})
+    orig = ZoneSet.zone_rings
+    try:
+        ZoneSet.zone_rings = lambda self, k: [
+            (r[0], r[1], True) for r in orig(self, k)
+        ]
+        with pytest.raises(ValueError, match="every ring is a hole"):
+            zoneset_to_geojson(zones)
+    finally:
+        ZoneSet.zone_rings = orig
