@@ -909,6 +909,52 @@ FROM s
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes→pixels media decoding (round 4): distributed-built
+    24-bit BMP payloads decoded by the pure-numpy BMP parser inside
+    extract_features (header parse, row padding, bottom-up flip — see
+    ops/media.py::decode_bmp).  The oracle re-derives every decoded
+    feature from the same modular pixel arithmetic — if the decoder
+    mis-parses a single byte of any image, the integer pixel sums (and
+    hence mean/std at round-6) diverge."""
+    from .ops.media import extract_features, synthetic_media_bmp
+
+    return extract_features(synthetic_media_bmp(spark, 400)).select(
+        "media_id",
+        F.round("mean_px", 6).alias("mean_r"),
+        F.round("std_px", 6).alias("std_r"),
+        "thumb_w",
+        "thumb_h",
+    )
+
+
+# pixel i of image id = (id*31 + i*7) % 256 over (id%13+4) x (id%11+4)
+# pixels; features from EXACT integer sums, one division + sqrt per side
+_MEDIA_DECODE_SQL = """
+WITH m AS (
+  SELECT g.g AS id, g.g % 13 + 4 AS w, g.g % 11 + 4 AS h
+  FROM generate_series(0, 399) g(g)
+),
+px AS (
+  SELECT id, w, h, (id * 31 + i.g * 7) % 256 AS v
+  FROM m CROSS JOIN generate_series(0, 16 * 16 - 1) i(g)
+  WHERE i.g < w * h
+),
+s AS (
+  SELECT id, w, h, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean_r,
+       round(sqrt(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS std_r,
+       CAST((w - 1) // greatest(w // 8, 1) + 1 AS INT) AS thumb_w,
+       CAST((h - 1) // greatest(h // 8, 1) + 1 AS INT) AS thumb_h
+FROM s
+"""
+
+
 def _ann_planes_cte(n_tables: int, n_planes: int, dim: int, seed: int) -> str:
     """VALUES CTE of the seeded hyperplanes — the oracle re-derives the
     exact LSH blocking from the same deterministic planes."""
@@ -1729,6 +1775,7 @@ REGISTRY.update(
         "ann_ivf": (q_ann_ivf, _ANN_IVF_SQL),
         "ann_ivf_matmul": (q_ann_ivf_matmul, _ANN_IVF_SQL),
         "dedup_clusters": (q_dedup_clusters, _DEDUP_CLUSTERS_SQL),
+        "media_decode": (q_media_decode, _MEDIA_DECODE_SQL),
     }
 )
 
@@ -1749,10 +1796,13 @@ REGISTRY.update(
 #     test_operators_spark::test_aggregate_raster_to_polygon_minmax.
 #   coarsen_2x2 — conservation goldens in test_operators_spark (line 84)
 #     and test_roundtrip.
+#   belongs_3x3 — same path + fixture family as belongs_2x2 (in-window);
+#     rotated r4 to admit media_decode; golden matrix in
+#     test_operators_spark::test_belongs_to_spark.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.
-_WINDOW_TAIL = ("belongs_overlap", "zonal_minmax", "coarsen_2x2")
+_WINDOW_TAIL = ("belongs_overlap", "zonal_minmax", "coarsen_2x2", "belongs_3x3")
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},
     **{k: REGISTRY[k] for k in _WINDOW_TAIL},

@@ -1,16 +1,22 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched pandas UDFs.
 
-The image/audio codecs are NOT in this environment, so the decode step is
-a clearly-marked deterministic fake (``_fake_decode``) behind the same
-batch interface a real libjpeg/ffmpeg binding would use — the Spark-side
-contract (schema, partitioning, UDF signature, Arrow batch shape) is real
-and tested.  Swap ``_fake_decode`` for a real decoder on a cluster with
-the codec libraries installed.
+COMPRESSED codecs (JPEG/PNG/MP3/H.264) are NOT in this environment, so
+their decode step is a clearly-marked deterministic fake
+(``_fake_decode``) behind the same batch interface a real libjpeg/ffmpeg
+binding would use.  Uncompressed containers need no codec library:
+``decode_bmp`` is a REAL pure-numpy decoder for 24-bit uncompressed BMP
+(``make_bmp_gray24`` is its encoder twin), and ``extract_features``
+sniffs the ``BM`` magic to route real BMP payloads through real
+bytes→pixels decoding while everything else keeps the stub.  The
+Spark-side contract (schema, partitioning, UDF signature, Arrow batch
+shape) is identical either way.  Swap ``_fake_decode`` for real codec
+bindings on a cluster that has them.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -65,6 +71,61 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+_BMP_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def make_bmp_gray24(values: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 grayscale array as a standard
+    24-bit uncompressed BMP (R=G=B; row 0 of ``values`` is the TOP row —
+    the encoder flips into BMP's bottom-up storage, rows padded to 4
+    bytes).  Any external BMP viewer opens the result; ``decode_bmp``
+    inverts it exactly."""
+    values = np.asarray(values, dtype=np.uint8)
+    height, width = values.shape
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", _BMP_HEADER + img_size, 0, 0, _BMP_HEADER)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    zero = b"\x00" * pad
+    rows = [
+        np.repeat(values[y], 3).tobytes() + zero
+        for y in range(height - 1, -1, -1)
+    ]
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL bytes→pixels decoding of a 24-bit uncompressed BMP (the one
+    image container decodable without codec libraries): parses the file +
+    info headers, honors the pixel-data offset, 4-byte row padding, and
+    bottom-up vs top-down row order, and returns (height, width) uint8
+    luminance as the exact integer mean (B+G+R)//3 — for grayscale BMPs
+    (R=G=B) that is the original channel value, bit-exact."""
+    if bytes(payload[:2]) != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodable without codec libs "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    top_down = height < 0
+    h = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    rows = buf[offset : offset + stride * h].reshape(h, stride)[:, :row_bytes]
+    bgr = rows.reshape(h, width, 3).astype(np.int64)
+    lum = (bgr.sum(axis=2) // 3).astype(np.uint8)
+    return lum if top_down else lum[::-1]
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels from the payload bytes.
 
@@ -95,15 +156,21 @@ def extract_features(media: DataFrame, thumb: int = 8) -> DataFrame:
 
     The real work (decode + reduce) happens per batch in numpy; Spark only
     sees (media_id → features).  Partition-parallel over the media table;
-    no shuffle."""
+    no shuffle.  Payloads with the BMP magic go through REAL decoding
+    (``decode_bmp``; decoded dimensions override the metadata); all other
+    payloads use the documented deterministic stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rec in pdf.itertuples():
-                w = int(rec.meta["width"])
-                h = int(rec.meta["height"])
-                px = _fake_decode(rec.payload, w, h)
+                if rec.payload is not None and bytes(rec.payload[:2]) == b"BM":
+                    px = decode_bmp(rec.payload)
+                    h, w = px.shape
+                else:
+                    w = int(rec.meta["width"])
+                    h = int(rec.meta["height"])
+                    px = _fake_decode(rec.payload, w, h)
                 sy = max(1, h // thumb)
                 sx = max(1, w // thumb)
                 th = px[::sy, ::sx]
@@ -132,6 +199,39 @@ def extract_features(media: DataFrame, thumb: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media_bmp(spark: SparkSession, n: int) -> DataFrame:
+    """Media table whose payloads are REAL 24-bit BMP files built
+    distributed (mapInPandas over ``spark.range`` — no driver data):
+    image ``id`` is ``(id % 13 + 4) × (id % 11 + 4)`` pixels with flat
+    pixel ``i`` = ``(id·31 + i·7) mod 256``.  Pure modular arithmetic so
+    an independent SQL oracle can re-derive every decoded feature
+    (entry_queries ``media_decode``); ``extract_features`` exercises the
+    real bytes→pixels path end-to-end on these rows."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = mid % 13 + 4
+                h = mid % 11 + 4
+                flat = (mid * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256
+                rows.append(
+                    (
+                        mid,
+                        "doc%012d" % mid,
+                        "image",
+                        make_bmp_gray24(flat.reshape(h, w).astype(np.uint8)),
+                        {"width": w, "height": h, "sample_rate": None, "n_frames": None},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

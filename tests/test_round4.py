@@ -248,6 +248,56 @@ def test_geojson_hole_attaches_to_containing_part():
     assert kinds.count(True) == 1 and kinds.count(False) == 2
 
 
+def test_bmp_roundtrip_padding_and_orientation():
+    """The pure-numpy BMP codec: encode→decode is identity for widths
+    that do and do not need 4-byte row padding, and a top-down BMP
+    (negative height) decodes with the correct row order."""
+    import struct
+
+    from gregor_spark.ops.media import decode_bmp, make_bmp_gray24
+
+    for w, h in [(4, 3), (5, 2), (7, 7), (1, 1), (16, 11)]:
+        img = ((np.arange(w * h) * 7 + 13) % 256).astype(np.uint8).reshape(h, w)
+        assert np.array_equal(decode_bmp(make_bmp_gray24(img)), img), (w, h)
+    # top-down variant: flip the stored height sign and the row order
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    buf = bytearray(make_bmp_gray24(img[::-1]))  # rows stored top-first
+    struct.pack_into("<i", buf, 22, -3)
+    assert np.array_equal(decode_bmp(bytes(buf)), img)
+    with pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"not a bitmap at all")
+
+
+def test_extract_features_mixed_bmp_and_stub(spark):
+    """One media table holding a REAL BMP payload and a stub payload:
+    the BMP row's features come from true decoded pixels (meta dims
+    ignored), the other from the documented fake."""
+    from gregor_spark.ops.media import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_bmp_gray24,
+    )
+
+    img = np.full((4, 6), 9, dtype=np.uint8)
+    img[0, 0] = 21  # mean = (23*9 + 21)/24 = 9.5
+    rows = [
+        (1, "d1", "image", make_bmp_gray24(img), {"width": 999, "height": 999,
+                                                  "sample_rate": None, "n_frames": None}),
+        (2, "d2", "image", b"\x10" * 32, {"width": 8, "height": 8,
+                                          "sample_rate": None, "n_frames": None}),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert got[1]["mean_px"] == pytest.approx((23 * 9 + 21) / 24)
+    assert (got[1]["thumb_w"], got[1]["thumb_h"]) == (6, 4)  # decoded dims
+    assert got[2]["mean_px"] == pytest.approx(16.0)  # stub tiles 0x10 bytes
+    assert got[2]["std_px"] == pytest.approx(0.0)
+
+
 def test_geojson_all_holes_zone_raises():
     from gregor_spark.model.zones import ZoneSet
     from gregor_spark.sources.geojson import zoneset_to_geojson
