@@ -1,9 +1,9 @@
 """CLI — the reference's four commands (src/gregor/cli.py:10-82)
 re-expressed over parquet datasets.
 
-    python -m gregor_spark.cli raster-poly  <cells.parquet> <zones.json> <dst> [--stats sum]
+    python -m gregor_spark.cli raster-poly  <cells.parquet|.tif> <zones.json> <dst> [--stats sum]
     python -m gregor_spark.cli point-poly   <points.parquet> <zones.json> <dst> [--stats sum]
-    python -m gregor_spark.cli poly-raster  <zones.json> <column> <proxy.parquet> <dst>
+    python -m gregor_spark.cli poly-raster  <zones.json> <column> <proxy.parquet|.tif> <dst[.tif]>
     python -m gregor_spark.cli poly-point   <zones.json> <column> <proxy.parquet> <proxy_column> <dst>
 
 Reference parity notes:
@@ -13,7 +13,12 @@ Reference parity notes:
   Catalyst pushes it into the scan anyway;
 * zone layers load from GeoJSON FeatureCollections (parsed directly —
   GDAL-free; Polygon/MultiPolygon with holes, feature id/properties) or
-  from the engine's small JSON sidecar (zone_id, xs, ys, value).
+  from the engine's small JSON sidecar (zone_id, xs, ys, value);
+* raster inputs ending in .tif/.tiff load through the pure-numpy GeoTIFF
+  reader (sources/geotiff.py — the reference's rioxarray surface,
+  cli.py:19, raster.py:62-74); a poly-raster destination ending in
+  .tif/.tiff writes the result back as GeoTIFF on the proxy's grid
+  (requires a GeoTIFF proxy so the grid georeferencing is known).
 """
 
 from __future__ import annotations
@@ -50,6 +55,19 @@ def _check_dst(path: str) -> None:
     if os.path.exists(path):
         # reference: "Destination already exists." (cli.py:16-17)
         sys.exit(f"Destination already exists: {path}")
+
+
+def _is_tiff(path: str) -> bool:
+    return path.lower().endswith((".tif", ".tiff"))
+
+
+def _read_raster(spark, path: str):
+    """(cells_df, meta_or_None): GeoTIFF or parquet cell table."""
+    if _is_tiff(path):
+        from .sources.geotiff import read_geotiff_cells
+
+        return read_geotiff_cells(spark, path)
+    return spark.read.parquet(path), None
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -91,7 +109,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "raster-poly":
         from .operators.aggregate import aggregate_raster_to_polygon
 
-        cells = spark.read.parquet(args.raster)
+        cells, _meta = _read_raster(spark, args.raster)
         zones = _load_zones(args.polygons)
         out = aggregate_raster_to_polygon(cells, zones, args.stats)
     elif args.cmd == "point-poly":
@@ -105,7 +123,9 @@ def main(argv: list[str] | None = None) -> None:
         from .operators.disaggregate import disaggregate_polygon_to_raster
 
         zones = _load_zones(args.data, args.column)
-        proxy = spark.read.parquet(args.proxy)
+        proxy, proxy_meta = _read_raster(spark, args.proxy)
+        if _is_tiff(args.proxy) and args.proxy_crs == "EPSG:4326":
+            args.proxy_crs = proxy_meta.crs  # GeoTIFF carries its CRS
         if args.data_crs != args.proxy_crs:
             from .geo.crs import reproject_zones
 
@@ -139,7 +159,25 @@ def main(argv: list[str] | None = None) -> None:
             to_data_crs=args.to_data_crs,
         )
 
-    out.write.parquet(args.destination)
+    if _is_tiff(args.destination):
+        if args.cmd != "poly-raster":
+            sys.exit("GeoTIFF destination only supported for poly-raster")
+        if proxy_meta is None:
+            sys.exit(
+                "GeoTIFF destination requires a GeoTIFF proxy (the result "
+                "grid's georeferencing comes from the proxy's header)"
+            )
+        if getattr(args, "to_data_crs", False):
+            sys.exit(
+                "--to-data-crs with a GeoTIFF destination would mislabel "
+                "the grid (rows/cols stay on the proxy grid); write "
+                "parquet or drop the flag"
+            )
+        from .sources.geotiff import write_geotiff_cells
+
+        write_geotiff_cells(out, proxy_meta, args.destination, column="disaggregated")
+    else:
+        out.write.parquet(args.destination)
     print(f"wrote {args.destination}")
 
 
