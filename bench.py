@@ -136,11 +136,19 @@ def run_headline() -> dict:
 
     ensure_corpus(spark, NORTH_DOCS)  # data prep excluded from timings
     for mode in ("broadcast", "salted"):
-        t0 = time.time()
-        n = _north_pipeline(spark, NORTH_DOCS, mode)
-        north_sec = time.time() - t0
-        times[f"north_{mode}"] = round(north_sec, 3)
-        times[f"north_{mode}_docs_per_sec"] = round(n / north_sec, 1)
+        # BEST-OF-3: this VM shows 1.1-6.8x repeat variance on identical
+        # code (round-3 headline recorded a +52% "regression" on a path no
+        # commit touched).  Best-of-3 matches the BENCH/BASELINE.md
+        # protocol so the per-round record tracks the engine, not the
+        # host's steal-time bursts.
+        best = float("inf")
+        n = NORTH_DOCS
+        for _ in range(3):
+            t0 = time.time()
+            n = _north_pipeline(spark, NORTH_DOCS, mode)
+            best = min(best, time.time() - t0)
+        times[f"north_{mode}"] = round(best, 3)
+        times[f"north_{mode}_docs_per_sec"] = round(n / best, 1)
     spark.stop()
     return times
 
@@ -483,6 +491,71 @@ def run_dedup_incremental() -> dict:
     }
 
 
+def run_clusters() -> dict:
+    """dedup_clusters at driver scale: a 10M-edge pair graph of
+    diameter-16 chain components (step-1 edges over consecutive groups of
+    17 nodes — min-label propagation needs exactly 16 rounds + 1
+    convergence probe).  The claim under test is the round-2 lineage fix:
+    per-round wall time stays FLAT at any diameter because edges
+    materialize once and labels re-checkpoint every round — without the
+    fix round r replays r joins plus the upstream pipeline (O(diameter²)
+    total).  Records per-round seconds, the flatness ratio over the
+    steady-state rounds, and exact cluster-label validation."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.ops.dedup import dedup_clusters
+    from gregor_spark.session import get_spark
+
+    diameter = int(os.environ.get("SPARK_GRAFT_CLUSTER_DIAMETER", "16"))
+    group = diameter + 1
+    n_nodes = int(os.environ.get("SPARK_GRAFT_CLUSTER_NODES", str(10_625_000)))
+    spark = get_spark(app="gregor-clusters-bench", master=f"local[{CPUS}]")
+    nodes = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+    # (i-1, i) whenever i % group != 0: each group of `group` consecutive
+    # ids is one chain component; cluster_id must converge to the group
+    # start.  Edge count = n_nodes - ceil(n_nodes/group).
+    pairs = (
+        spark.range(n_nodes)
+        .filter(F.col("id") % group != 0)
+        .select((F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    n_edges = pairs.count()
+    rounds: list[float] = []
+    t0 = time.time()
+    out = dedup_clusters(
+        nodes,
+        pairs,
+        max_iters=group + 4,
+        round_hook=lambda i, sec, changed: rounds.append(round(sec, 2)),
+    )
+    bad = out.filter(
+        F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % group
+    ).count()
+    total = time.time() - t0
+    spark.stop()
+    # the failure mode under test is per-round GROWTH (unbounded lineage
+    # ⇒ round r replays r joins: times climb monotonically).  On this VM
+    # raw per-round times are steal-noisy in both directions, so the
+    # summary statistic is the late/early MEDIAN ratio — ≤ ~1 means flat
+    # or improving (warmup), while the lineage bug shows ratios growing
+    # with diameter (≈ 3x at diameter 16 for a mid-run replay).
+    import statistics
+
+    half = len(rounds) // 2
+    trend = statistics.median(rounds[half:]) / statistics.median(rounds[:half])
+    return {
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "diameter": diameter,
+        "rounds": len(rounds),
+        "round_secs": rounds,
+        "late_over_early_median": round(trend, 2),
+        "total_sec": round(total, 2),
+        "edges_per_sec_per_round": round(n_edges * len(rounds) / total, 1),
+        "labels_exact": bad == 0,
+    }
+
+
 def run_scaling() -> dict:
     """Same north-rule job at two parallelism levels (the sandbox stand-in
     for N vs 4N executors)."""
@@ -543,6 +616,9 @@ if __name__ == "__main__":
     if "--dedup" in sys.argv:
         print(json.dumps(run_dedup_incremental()))
         sys.exit(0)
+    if "--clusters" in sys.argv:
+        print(json.dumps(run_clusters()))
+        sys.exit(0)
     times = run_headline()
     total = round(
         sum(v for k, v in times.items() if not k.endswith("_docs_per_sec")), 3
@@ -556,6 +632,7 @@ if __name__ == "__main__":
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": {"north": "best_of_3_wall"},
             }
         )
     )
