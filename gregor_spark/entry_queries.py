@@ -910,16 +910,24 @@ FROM s
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL bytes→pixels media decoding (round 4): distributed-built
-    24-bit BMP payloads decoded by the pure-numpy BMP parser inside
-    extract_features (header parse, row padding, bottom-up flip — see
-    ops/media.py::decode_bmp).  The oracle re-derives every decoded
-    feature from the same modular pixel arithmetic — if the decoder
-    mis-parses a single byte of any image, the integer pixel sums (and
-    hence mean/std at round-6) diverge."""
-    from .ops.media import extract_features, synthetic_media_bmp
+    """REAL bytes→samples media decoding (round 4): distributed-built
+    24-bit BMP images AND PCM16 WAV clips decoded by the pure-numpy
+    parsers inside extract_features (BMP: header parse, row padding,
+    bottom-up flip; WAV: RIFF chunk walk — see ops/media.py::decode_bmp,
+    ::decode_wav).  The oracle re-derives every decoded feature from the
+    same modular pixel/sample arithmetic — if either decoder mis-parses
+    a single byte anywhere, the exact integer sums (and hence mean/std
+    at round-6) diverge."""
+    from .ops.media import (
+        extract_features,
+        synthetic_media_bmp,
+        synthetic_media_wav,
+    )
 
-    return extract_features(synthetic_media_bmp(spark, 400)).select(
+    media = synthetic_media_bmp(spark, 400).unionByName(
+        synthetic_media_wav(spark, 300, id_offset=1000)
+    )
+    return extract_features(media).select(
         "media_id",
         F.round("mean_px", 6).alias("mean_r"),
         F.round("std_px", 6).alias("std_r"),
@@ -929,7 +937,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # pixel i of image id = (id*31 + i*7) % 256 over (id%13+4) x (id%11+4)
-# pixels; features from EXACT integer sums, one division + sqrt per side
+# pixels; sample i of clip 1000+g = ((id*17 + i*11) % 4096) - 2048 over
+# g%50+20 samples (a 1 x n grid); features from EXACT integer sums, one
+# division + sqrt per side
 _MEDIA_DECODE_SQL = """
 WITH m AS (
   SELECT g.g AS id, g.g % 13 + 4 AS w, g.g % 11 + 4 AS h
@@ -940,10 +950,19 @@ px AS (
   FROM m CROSS JOIN generate_series(0, 16 * 16 - 1) i(g)
   WHERE i.g < w * h
 ),
+wav AS (
+  SELECT 1000 + g.g AS id, g.g % 50 + 20 AS w, 1 AS h
+  FROM generate_series(0, 299) g(g)
+),
+wsamp AS (
+  SELECT id, w, h, ((id * 17 + i.g * 11) % 4096) - 2048 AS v
+  FROM wav CROSS JOIN generate_series(0, 68) i(g)
+  WHERE i.g < w
+),
 s AS (
   SELECT id, w, h, count(*) AS n,
          CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
-  FROM px GROUP BY 1, 2, 3
+  FROM (SELECT * FROM px UNION ALL SELECT * FROM wsamp) GROUP BY 1, 2, 3
 )
 SELECT CAST(id AS BIGINT) AS media_id,
        round(CAST(s1 AS DOUBLE) / n, 6) AS mean_r,

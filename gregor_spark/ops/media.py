@@ -126,6 +126,52 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return lum if top_down else lum[::-1]
 
 
+def make_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a standard PCM16 RIFF/WAVE file —
+    ``decode_wav`` inverts it exactly; any audio tool plays it."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL bytes→samples decoding of PCM16 RIFF/WAVE (the audio
+    counterpart of ``decode_bmp``): walks the chunk list (word-aligned,
+    unknown chunks skipped), returns (samples, sample_rate) — mono as a
+    1-D int16 array, multi-channel as (n_frames, channels)."""
+    if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 decodable without codec libs "
+            f"(got format={audio_format}, bits={bits})"
+        )
+    arr = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        arr = arr.reshape(-1, channels)
+    return arr, int(rate)
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decoder: deterministic pseudo-pixels from the payload bytes.
 
@@ -156,16 +202,24 @@ def extract_features(media: DataFrame, thumb: int = 8) -> DataFrame:
 
     The real work (decode + reduce) happens per batch in numpy; Spark only
     sees (media_id → features).  Partition-parallel over the media table;
-    no shuffle.  Payloads with the BMP magic go through REAL decoding
-    (``decode_bmp``; decoded dimensions override the metadata); all other
+    no shuffle.  Payloads with the BMP magic go through REAL image
+    decoding (``decode_bmp``; decoded dimensions override the metadata);
+    RIFF/WAVE payloads through REAL audio decoding (``decode_wav`` — the
+    mono sample vector is treated as a 1×n grid, so mean/std are sample
+    statistics and the "thumb" is a ×(n//thumb) decimation); all other
     payloads use the documented deterministic stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rec in pdf.itertuples():
-                if rec.payload is not None and bytes(rec.payload[:2]) == b"BM":
+                head = bytes(rec.payload[:4]) if rec.payload is not None else b""
+                if head[:2] == b"BM":
                     px = decode_bmp(rec.payload)
+                    h, w = px.shape
+                elif head == b"RIFF":
+                    samples, _rate = decode_wav(rec.payload)
+                    px = np.atleast_2d(samples)
                     h, w = px.shape
                 else:
                     w = int(rec.meta["width"])
@@ -225,6 +279,38 @@ def synthetic_media_bmp(spark: SparkSession, n: int) -> DataFrame:
                         "image",
                         make_bmp_gray24(flat.reshape(h, w).astype(np.uint8)),
                         {"width": w, "height": h, "sample_rate": None, "n_frames": None},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def synthetic_media_wav(spark: SparkSession, n: int, id_offset: int = 0) -> DataFrame:
+    """Audio twin of ``synthetic_media_bmp``: REAL PCM16 WAV payloads
+    built distributed — clip ``id`` has ``(id % 50) + 20`` samples with
+    sample ``i`` = ``((id·17 + i·11) mod 4096) − 2048``.  Pure modular
+    arithmetic, SQL-replayable (entry_queries ``media_decode``)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"]:
+                mid = int(raw) + id_offset
+                n_samp = int(raw) % 50 + 20
+                samples = (
+                    (mid * 17 + np.arange(n_samp, dtype=np.int64) * 11) % 4096
+                ) - 2048
+                rows.append(
+                    (
+                        mid,
+                        "doc%012d" % mid,
+                        "audio",
+                        make_wav_pcm16(samples.astype(np.int16)),
+                        {"width": None, "height": None,
+                         "sample_rate": 16000, "n_frames": None},
                     )
                 )
             yield pd.DataFrame(

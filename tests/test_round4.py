@@ -268,6 +268,52 @@ def test_bmp_roundtrip_padding_and_orientation():
         decode_bmp(b"not a bitmap at all")
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    """PCM16 WAV codec: encode→decode identity, unknown-chunk skipping
+    (word alignment), stereo reshape, and non-PCM rejection."""
+    import struct
+
+    from gregor_spark.ops.media import decode_wav, make_wav_pcm16
+
+    samples = ((np.arange(777) * 997) % 65536 - 32768).astype(np.int16)
+    got, rate = decode_wav(make_wav_pcm16(samples, 22050))
+    assert rate == 22050 and np.array_equal(got, samples)
+    # splice an odd-sized unknown chunk before fmt/data: decoder must skip
+    buf = make_wav_pcm16(samples[:5])
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"  # padded to even
+    spliced = buf[:12] + junk + buf[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got2, _ = decode_wav(spliced)
+    assert np.array_equal(got2, samples[:5])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS not a wave file")
+    # IEEE-float WAV (format 3) must refuse, not misread
+    f32 = bytearray(make_wav_pcm16(samples[:4]))
+    struct.pack_into("<H", f32, 20, 3)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_wav(bytes(f32))
+
+
+def test_extract_features_wav_audio(spark):
+    """A real WAV payload flows through extract_features as a 1xN grid:
+    mean/std are exact sample statistics, thumb is the decimation."""
+    from gregor_spark.ops.media import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_wav_pcm16,
+    )
+
+    samples = np.array([-100, 300, -100, 300, -100, 300, -100, 300] * 4,
+                       dtype=np.int16)  # n=32, mean=100, var=40000
+    rows = [(5, "d5", "audio", make_wav_pcm16(samples),
+             {"width": None, "height": None, "sample_rate": 16000,
+              "n_frames": None})]
+    r = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
+    assert r["mean_px"] == pytest.approx(100.0)
+    assert r["std_px"] == pytest.approx(200.0)
+    assert (r["thumb_w"], r["thumb_h"]) == (8, 1)  # sx = 32//8 = 4
+
+
 def test_extract_features_mixed_bmp_and_stub(spark):
     """One media table holding a REAL BMP payload and a stub payload:
     the BMP row's features come from true decoded pixels (meta dims
