@@ -491,6 +491,72 @@ def run_dedup_incremental() -> dict:
     }
 
 
+def run_ivf_hot() -> dict:
+    """IVF hot-list bounding on an adversarially clustered corpus: 1M
+    vectors in only 4 clusters land ~250k rows per Voronoi list no matter
+    how centroids are sampled — without the slot split one cogroup owns a
+    quarter of the corpus (a single task).  Records per-(list,slot)
+    maxima and wall time with the cap on vs off, plus result parity."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.ops.similarity import _ivf_assign, _ivf_rerank_matmul
+    from gregor_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_IVF_HOT_N", "1000000"))
+    cap = int(os.environ.get("SPARK_GRAFT_IVF_HOT_CAP", "50000"))
+    spark = get_spark(app="gregor-ivf-hot", master=f"local[{CPUS}]")
+    emb = synthetic_embeddings(spark, n, dim=32, clusters=4).persist()
+    emb.count()
+    assigned, q = _ivf_assign(emb, 64, 4, 64, "vec_id", "embedding")
+    assigned = assigned.persist()
+    qp = q.persist()
+    assigned.count(), qp.count()
+    max_list = (
+        assigned.groupBy("list_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    slots = (
+        assigned.groupBy("list_id")
+        .agg(F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("_slots"))
+    )
+    max_slot = (
+        assigned.join(F.broadcast(slots), "list_id")
+        .groupBy(
+            "list_id",
+            F.pmod(F.xxhash64("nbr_id"), F.col("_slots")).cast("int").alias("_s"),
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
+    def chk(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("vec_id", "rank", "nbr_id")).alias("h"),
+        ).collect()[0]
+
+    t0 = time.time()
+    a_unsplit = chk(_ivf_rerank_matmul(assigned, qp, 10, "vec_id", None))
+    unsplit_sec = time.time() - t0
+    t0 = time.time()
+    a_split = chk(_ivf_rerank_matmul(assigned, qp, 10, "vec_id", cap))
+    split_sec = time.time() - t0
+    emb.unpersist(), assigned.unpersist(), qp.unpersist()
+    spark.stop()
+    return {
+        "n_vectors": n,
+        "clusters": 4,
+        "n_lists": 64,
+        "cap": cap,
+        "max_list_rows": max_list,
+        "max_slot_rows_with_cap": max_slot,
+        "unsplit_sec": round(unsplit_sec, 2),
+        "split_sec": round(split_sec, 2),
+        "results_identical": (a_unsplit["n"], a_unsplit["h"])
+        == (a_split["n"], a_split["h"]),
+    }
+
+
 def run_clusters() -> dict:
     """dedup_clusters at driver scale: a 10M-edge pair graph of
     diameter-16 chain components (step-1 edges over consecutive groups of
@@ -618,6 +684,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--clusters" in sys.argv:
         print(json.dumps(run_clusters()))
+        sys.exit(0)
+    if "--ivf-hot" in sys.argv:
+        print(json.dumps(run_ivf_hot()))
         sys.exit(0)
     times = run_headline()
     total = round(
