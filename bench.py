@@ -575,6 +575,7 @@ def run_clusters() -> dict:
     diameter = int(os.environ.get("SPARK_GRAFT_CLUSTER_DIAMETER", "16"))
     group = diameter + 1
     n_nodes = int(os.environ.get("SPARK_GRAFT_CLUSTER_NODES", str(10_625_000)))
+    jump = os.environ.get("SPARK_GRAFT_CLUSTER_JUMP", "0") == "1"
     spark = get_spark(app="gregor-clusters-bench", master=f"local[{CPUS}]")
     nodes = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
     # (i-1, i) whenever i % group != 0: each group of `group` consecutive
@@ -593,6 +594,7 @@ def run_clusters() -> dict:
         pairs,
         max_iters=group + 4,
         round_hook=lambda i, sec, changed: rounds.append(round(sec, 2)),
+        pointer_jumping=jump,
     )
     bad = out.filter(
         F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % group
@@ -619,6 +621,7 @@ def run_clusters() -> dict:
         "total_sec": round(total, 2),
         "edges_per_sec_per_round": round(n_edges * len(rounds) / total, 1),
         "labels_exact": bad == 0,
+        "pointer_jumping": jump,
     }
 
 

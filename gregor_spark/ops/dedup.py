@@ -455,6 +455,7 @@ def dedup_clusters(
     b: str = "doc_b",
     max_iters: int = 50,
     round_hook=None,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over a near-dup pair
     graph (canonical-keep clustering: cluster_id = the minimum doc id
@@ -488,6 +489,17 @@ def dedup_clusters(
     test/metrics seam.  Raises if ``max_iters`` rounds pass without
     convergence — partially-propagated labels are silently WRONG cluster
     ids, never return them.
+
+    ``pointer_jumping`` adds a path-halving step per round — each node
+    also adopts ``label(label(v))`` via a self-join of the label table —
+    so the component minimum propagates 2^r hops by round r and
+    convergence is O(log diameter) rounds instead of O(diameter)
+    (monotone and component-confined: every candidate is the label of a
+    node in v's own component, so correctness is unchanged — parity
+    asserted in tests).  Default OFF: near-dup graphs are clique-ish
+    (2–3 rounds either way) and the extra join costs ~50% per round;
+    flip it ON for pathological high-diameter graphs (long reposting
+    chains, crawl-duplicate ladders), where 10 rounds replace 1000.
     """
     import time as _time
 
@@ -509,14 +521,27 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("_nl"))
         )
+        stepped = labels.join(neigh, "id", "left")
+        if pointer_jumping:
+            # path halving: chase one pointer — label(label(v)) — through
+            # a self-join on the SAME materialized label table (no extra
+            # lineage depth; one extra shuffle per round)
+            chase = labels.select(
+                F.col("id").alias("_cid"), F.col("label").alias("_cl")
+            )
+            stepped = stepped.join(
+                chase, stepped["label"] == chase["_cid"], "left"
+            ).drop("_cid")
+            best = F.least(
+                F.col("label"), F.coalesce("_nl", "label"), F.coalesce("_cl", "label")
+            )
+        else:
+            best = F.least(F.col("label"), F.coalesce("_nl", "label"))
         new_labels = (
-            labels.join(neigh, "id", "left")
-            .select(
+            stepped.select(
                 "id",
-                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
-                (F.col("_nl").isNotNull() & (F.col("_nl") < F.col("label"))).alias(
-                    "_changed"
-                ),
+                best.alias("label"),
+                (best < F.col("label")).alias("_changed"),
             )
             .localCheckpoint(eager=True)  # truncates lineage: one round deep
         )

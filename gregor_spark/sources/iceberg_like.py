@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 MANIFEST = "_gregor_manifest.json"
 
 
+def _walk_data_files(path: str, part_col: str) -> list[tuple[str, int]]:
+    """(relative file path, footer row count) for every parquet data file
+    under the partition dirs — the unit an Iceberg manifest tracks."""
+    import pyarrow.parquet as pq
+
+    files: list[tuple[str, int]] = []
+    prefix = f"{part_col}="
+    for dirname in sorted(os.listdir(path)):
+        if not dirname.startswith(prefix):
+            continue
+        pdir = os.path.join(path, dirname)
+        for fname in sorted(os.listdir(pdir)):
+            if fname.endswith(".parquet"):
+                full = os.path.join(pdir, fname)
+                files.append(
+                    (os.path.join(dirname, fname), pq.ParquetFile(full).metadata.num_rows)
+                )
+    return files
+
+
 def _footer_partition_counts(path: str, part_col: str) -> dict[str, int]:
     """Per-partition row counts straight from the parquet FOOTERS of the
     files just written — zero Spark jobs and zero data reads (a footer is
@@ -58,27 +78,106 @@ def write_table(
     n_buckets: int = 64,
     mode: str = "overwrite",
 ) -> dict:
-    """Write ``df`` hash-bucketed by ``bucket_by`` with a manifest."""
+    """Write ``df`` hash-bucketed by ``bucket_by`` and COMMIT a snapshot.
+
+    Iceberg-style history: every commit appends a snapshot entry —
+    (monotonic id, wall timestamp, operation, the FULL data-file list
+    with footer row counts) — to the manifest, and the manifest swap is
+    atomic (temp file + ``os.replace``), so a reader never observes a
+    half-commit and ``read_table(..., snapshot_id=...)`` /
+    ``as_of_ms=...`` time-travels by reading exactly the committed file
+    list.  ``mode='append'`` keeps prior snapshots readable (their files
+    are still on disk); ``mode='overwrite'`` deletes the old files, so
+    it also truncates history — the same contract as an Iceberg
+    overwrite followed by ``expire_snapshots``."""
     out = df.withColumn("bucket", F.pmod(F.hash(F.col(bucket_by)), F.lit(n_buckets)))
+    prior = []
+    if mode == "append" and os.path.exists(os.path.join(path, MANIFEST)):
+        prior = read_manifest(path).get("snapshots", [])
     out.write.mode(mode).partitionBy("bucket").parquet(path)
     counts = _footer_partition_counts(path, "bucket")
+    files = _walk_data_files(path, "bucket")
+    now_ms = int(time.time() * 1000)
+    snap_id = max(now_ms, (prior[-1]["snapshot_id"] + 1) if prior else 0)
+    snapshot = {
+        "snapshot_id": snap_id,
+        "timestamp_ms": now_ms,
+        "operation": mode,
+        "files": [{"path": p, "rows": n} for p, n in files],
+        "total_rows": sum(n for _p, n in files),
+    }
     manifest = {
-        "format": "gregor-iceberg-like/1",
-        "snapshot_id": int(time.time() * 1000),
+        "format": "gregor-iceberg-like/2",
+        "snapshot_id": snap_id,            # current (legacy top-level field)
         "schema": df.schema.jsonValue(),
         "partition_spec": {"bucket_by": bucket_by, "n_buckets": n_buckets},
         "bucket_rows": counts,
         "total_rows": sum(counts.values()),
+        "snapshots": prior + [snapshot],
+        "current_snapshot_id": snap_id,
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit
     return manifest
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read a table written by ``write_table`` (drops the bucket column;
-    Catalyst still prunes on it when callers filter by bucket)."""
-    return spark.read.parquet(path)
+def _resolve_snapshot(m: dict, snapshot_id: int | None, as_of_ms: int | None) -> dict:
+    snaps = m.get("snapshots", [])
+    if not snaps:
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    eligible = [s for s in snaps if s["timestamp_ms"] <= as_of_ms]
+    if not eligible:
+        raise ValueError(f"no snapshot at or before {as_of_ms}")
+    return eligible[-1]
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Read a table written by ``write_table`` — current state by
+    default; ``snapshot_id`` / ``as_of_ms`` time-travel to a committed
+    snapshot by reading exactly its file list (``basePath`` keeps the
+    bucket partition column derivable, so pruning still works)."""
+    if snapshot_id is None and as_of_ms is None:
+        return spark.read.parquet(path)
+    snap = _resolve_snapshot(read_manifest(path), snapshot_id, as_of_ms)
+    files = [os.path.join(path, f["path"]) for f in snap["files"]]
+    if not files:
+        raise ValueError(f"snapshot {snap['snapshot_id']} lists no files")
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def read_table_changes(
+    spark: SparkSession, path: str, from_snapshot: int, to_snapshot: int | None = None
+) -> DataFrame:
+    """Incremental (changelog) scan: rows in files ADDED after
+    ``from_snapshot`` up to ``to_snapshot`` (default: current) — the
+    Iceberg incremental-read shape that lets a downstream consumer
+    process only the delta of each append instead of rescanning the
+    table.  Append-only tables: a file never leaves the list, so the
+    set difference IS the delta."""
+    m = read_manifest(path)
+    base = _resolve_snapshot(m, from_snapshot, None)
+    head = _resolve_snapshot(
+        m, to_snapshot if to_snapshot is not None else m["current_snapshot_id"], None
+    )
+    seen = {f["path"] for f in base["files"]}
+    new_files = [
+        os.path.join(path, f["path"]) for f in head["files"] if f["path"] not in seen
+    ]
+    if not new_files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*new_files)
 
 
 def read_manifest(path: str) -> dict:

@@ -202,6 +202,115 @@ def test_minhash_bands_short_and_empty_docs(spark):
     assert out[6] == (False, 4)
 
 
+# ------------------------------------- iceberg-like snapshots / time travel
+
+
+def test_write_table_snapshots_time_travel(spark, tmp_path):
+    """Each commit records a snapshot with its full file list; time
+    travel by snapshot id and by timestamp reads exactly the committed
+    state even after later appends."""
+    from gregor_spark.sources.iceberg_like import (
+        read_manifest,
+        read_table,
+        read_table_changes,
+        write_table,
+    )
+
+    path = str(tmp_path / "snap")
+    m1 = write_table(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"),
+        path, bucket_by="k", n_buckets=4,
+    )
+    m2 = write_table(
+        spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v"),
+        path, bucket_by="k", n_buckets=4, mode="append",
+    )
+    s1, s2 = m1["current_snapshot_id"], m2["current_snapshot_id"]
+    assert s2 > s1
+    assert len(read_manifest(path)["snapshots"]) == 2
+    # current state
+    assert read_table(spark, path).count() == 150
+    # time travel by id: the pre-append state, byte-for-byte
+    old = read_table(spark, path, snapshot_id=s1)
+    assert old.count() == 100 and old.agg({"k": "max"}).collect()[0][0] == 99
+    # time travel by timestamp
+    ts1 = read_manifest(path)["snapshots"][0]["timestamp_ms"]
+    assert read_table(spark, path, as_of_ms=ts1).count() == 100
+    # incremental scan: exactly the appended delta
+    delta = read_table_changes(spark, path, from_snapshot=s1)
+    assert delta.count() == 50
+    assert delta.agg({"k": "min"}).collect()[0][0] == 100
+    # bucket partition column still derivable under time travel (pruning)
+    assert "bucket" in read_table(spark, path, snapshot_id=s1).columns
+    with pytest.raises(ValueError, match="not found"):
+        read_table(spark, path, snapshot_id=123)
+
+
+def test_write_table_overwrite_truncates_history(spark, tmp_path):
+    from gregor_spark.sources.iceberg_like import read_manifest, write_table
+
+    path = str(tmp_path / "trunc")
+    write_table(spark.range(10).selectExpr("id AS k"), path, bucket_by="k", n_buckets=2)
+    write_table(
+        spark.range(5).selectExpr("id AS k"), path, bucket_by="k", n_buckets=2,
+        mode="overwrite",
+    )
+    m = read_manifest(path)
+    assert len(m["snapshots"]) == 1 and m["total_rows"] == 5
+
+
+# ------------------------------------------ pointer-jumping cluster labels
+
+
+def test_dedup_clusters_pointer_jumping_parity_and_log_rounds(spark):
+    """Path halving must yield the identical component labeling while
+    converging in O(log diameter) rounds: a diameter-64 chain needs 65
+    hop-rounds without jumping but ≤ ~log2(64)+2 with it."""
+    from gregor_spark.ops.dedup import dedup_clusters
+
+    n_chains, length = 50, 65
+    nodes = spark.range(n_chains * length)
+    docs = nodes.select(F.col("id").alias("doc_id"))
+    pairs = nodes.filter(F.col("id") % length != length - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rounds = []
+    out = dedup_clusters(
+        docs, pairs, max_iters=12, pointer_jumping=True,
+        round_hook=lambda i, s, c: rounds.append(i),
+    )
+    assert len(rounds) <= 9  # ceil(log2(64)) + convergence probe + slack
+    bad = out.filter(
+        F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % length
+    ).count()
+    assert bad == 0
+
+
+def test_dedup_clusters_pointer_jumping_random_graph_parity(spark):
+    """On an arbitrary random graph both variants must emit the identical
+    (doc_id, cluster_id) table."""
+    import random
+
+    from gregor_spark.ops.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+    )
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    jumped = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs, pointer_jumping=True).collect()
+    }
+    assert plain == jumped and len(plain) == n
+
+
 # --------------------------------------- GeoJSON multi-part hole placement
 
 
