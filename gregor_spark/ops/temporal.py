@@ -1,9 +1,13 @@
 """Temporal joins — the as-of join Spark's DataFrame API lacks.
 
-``asof_join`` matches each LEFT row to the single most recent RIGHT row
-with the same key and ``right.ts <= left.ts`` (backward direction, the
-trade/quote classic).  The reference has no temporal surface; a
-10^12-document ingest pipeline does (attach the latest schema version /
+``asof_join`` matches each LEFT row to the single best RIGHT row with
+the same key: the latest with ``right.ts <= left.ts`` (``backward``, the
+trade/quote classic), the earliest with ``right.ts >= left.ts``
+(``forward``), or whichever of the two is closer (``nearest``), with an
+optional ``tolerance`` beyond which a match becomes NULL — the same
+surface as pandas ``merge_asof``, which doubles as an independent test
+oracle (tests/test_temporal.py).  The reference has no temporal surface;
+a 10^12-document ingest pipeline does (attach the latest schema version /
 crawl snapshot / policy row in force at each document's timestamp).
 
 Scale shape — union + window, never a range join:
@@ -12,9 +16,12 @@ Scale shape — union + window, never a range join:
     order by (ts, side) rows unbounded preceding..current)``
 so the whole operator is ONE shuffle on the key (the window's), the
 state per group is a single carried row, and there is no range-predicate
-join that would force a per-key cross product.  Compare the naive
-``l join r on key where r.ts <= l.ts`` + row_number: that materializes
-O(|l|·|r|) rows per key before ranking — quadratic on hot keys.
+join that would force a per-key cross product.  ``forward`` is the same
+window ordered descending; ``nearest`` evaluates both windows over the
+SAME exchange (one shuffle, two sorts) and picks per row.  Compare the
+naive ``l join r on key where r.ts <= l.ts`` + row_number: that
+materializes O(|l|·|r|) rows per key before ranking — quadratic on hot
+keys.
 
 DuckDB has native ASOF JOIN, so the contract oracle is a genuinely
 independent implementation, not a formula replay.
@@ -46,12 +53,23 @@ def asof_join(
     on: str = "user_id",
     ts: str = "ts",
     right_prefix: str = "r_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: all ``left`` columns plus every ``right``
-    column (except the key) renamed ``{right_prefix}{col}``, from the
-    latest right row with ``right.ts <= left.ts`` for the same key —
-    NULLs when no right row precedes.  Ties on ts count the right row
-    (it is "already in force" at that instant).
+    """As-of join: all ``left`` columns plus every ``right`` column
+    (except the key) renamed ``{right_prefix}{col}``, from the matching
+    right row for the same key — NULLs when none matches.
+
+    ``direction``:
+      * ``backward`` (default) — latest right row with ``r.ts <= l.ts``;
+      * ``forward`` — earliest right row with ``r.ts >= l.ts``;
+      * ``nearest`` — whichever of the two is closer in time; exact
+        distance ties resolve BACKWARD (the row already in force).
+    Ties on ts itself count the right row in every direction.
+
+    ``tolerance`` (seconds for timestamp ``ts``, raw units for numeric)
+    nulls out matches farther than the bound — pandas ``merge_asof``
+    semantics, asserted against it in tests.
 
     FULLY deterministic, duplicate (key, ts) right rows included: among
     right rows sharing the exact same (key, ts), the one with the
@@ -64,18 +82,19 @@ def asof_join(
     meaningful ordering.  An independent oracle replays the rule as
     ``max_by(payload, (ts, payload))`` per (key, ts); DuckDB's native
     ASOF JOIN (the contract query's oracle) leaves the tie winner
-    undefined, so the contract pre-dedupes — the OPERATOR no longer
-    needs that caller discipline.
+    undefined, so the contract pre-dedupes — the OPERATOR does not need
+    that caller discipline.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     r_payload = [c for c in right.columns if c != on]
+    r_struct_type = right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
     l_side = left.select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast(
-            right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
-        ).alias("_r"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_side = right.select(
         F.col(on).alias("_k"),
@@ -86,29 +105,55 @@ def asof_join(
         ).alias("_l"),
         F.struct(*r_payload).alias("_r"),
     )
-    # side 0 < 1: at equal ts the right row sorts BEFORE the left row, so
-    # the carried last() includes it — backward-inclusive semantics.
-    # Tertiary key: among equal-(ts, side=0) right rows, last() must not
-    # pick an arbitrary one — order by the payload itself so the greatest
-    # struct wins.  Left rows all carry _r = NULL (asc_nulls_first keeps
-    # them ordered, and their relative order is output-irrelevant: each
-    # left row emits its own result and sees the same carried _match).
-    r_struct_type = right.select(F.struct(*r_payload).alias("s")).schema[
-        "s"
-    ].dataType
-    tie = (
-        F.col("_r")
-        if _orderable(r_struct_type)
-        else F.to_json(F.col("_r"))
+    # side 0 < 1: at equal ts the right row sorts BEFORE the left row in
+    # BOTH window directions, so the carried last() includes it —
+    # ts-tie-inclusive semantics everywhere.  Tertiary key: among
+    # equal-(ts, side=0) right rows, last() must not pick an arbitrary
+    # one — order by the payload itself so the greatest struct wins.
+    # Left rows all carry _r = NULL (asc_nulls_first keeps them ordered,
+    # and their relative order is output-irrelevant: each left row emits
+    # its own result and sees the same carried _match).
+    tie = F.col("_r") if _orderable(r_struct_type) else F.to_json(F.col("_r"))
+
+    def carry(descending: bool):
+        order = F.col("_ts").desc() if descending else F.col("_ts").asc()
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(order, F.col("_side").asc(), tie.asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_r", ignorenulls=True).over(w)
+
+    ts_is_time = isinstance(
+        left.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), tie.asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l_side.unionByName(r_side).withColumn(
-        "_match", F.last("_r", ignorenulls=True).over(w)
-    )
+
+    def ts_num(col):
+        return F.unix_micros(col.cast("timestamp")) if ts_is_time else col.cast("double")
+
+    merged = l_side.unionByName(r_side)
+    if direction == "backward":
+        merged = merged.withColumn("_match", carry(False))
+    elif direction == "forward":
+        merged = merged.withColumn("_match", carry(True))
+    else:  # nearest: both windows share the one exchange (same partitioning)
+        merged = merged.withColumn("_mb", carry(False)).withColumn("_mf", carry(True))
+        d_back = ts_num(F.col("_ts")) - ts_num(F.col("_mb")[ts])
+        d_fwd = ts_num(F.col("_mf")[ts]) - ts_num(F.col("_ts"))
+        merged = merged.withColumn(
+            "_match",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(d_fwd < d_back, F.col("_mf"))
+            .otherwise(F.col("_mb")),  # distance tie -> backward
+        )
+    if tolerance is not None:
+        bound = tolerance * 1_000_000 if ts_is_time else tolerance
+        diff = F.abs(ts_num(F.col("_ts")) - ts_num(F.col("_match")[ts]))
+        merged = merged.withColumn(
+            "_match",
+            F.when(F.col("_match").isNotNull() & (diff <= F.lit(bound)), F.col("_match")),
+        )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in r_payload
     ]

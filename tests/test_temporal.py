@@ -3,6 +3,7 @@ per-key isolation, and the no-range-join plan shape."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -85,6 +86,63 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         secs = 5 + (event_id % 3)
         best = max(s for s in (3, 5, 6) if s <= secs)
         assert results[0][event_id] == expected_rid[(key, best)]
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """forward / nearest / tolerance semantics against pandas
+    merge_asof — an independent implementation — on 400 random rows
+    (dup-free right ts per key, so both engines' tie rules coincide)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    lrows = [
+        (i, _ts(rng.randrange(0, 500)), rng.randrange(3)) for i in range(400)
+    ]
+    seen = set()
+    rrows = []
+    for j in range(200):
+        k = rng.randrange(3)
+        t = rng.randrange(0, 500)
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        rrows.append((1000 + j, _ts(t), k, j * 0.5))
+    from gregor_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(lrows, "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(rrows, "rid long, ts timestamp, user_id long, val double")
+    lpd = pd.DataFrame(lrows, columns=["event_id", "ts", "user_id"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["rid", "ts", "user_id", "val"]).sort_values("ts")
+    for direction, tol in [
+        ("backward", None), ("forward", None), ("nearest", None),
+        ("backward", 30.0), ("nearest", 15.0),
+    ]:
+        got = {
+            r["event_id"]: r["r_rid"]
+            for r in asof_join(
+                left, right, on="user_id", ts="ts",
+                direction=direction, tolerance=tol,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpd, rpd, on="ts", by="user_id", direction=direction,
+            tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        )
+        exp = {
+            int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, f"direction={direction} tolerance={tol}"
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    from gregor_spark.ops.temporal import asof_join
+
+    left = spark.range(1).selectExpr("id AS event_id", "timestamp_seconds(id) AS ts", "id AS user_id")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, direction="sideways")
 
 
 def test_asof_join_plan_has_no_range_join(spark):
