@@ -17,6 +17,12 @@ transforms it needs directly (public formulas):
                      equal-area per Snyder (Map Projections — A Working
                      Manual, USGS PP 1395, pp. 187-190), GRS80 ellipsoid,
                      origin 52°N 10°E, FE 4321000, FN 3210000.
+* EPSG:3034        — ETRS89-extended / LCC Europe: ellipsoidal Lambert
+                     conformal conic, 2 standard parallels (35°N/65°N)
+                     per Snyder PP 1395 pp. 107-109, GRS80, origin
+                     52°N 10°E, FE 4000000, FN 2800000 — the conic
+                     member of the projection families (cylindrical /
+                     azimuthal / conic all covered).
 * EPSG:4258        — ETRS89 lon/lat, treated as coincident with WGS84
                      (datum delta is epoch-dependent and sub-metre).
 * EPSG:258xx       — ETRS89 / UTM zone xx north (GRS80), zones 28-38 —
@@ -253,6 +259,72 @@ def _laea_inverse(E, N):
     return np.degrees(lam) + _LAEA_LON0, np.degrees(phi)
 
 
+# --------------------------------------------------------------------------
+# Lambert conformal conic (ellipsoidal, 2 standard parallels) — Snyder,
+# USGS PP 1395 pp. 107-109, eqs. 14-15, 15-1..15-11.  EPSG:3034
+# (ETRS89-extended / LCC Europe) parameters: GRS80, standard parallels
+# 35°N / 65°N, origin 52°N 10°E, FE 4 000 000, FN 2 800 000 — completes
+# the projection-family coverage (cylindrical: Mercator/UTM; azimuthal:
+# LAEA; conic: LCC).
+# --------------------------------------------------------------------------
+
+_LCC_E = np.sqrt(_GRS80_F * (2.0 - _GRS80_F))
+_LCC_LON0 = 10.0
+_LCC_FE = 4_000_000.0
+_LCC_FN = 2_800_000.0
+
+
+def _lcc_m(phi: np.ndarray) -> np.ndarray:
+    return np.cos(phi) / np.sqrt(1.0 - (_LCC_E * np.sin(phi)) ** 2)
+
+
+def _lcc_t(phi: np.ndarray) -> np.ndarray:
+    e = _LCC_E
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * sphi) / (1.0 + e * sphi)
+    ) ** (e / 2.0)
+
+
+_LCC_PHI1 = np.radians(35.0)
+_LCC_PHI2 = np.radians(65.0)
+_LCC_PHI0 = np.radians(52.0)
+_LCC_N = (np.log(_lcc_m(_LCC_PHI1)) - np.log(_lcc_m(_LCC_PHI2))) / (
+    np.log(_lcc_t(_LCC_PHI1)) - np.log(_lcc_t(_LCC_PHI2))
+)
+_LCC_F = _lcc_m(_LCC_PHI1) / (_LCC_N * _lcc_t(_LCC_PHI1) ** _LCC_N)
+_LCC_RHO0 = _GRS80_A * _LCC_F * _lcc_t(_LCC_PHI0) ** _LCC_N
+
+
+def _lcc_forward(lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - _LCC_LON0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = _GRS80_A * _LCC_F * _lcc_t(phi) ** _LCC_N
+    theta = _LCC_N * lam
+    E = _LCC_FE + rho * np.sin(theta)
+    N = _LCC_FN + _LCC_RHO0 - rho * np.cos(theta)
+    return E, N
+
+
+def _lcc_inverse(E, N):
+    x = np.asarray(E, dtype=np.float64) - _LCC_FE
+    y = _LCC_RHO0 - (np.asarray(N, dtype=np.float64) - _LCC_FN)
+    # n > 0 for the northern-parallel EPSG:3034 setup
+    rho = np.sqrt(x * x + y * y)
+    t = (rho / (_GRS80_A * _LCC_F)) ** (1.0 / _LCC_N)
+    theta = np.arctan2(x, y)
+    lam = theta / _LCC_N
+    # invert t(phi) by fixed point (Snyder eq. 7-9): converges in ~5 iters
+    e = _LCC_E
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        sphi = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+    return np.degrees(lam) + _LCC_LON0, np.degrees(phi)
+
+
 def _norm(crs: str) -> str:
     c = crs.upper().replace(" ", "")
     m = re.fullmatch(r"UTM:?(\d{1,2})([NS])", c)
@@ -275,6 +347,8 @@ def _proj_pair(crs: str):
         return _wgs84_to_webmercator, _webmercator_to_wgs84
     if crs == "EPSG:3035":
         return _laea_forward, _laea_inverse
+    if crs == "EPSG:3034":
+        return _lcc_forward, _lcc_inverse
     m = re.fullmatch(r"EPSG:32([67])(\d{2})", crs)
     if m:
         south = m.group(1) == "7"

@@ -241,3 +241,90 @@ def test_etrs89_identity_and_zone_range():
     assert same[0][0] == 10.0 and same[1][0] == 52.0
     with pytest.raises(ValueError):
         reproject(lon, lat, "EPSG:4326", "EPSG:25820")  # outside 28-38
+
+
+# ------------------------------------------------- LCC EPSG:3034 (round 4)
+
+
+def test_lcc_false_origin_exact():
+    """Snyder 15-2: at the projection origin ρ = ρ0 and θ = 0, so the
+    grid coordinates are exactly the false easting/northing."""
+    E, N = reproject(np.array([10.0]), np.array([52.0]), "EPSG:4326", "EPSG:3034")
+    assert E[0] == pytest.approx(4_000_000.0, abs=1e-6)
+    assert N[0] == pytest.approx(2_800_000.0, abs=1e-6)
+
+
+def test_lcc_roundtrip_1e9():
+    lon = RNG.uniform(-12.0, 35.0, 4000)
+    lat = RNG.uniform(30.0, 72.0, 4000)
+    E, N = reproject(lon, lat, "EPSG:4326", "EPSG:3034")
+    lon2, lat2 = reproject(E, N, "EPSG:3034", "EPSG:4326")
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_lcc_unit_scale_on_standard_parallels():
+    """The defining property of a 2SP conic: point scale factor
+    k = ρ·n / (a·m(φ)) is EXACTLY 1 along both standard parallels and
+    > 1 outside / < 1 between them (Snyder eq. 15-4)."""
+    from gregor_spark.geo.crs import _GRS80_A, _LCC_F, _LCC_N, _lcc_m, _lcc_t
+
+    def k(lat_deg):
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        rho = _GRS80_A * _LCC_F * _lcc_t(phi) ** _LCC_N
+        return rho * _LCC_N / (_GRS80_A * _lcc_m(phi))
+
+    assert k(35.0) == pytest.approx(1.0, abs=1e-12)
+    assert k(65.0) == pytest.approx(1.0, abs=1e-12)
+    assert k(50.0) < 1.0          # between the parallels
+    assert k(30.0) > 1.0 and k(70.0) > 1.0  # outside
+
+
+def test_lcc_is_conformal():
+    """Conformality is the projection's defining property and an
+    INDEPENDENT check of the implementation: the numerical Jacobian of
+    (E, N) w.r.t. ellipsoidal isometric coordinates must be a scaled
+    rotation (J^T J = k² I, off-diagonals ~0) at random points."""
+    from gregor_spark.geo.crs import _LCC_E, _lcc_forward
+
+    lon = RNG.uniform(-10.0, 30.0, 200)
+    lat = RNG.uniform(32.0, 70.0, 200)
+    # isometric latitude psi: d(psi) matches d(lon_rad) metrically on the
+    # ellipsoid, so a conformal map has a scaled-rotation Jacobian in
+    # (lon_rad, psi)
+    e = _LCC_E
+
+    def psi(lat_deg):
+        phi = np.radians(lat_deg)
+        s = np.sin(phi)
+        return np.log(np.tan(np.pi / 4 + phi / 2)) - (e / 2) * np.log(
+            (1 + e * s) / (1 - e * s)
+        )
+
+    h = 1e-7
+    E0, N0 = _lcc_forward(lon, lat)
+    # d/d lon (in radians)
+    E1, N1 = _lcc_forward(lon + np.degrees(h), lat)
+    dE_dl, dN_dl = (E1 - E0) / h, (N1 - N0) / h
+    # d/d psi via a lat step converted to the psi step it causes
+    dlat = 1e-6
+    E2, N2 = _lcc_forward(lon, lat + dlat)
+    dpsi = psi(lat + dlat) - psi(lat)
+    dE_dp, dN_dp = (E2 - E0) / dpsi, (N2 - N0) / dpsi
+    # scaled rotation: columns orthogonal and equal-length
+    dot = dE_dl * dE_dp + dN_dl * dN_dp
+    n1 = np.hypot(dE_dl, dN_dl)
+    n2 = np.hypot(dE_dp, dN_dp)
+    assert np.max(np.abs(dot) / (n1 * n2)) < 1e-4
+    assert np.max(np.abs(n1 / n2 - 1.0)) < 1e-4
+
+
+def test_lcc_routes_through_other_crs():
+    """Composition 3034 -> 3035 -> 3034 is identity to numerical noise
+    (both route through lon/lat)."""
+    lon = RNG.uniform(0.0, 20.0, 500)
+    lat = RNG.uniform(40.0, 60.0, 500)
+    E, N = reproject(lon, lat, "EPSG:4326", "EPSG:3034")
+    E2, N2 = reproject(*reproject(E, N, "EPSG:3034", "EPSG:3035"), "EPSG:3035", "EPSG:3034")
+    assert np.max(np.abs(E2 - E)) < 1e-5
+    assert np.max(np.abs(N2 - N)) < 1e-5
