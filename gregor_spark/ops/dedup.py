@@ -40,6 +40,47 @@ def dedup_exact(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def normalized_text(
+    text,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punctuation: bool = False,
+) -> "F.Column":
+    """Canonical text form for normalization-tolerant exact dedup — the
+    standard curation knobs (case folding, whitespace collapse, optional
+    punctuation strip), all JVM regex/column expressions."""
+    col = text if isinstance(text, F.Column) else F.col(text)
+    if lowercase:
+        col = F.lower(col)
+    if strip_punctuation:
+        col = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return col
+
+
+def dedup_exact_normalized(
+    docs: DataFrame,
+    text: str = "text",
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punctuation: bool = False,
+) -> DataFrame:
+    """``dedup_exact`` over the NORMALIZED content hash: catches the
+    trivially-reformatted duplicates (case, runs of whitespace,
+    optionally punctuation) that byte-exact hashing misses but that are
+    not 'near'-duplicates either — the cheap middle tier between
+    ``dedup_exact`` and MinHash.  Same scale shape: one md5 groupBy,
+    partial-agg shuffle; normalization is pure JVM column work."""
+    norm = normalized_text(
+        F.col(text), lowercase, collapse_whitespace, strip_punctuation
+    )
+    return docs.groupBy(F.md5(norm).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def _shingle_int(s) -> "F.Column":
     """Shingle → 60-bit md5-prefix int (see _md5_int).  MinHash minima are
     only as discriminative as the underlying hash: the cheap

@@ -202,6 +202,34 @@ def test_minhash_bands_short_and_empty_docs(spark):
     assert out[6] == (False, 4)
 
 
+# --------------------------------------------------- normalized exact dedup
+
+
+def test_dedup_exact_normalized(spark):
+    """Case/whitespace(/punctuation) variants collapse to one group;
+    genuinely different texts do not."""
+    from gregor_spark.ops.dedup import dedup_exact, dedup_exact_normalized
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),
+            (3, "  HELLO\tWORLD \n"),
+            (4, "hello, world!"),
+            (5, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    # byte-exact: all distinct
+    assert dedup_exact(docs).count() == 5
+    groups = dedup_exact_normalized(docs).collect()
+    by_min = {r["min_doc_id"]: r["n_docs"] for r in groups}
+    assert by_min == {1: 3, 4: 1, 5: 1}  # 1,2,3 collapse; punctuation kept
+    with_punct = dedup_exact_normalized(docs, strip_punctuation=True).collect()
+    by_min2 = {r["min_doc_id"]: r["n_docs"] for r in with_punct}
+    assert by_min2 == {1: 4, 5: 1}  # now 4 joins the group
+
+
 # ------------------------------------- iceberg-like snapshots / time travel
 
 
