@@ -126,6 +126,25 @@ def test_geotiff_rejects_unsupported(tmp_path):
         read_geotiff(str(notif))
 
 
+REFERENCE_TIF = "/root/reference/test/_files/raster.tif"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REFERENCE_TIF),
+    reason="reference fixture not present",
+)
+def test_reference_geotiff_decodes_exactly():
+    """Real-world cross-validation: the reference repo's raster.tif was
+    written by GDAL (reference test/_files/create_test_data.py); our
+    pure-numpy reader must recover the exact golden grid and meta that
+    FIXTURES.md documents (and that gregor's own tests assert against)."""
+    from gregor_spark.model import fixtures as FX
+
+    meta, grid = read_geotiff(REFERENCE_TIF)
+    assert meta == RasterMeta(**FX.RASTER_META)
+    np.testing.assert_array_equal(grid, np.asarray(FX.RASTER_VALUES, dtype=np.float64))
+
+
 def test_cli_geotiff_poly_raster_roundtrip(spark, tmp_path):
     """poly-raster with a GeoTIFF proxy and GeoTIFF destination:
     disaggregate zone values over a uniform .tif proxy, write .tif, read
