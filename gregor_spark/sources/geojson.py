@@ -94,6 +94,51 @@ def zoneset_from_geojson(
     )
 
 
+def points_from_geojson(
+    src,
+    id_property: str = "id",
+    value_property: str | None = "data",
+) -> list[tuple]:
+    """Parse a FeatureCollection of Point features into
+    ``(point_id, x, y[, value])`` rows — the reference CLI's point-layer
+    read surface (gpd.read_file on points.geojson, reference
+    cli.py:19-23, test/_files/points.geojson).  Feature ``id`` comes
+    from ``properties[id_property]``, the feature-level ``id``, or
+    enumeration order; ``value_property=None`` omits the value column.
+    Rows feed ``spark.createDataFrame(rows, "point_id long, x double,
+    y double, weight double")``."""
+    if isinstance(src, str):
+        if src.lstrip().startswith("{"):
+            data = json.loads(src)
+        else:
+            with open(src) as f:
+                data = json.load(f)
+    else:
+        data = src
+    if data.get("type") != "FeatureCollection":
+        raise ValueError(f"expected FeatureCollection, got {data.get('type')!r}")
+    rows = []
+    for i, feat in enumerate(data.get("features", [])):
+        geom = feat.get("geometry") or {}
+        if geom.get("type") != "Point":
+            raise ValueError(
+                f"feature {i}: expected Point, got {geom.get('type')!r}"
+            )
+        props = feat.get("properties") or {}
+        if id_property in props:
+            pid = int(props[id_property])
+        elif "id" in feat:
+            pid = int(feat["id"])
+        else:
+            pid = i
+        x, y = (float(v) for v in geom["coordinates"][:2])
+        if value_property is None:
+            rows.append((pid, x, y))
+        else:
+            rows.append((pid, x, y, float(props[value_property])))
+    return rows
+
+
 def _close_ring(rx: np.ndarray, ry: np.ndarray) -> list[list[float]]:
     pts = [[float(x), float(y)] for x, y in zip(rx, ry)]
     pts.append(pts[0][:])

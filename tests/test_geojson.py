@@ -143,3 +143,52 @@ def test_cli_accepts_geojson_zones(spark, tmp_path):
     main(["poly-raster", gj_path, "value", cells_path, dst2])
     total = spark.read.parquet(dst2).groupBy().sum("disaggregated").collect()[0][0]
     assert total == pytest.approx(8.0)  # 4 zones x value 2, conserved
+
+
+# ------------------------------- reference-file cross-validation (round 4)
+
+import os
+
+import numpy as np
+import pytest
+
+_REF_FILES = "/root/reference/test/_files"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_FILES), reason="reference fixtures not present"
+)
+def test_reference_segmentations_parse_to_fixtures():
+    """The reference repo's actual GeoJSON zone layers (read by gregor
+    through gpd.read_file) parse to exactly the in-code fixtures the
+    engine's goldens are built on — vertex sets identical per zone."""
+    from gregor_spark.model import fixtures as FX
+    from gregor_spark.sources.geojson import zoneset_from_geojson
+
+    for name, fx in [
+        ("segmentation_2x2", FX.SEG_2X2),
+        ("segmentation_3x3", FX.SEG_3X3),
+        ("segmentation_polygon", FX.SEG_OVERLAP),
+    ]:
+        z = zoneset_from_geojson(os.path.join(_REF_FILES, f"{name}.geojson"))
+        assert list(z.zone_ids) == [f.zone_id for f in fx], name
+        for k, f in enumerate(fx):
+            got = sorted(zip(map(float, z.xs[k]), map(float, z.ys[k])))
+            want = sorted(zip(map(float, f.xs), map(float, f.ys)))
+            assert np.allclose(got, want), (name, k)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_FILES), reason="reference fixtures not present"
+)
+def test_reference_points_parse_to_fixture():
+    from gregor_spark.model import fixtures as FX
+    from gregor_spark.sources.geojson import points_from_geojson
+
+    rows = points_from_geojson(os.path.join(_REF_FILES, "points.geojson"))
+    assert len(rows) == len(FX.POINTS)
+    for got, want in zip(rows, FX.POINTS):
+        assert got[0] == want[0]
+        assert got[1] == pytest.approx(want[1], abs=0)
+        assert got[2] == pytest.approx(want[2], abs=0)
+        assert got[3] == pytest.approx(want[3], rel=1e-15)
