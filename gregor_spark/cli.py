@@ -2,9 +2,9 @@
 re-expressed over parquet datasets.
 
     python -m gregor_spark.cli raster-poly  <cells.parquet|.tif> <zones.json> <dst> [--stats sum]
-    python -m gregor_spark.cli point-poly   <points.parquet> <zones.json> <dst> [--stats sum]
+    python -m gregor_spark.cli point-poly   <points.parquet|.geojson> <zones.json> <dst> [--stats sum]
     python -m gregor_spark.cli poly-raster  <zones.json> <column> <proxy.parquet|.tif> <dst[.tif]>
-    python -m gregor_spark.cli poly-point   <zones.json> <column> <proxy.parquet> <proxy_column> <dst>
+    python -m gregor_spark.cli poly-point   <zones.json> <column> <proxy.parquet|.geojson> <proxy_column> <dst>
 
 Reference parity notes:
 * refuses an existing destination (cli.py:16-17, 32, 49, 73);
@@ -14,6 +14,9 @@ Reference parity notes:
 * zone layers load from GeoJSON FeatureCollections (parsed directly —
   GDAL-free; Polygon/MultiPolygon with holes, feature id/properties) or
   from the engine's small JSON sidecar (zone_id, xs, ys, value);
+* point layers ending in .geojson/.json load as FeatureCollections of
+  Points (ids + the 'data' property as weight — the reference's
+  points.geojson shape);
 * raster inputs ending in .tif/.tiff load through the pure-numpy GeoTIFF
   reader (sources/geotiff.py — the reference's rioxarray surface,
   cli.py:19, raster.py:62-74); a poly-raster destination ending in
@@ -70,6 +73,20 @@ def _read_raster(spark, path: str):
     return spark.read.parquet(path), None
 
 
+def _read_points(spark, path: str):
+    """Point layer: GeoJSON FeatureCollection of Points (the reference's
+    gpd.read_file surface — cli.py:19-23 on points.geojson) or a parquet
+    table with (point_id, x, y, weight)."""
+    if path.lower().endswith((".geojson", ".json")):
+        from .sources.geojson import points_from_geojson
+
+        return spark.createDataFrame(
+            points_from_geojson(path),
+            "point_id long, x double, y double, weight double",
+        )
+    return spark.read.parquet(path)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="gregor_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -115,7 +132,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "point-poly":
         from .operators.aggregate import aggregate_point_to_polygon
 
-        pts = spark.read.parquet(args.points)
+        pts = _read_points(spark, args.points)
         zones = _load_zones(args.polygons)
         out = aggregate_point_to_polygon(pts, zones, args.stats)
     elif args.cmd == "poly-raster":
@@ -149,7 +166,7 @@ def main(argv: list[str] | None = None) -> None:
         from .operators.disaggregate import disaggregate_polygon_to_point
 
         zones = _load_zones(args.data, args.column)
-        pts = spark.read.parquet(args.proxy)
+        pts = _read_points(spark, args.proxy)
         out = disaggregate_polygon_to_point(
             zones,
             pts,

@@ -192,3 +192,42 @@ def test_reference_points_parse_to_fixture():
         assert got[1] == pytest.approx(want[1], abs=0)
         assert got[2] == pytest.approx(want[2], abs=0)
         assert got[3] == pytest.approx(want[3], rel=1e-15)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_FILES), reason="reference fixtures not present"
+)
+def test_cli_point_poly_on_reference_files(spark, tmp_path):
+    """Full CLI run on the reference repo's OWN input files (points.geojson
+    + segmentation_2x2.geojson): per-zone weighted sums must equal the
+    numpy ground truth computed directly from the fixtures."""
+    import duckdb
+
+    from gregor_spark.cli import main
+    from gregor_spark.geo.kernels import points_strictly_inside
+    from gregor_spark.model import fixtures as FX
+
+    dst = str(tmp_path / "out.parquet")
+    main([
+        "point-poly",
+        os.path.join(_REF_FILES, "points.geojson"),
+        os.path.join(_REF_FILES, "segmentation_2x2.geojson"),
+        dst,
+    ])
+    got = dict(
+        duckdb.sql(
+            f"SELECT zone_id, sum_weight FROM '{dst}/*.parquet' ORDER BY 1"
+        ).fetchall()
+    )
+    px = np.array([p[1] for p in FX.POINTS])
+    py = np.array([p[2] for p in FX.POINTS])
+    wt = np.array([p[3] for p in FX.POINTS])
+    for z in FX.SEG_2X2:
+        inside = points_strictly_inside(
+            px, py, np.asarray(z.xs, float), np.asarray(z.ys, float)
+        )
+        want = float(wt[inside].sum()) if inside.any() else None
+        if want is None:
+            assert got.get(z.zone_id) is None
+        else:
+            assert got[z.zone_id] == pytest.approx(want, rel=1e-12), z.zone_id
