@@ -354,6 +354,42 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_edges_star(
+    docs: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b) edges with the SAME connected components as
+    ``lsh_candidate_pairs`` in **O(docs × bands)** rows instead of
+    O(Σ group²): per (band, band_key) group, emit one edge from the
+    group's MINIMUM doc id to every other member — the star over the
+    group.  Any two docs sharing a band are connected through that
+    minimum, so component structure (and hence ``dedup_clusters``
+    output) is identical — proven by parity test on random corpora.
+
+    This is the scale path for CLUSTERING: a boilerplate band shared by
+    10⁶ docs contributes 10⁶ − 1 edges here versus ~5·10¹¹ pairs from
+    the full join — the same group-min algebra that makes
+    ``dedup_incremental`` skew-immune.  Use ``lsh_candidate_pairs`` only
+    when the downstream consumer needs every pairwise edge (e.g. exact
+    jaccard re-scoring of individual candidates)."""
+    banded = minhash_bands(docs, text, k, num_perm, rows_per_band)
+    gm = banded.groupBy(
+        F.col("band").alias("g_band"), F.col("band_key").alias("g_key")
+    ).agg(F.min("doc_id").alias("g_min"))
+    return (
+        banded.join(
+            gm,
+            (banded["band"] == gm["g_band"]) & (banded["band_key"] == gm["g_key"]),
+        )
+        .filter(F.col("doc_id") > F.col("g_min"))
+        .select(F.col("g_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     index: DataFrame,

@@ -202,6 +202,47 @@ def test_minhash_bands_short_and_empty_docs(spark):
     assert out[6] == (False, 4)
 
 
+# --------------------------------------------------- star candidate edges
+
+
+def test_lsh_star_edges_same_components_as_pairs(spark):
+    """The star edge set must produce the identical dedup_clusters
+    labeling as the full quadratic pair set, with far fewer edges on a
+    hot band."""
+    from gregor_spark.ops.dedup import (
+        dedup_clusters,
+        lsh_candidate_edges_star,
+        lsh_candidate_pairs,
+    )
+
+    rows = []
+    # 30 docs sharing one boilerplate text (one hot band group), plus
+    # 20 pairs of near-identical docs, plus 30 distinct docs
+    for i in range(30):
+        rows.append((i, "common boilerplate header text shared by everyone"))
+    for j in range(20):
+        base = 100 + 2 * j
+        body = f"unique body {j} with several words " + "x" * (j % 5)
+        rows.append((base, body))
+        rows.append((base + 1, body))
+    for m in range(30):
+        rows.append((1000 + m, f"totally distinct document number {m} " * 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs)
+    stars = lsh_candidate_edges_star(docs)
+    n_pairs, n_stars = pairs.count(), stars.count()
+    assert n_stars < n_pairs  # 30-doc clique: 435 pairs vs 29 star edges
+    c_pairs = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()
+    }
+    c_stars = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, stars).collect()
+    }
+    assert c_pairs == c_stars
+    # boundedness: star edges can never exceed band rows (docs x bands)
+    assert n_stars <= len(rows) * 4
+
+
 # --------------------------------------------------- normalized exact dedup
 
 
