@@ -54,6 +54,26 @@ from ..ops.dedup import dedup_incremental, minhash_bands
 
 INDEX_SCHEMA = "doc_id long, band long, band_key string"
 
+# the on-disk index read schema: INDEX_SCHEMA plus the batch_id partition
+# column (from the directory names).  Reading with an EXPLICIT schema is
+# load-bearing for crash recovery: if the FIRST micro-batch crashes during
+# its index write, the index dir exists but holds only uncommitted
+# ``_temporary`` files, and a schema-less ``spark.read.parquet`` throws
+# UNABLE_TO_INFER_SCHEMA on replay — before process_batch can overwrite —
+# so the stream could never recover without manual cleanup.  With the
+# schema pinned, the committed-files-empty state reads as an empty index
+# (Spark ignores ``_``/``.``-prefixed dirs) while real read errors on
+# committed files still propagate.  Pinned in
+# tests/test_round5.py::test_dedup_stream_first_batch_crash_recovers.
+_INDEX_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.LongType()),
+        T.StructField("band_key", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
 
 def doc_text_stream_schema() -> T.StructType:
     return T.StructType(
@@ -98,9 +118,11 @@ def read_index(
     index; genuine read errors propagate and fail the micro-batch."""
     if not _fs_exists(spark, index_path):
         return _empty_index(spark)
-    raw = spark.read.parquet(index_path)
-    if "batch_id" in raw.columns and exclude_batch is not None:
-        raw = raw.filter(F.col("batch_id") != exclude_batch)
+    raw = spark.read.schema(_INDEX_READ_SCHEMA).parquet(index_path)
+    if exclude_batch is not None:
+        # null-safe: a row outside any batch_id= dir (batch_id NULL) is
+        # never this batch's own data — keep it rather than drop it
+        raw = raw.filter(~F.col("batch_id").eqNullSafe(F.lit(exclude_batch)))
     return raw.select("doc_id", "band", "band_key")
 
 
