@@ -601,10 +601,18 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component dedup clustering over the MinHash-LSH candidate
     graph — the iterative label-propagation algorithm; the oracle computes
-    the same components with a recursive CTE (transitive closure + min)."""
+    the same components with a recursive CTE (transitive closure + min).
+
+    Edge source = ``lsh_candidate_edges_star`` (r5 default): O(docs×bands)
+    star edges with PROVEN identical components to the full pair join
+    (tests/test_round4.py::test_lsh_star_edges_same_components_as_pairs) —
+    a hot boilerplate band emits group-size−1 edges instead of ~group²/2,
+    so clustering survives band skew that makes the pair join quadratic.
+    The oracle still builds the full pair graph: identical components by
+    construction, making it an independent formulation, not a replay."""
     docs = _docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs)
-    return D.dedup_clusters(docs, pairs)
+    edges = D.lsh_candidate_edges_star(docs)
+    return D.dedup_clusters(docs, edges)
 
 
 _DEDUP_CLUSTERS_SQL = f"""

@@ -524,6 +524,13 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
     return docs.select("doc_id", out.alias("simhash"))
 
 
+# rounds of plain min-label propagation before "auto" pointer jumping
+# engages: clique-ish near-dup graphs converge in ≤ 2 rounds + 1 probe,
+# so they never pay the halving join; anything still moving at round 2
+# is diameter-bound and flips to O(log d)
+_AUTO_JUMP_AFTER = 2
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -532,7 +539,7 @@ def dedup_clusters(
     b: str = "doc_b",
     max_iters: int = 50,
     round_hook=None,
-    pointer_jumping: bool = False,
+    pointer_jumping: bool | str = "auto",
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over a near-dup pair
     graph (canonical-keep clustering: cluster_id = the minimum doc id
@@ -573,10 +580,16 @@ def dedup_clusters(
     convergence is O(log diameter) rounds instead of O(diameter)
     (monotone and component-confined: every candidate is the label of a
     node in v's own component, so correctness is unchanged — parity
-    asserted in tests).  Default OFF: near-dup graphs are clique-ish
-    (2–3 rounds either way) and the extra join costs ~50% per round;
-    flip it ON for pathological high-diameter graphs (long reposting
-    chains, crawl-duplicate ladders), where 10 rounds replace 1000.
+    asserted in tests).  ``True`` = every round, ``False`` = never.
+
+    Default ``"auto"`` (r5): plain propagation for the first
+    ``_AUTO_JUMP_AFTER`` rounds, then path halving kicks in if labels are
+    still moving.  Near-dup graphs are clique-ish (2–3 rounds either way,
+    so auto never pays the extra ~50%/round join there), while a
+    pathological diameter-d chain converges in ≤ log₂(d)+2 rounds
+    including the convergence probe (2 plain rounds reach r=2, then
+    r ← 2r+1 per halving round) — the caller gets O(log d) without
+    knowing the flag exists (pinned in tests/test_round5.py).
     """
     import time as _time
 
@@ -593,13 +606,16 @@ def dedup_clusters(
     converged = False
     for i in range(max_iters):
         t0 = _time.monotonic()
+        jump = (
+            (i >= _AUTO_JUMP_AFTER) if pointer_jumping == "auto" else bool(pointer_jumping)
+        )
         neigh = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("_nl"))
         )
         stepped = labels.join(neigh, "id", "left")
-        if pointer_jumping:
+        if jump:
             # path halving: chase one pointer — label(label(v)) — through
             # a self-join on the SAME materialized label table (no extra
             # lineage depth; one extra shuffle per round)

@@ -55,3 +55,88 @@ def test_read_index_corrupt_committed_file_still_raises(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         read_index(spark, str(tmp_path / "index")).collect()
+
+
+# ------------------------------------------------ auto pointer jumping
+
+
+def test_dedup_clusters_auto_jump_log_rounds_on_deep_chain(spark):
+    """VERDICT r4 item 8: with DEFAULT arguments a pathological
+    diameter-64 chain must converge in ≤ log2(64)+2 = 8 rounds — plain
+    propagation reaches r=2 in the first two rounds, then "auto" path
+    halving doubles reach per round (the caller never touches the
+    pointer_jumping flag)."""
+    from gregor_spark.ops.dedup import dedup_clusters
+
+    n_chains, length = 20, 65  # diameter 64 per chain
+    nodes = spark.range(n_chains * length)
+    docs = nodes.select(F.col("id").alias("doc_id"))
+    pairs = nodes.filter(F.col("id") % length != length - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rounds = []
+    out = dedup_clusters(
+        docs, pairs, max_iters=10, round_hook=lambda i, s, c: rounds.append(i)
+    )
+    assert len(rounds) <= 8  # log2(diameter) + convergence probe
+    bad = out.filter(
+        F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % length
+    ).count()
+    assert bad == 0
+
+
+def test_dedup_clusters_auto_jump_untriggered_on_cliques(spark):
+    """Clique-ish graphs (the near-dup common case) converge before the
+    auto threshold, so they never pay the halving self-join: a union of
+    cliques finishes in 2 rounds (one propagation + one probe)."""
+    from gregor_spark.ops.dedup import dedup_clusters
+
+    nodes = spark.range(400)
+    docs = nodes.select(F.col("id").alias("doc_id"))
+    # cliques of 8: every member pairs with the clique minimum (star is
+    # enough for single-round convergence, like real LSH groups)
+    pairs = nodes.filter(F.col("id") % 8 != 0).select(
+        (F.col("id") - F.col("id") % 8).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    rounds = []
+    out = dedup_clusters(
+        docs, pairs, round_hook=lambda i, s, c: rounds.append(i)
+    )
+    assert len(rounds) == 2
+    assert out.filter(
+        F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % 8
+    ).count() == 0
+
+
+# -------------------------------------- star edges as clustering default
+
+
+def test_q_dedup_clusters_uses_star_edges(spark):
+    """VERDICT r4 item 2: the contract query's edge source must be the
+    linear-size star set, not the quadratic pair join.  On a corpus where
+    4 docs share identical text, the star source feeds 3 edges into
+    clustering (pairs would feed 6) while components are identical."""
+    from gregor_spark.ops.dedup import (
+        dedup_clusters,
+        lsh_candidate_edges_star,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated here") for i in range(4)]
+        + [(10, "a unique document unlike any other one")],
+        "doc_id long, text string",
+    )
+    assert lsh_candidate_edges_star(docs).count() == 3
+    assert lsh_candidate_pairs(docs).count() == 6
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, lsh_candidate_edges_star(docs)).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10}
+    # and the registry wiring actually calls the star source
+    import inspect
+
+    from gregor_spark import entry_queries as EQ
+
+    assert "lsh_candidate_edges_star" in inspect.getsource(EQ.q_dedup_clusters)
