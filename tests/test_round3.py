@@ -122,8 +122,13 @@ def test_dedup_clusters_flat_rounds_deep_chain(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     times = []
+    # pointer_jumping=False pins the PLAIN one-hop-per-round path — this
+    # test's subject is per-round lineage flatness over many rounds (the
+    # r5 "auto" default would converge in ~6 rounds and starve the
+    # measurement; auto behavior is pinned in test_round5.py)
     out = dedup_clusters(
-        docs, pairs, max_iters=40, round_hook=lambda i, s, c: times.append(s)
+        docs, pairs, max_iters=40, pointer_jumping=False,
+        round_hook=lambda i, s, c: times.append(s),
     )
     # label propagation walks one hop per round: 16 hops + 1 quiescent round
     assert len(times) == length
