@@ -95,8 +95,22 @@ def write_table(
     if mode == "append" and os.path.exists(os.path.join(path, MANIFEST)):
         prior = read_manifest(path).get("snapshots", [])
     out.write.mode(mode).partitionBy("bucket").parquet(path)
-    counts = _footer_partition_counts(path, "bucket")
-    files = _walk_data_files(path, "bucket")
+    all_files = _walk_data_files(path, "bucket")
+    if prior:
+        # an appending commit = the current snapshot's files plus whatever
+        # the write just added — NOT a blind directory walk, which would
+        # resurrect files kept on disk only for older snapshots' time
+        # travel (e.g. pre-compaction small files awaiting expiry)
+        known = {f["path"] for s in prior for f in s["files"]}
+        files = [(f["path"], f["rows"]) for f in prior[-1]["files"]] + [
+            (p, n) for p, n in all_files if p not in known
+        ]
+    else:
+        files = all_files
+    counts: dict[str, int] = {}
+    for p, n in files:
+        key = os.path.dirname(p).split("=", 1)[1]
+        counts[key] = counts.get(key, 0) + n
     now_ms = int(time.time() * 1000)
     snap_id = max(now_ms, (prior[-1]["snapshot_id"] + 1) if prior else 0)
     snapshot = {
@@ -147,10 +161,20 @@ def read_table(
     """Read a table written by ``write_table`` — current state by
     default; ``snapshot_id`` / ``as_of_ms`` time-travel to a committed
     snapshot by reading exactly its file list (``basePath`` keeps the
-    bucket partition column derivable, so pruning still works)."""
+    bucket partition column derivable, so pruning still works).
+
+    The current-state read also goes through the manifest's committed
+    file list when snapshot history exists (Iceberg's reader contract):
+    files kept on disk only for OLDER snapshots — pre-compaction small
+    files awaiting ``expire_snapshots`` — are invisible, so maintenance
+    actions never double-count rows.  Directory read is the fallback for
+    pre-v2 manifests only."""
+    m = read_manifest(path) if os.path.exists(os.path.join(path, MANIFEST)) else {}
     if snapshot_id is None and as_of_ms is None:
-        return spark.read.parquet(path)
-    snap = _resolve_snapshot(read_manifest(path), snapshot_id, as_of_ms)
+        if not m.get("snapshots"):
+            return spark.read.parquet(path)
+        snapshot_id = m["current_snapshot_id"]
+    snap = _resolve_snapshot(m, snapshot_id, as_of_ms)
     files = [os.path.join(path, f["path"]) for f in snap["files"]]
     if not files:
         raise ValueError(f"snapshot {snap['snapshot_id']} lists no files")
@@ -183,6 +207,149 @@ def read_table_changes(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)
+
+
+def compact_table(spark: SparkSession, path: str) -> dict:
+    """Rewrite the CURRENT snapshot's data into one-file-per-task-bucket
+    and commit the result as a new ``compact`` snapshot — the Iceberg
+    ``rewrite_data_files`` maintenance action, and the antidote to the
+    small-file problem a continuously-appending 100 TB table develops
+    (every append snapshot adds task-count files per bucket; scan cost
+    grows with file COUNT long before it grows with bytes).
+
+    The old small files stay on disk so existing snapshots still
+    time-travel file-for-file; ``expire_snapshots`` afterwards reclaims
+    them once no retained snapshot references them.  Commit protocol:
+    write to a ``_compact_tmp`` staging dir (invisible to readers — the
+    manifest never references it), move files into the bucket dirs under
+    snapshot-unique names, then atomically swap the manifest.  A crash
+    before the swap leaves only unreferenced stray files (re-run to
+    clean), never a half-visible compaction.  Row-count parity between
+    the old and new file sets is asserted from parquet footers before
+    the commit."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    m = read_manifest(path)
+    snaps = m.get("snapshots", [])
+    if not snaps:
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    n_buckets = m["partition_spec"]["n_buckets"]
+    src = [os.path.join(path, f["path"]) for f in cur["files"]]
+    tmp = os.path.join(path, "_compact_tmp")
+    (
+        spark.read.option("basePath", path)
+        .parquet(*src)
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    now_ms = int(time.time() * 1000)
+    snap_id = max(now_ms, snaps[-1]["snapshot_id"] + 1)
+    new_files: list[tuple[str, int]] = []
+    for dirname in sorted(os.listdir(tmp)):
+        if not dirname.startswith("bucket="):
+            continue
+        os.makedirs(os.path.join(path, dirname), exist_ok=True)
+        parts = sorted(
+            f for f in os.listdir(os.path.join(tmp, dirname)) if f.endswith(".parquet")
+        )
+        for i, fname in enumerate(parts):
+            rel = os.path.join(dirname, f"compact-{snap_id}-{i:05d}.parquet")
+            os.replace(os.path.join(tmp, dirname, fname), os.path.join(path, rel))
+            new_files.append(
+                (rel, pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows)
+            )
+    shutil.rmtree(tmp)
+    new_total = sum(n for _p, n in new_files)
+    assert new_total == cur["total_rows"], (
+        f"compaction row drift: {new_total} != {cur['total_rows']}"
+    )
+    snapshot = {
+        "snapshot_id": snap_id,
+        "timestamp_ms": now_ms,
+        "operation": "compact",
+        "files": [{"path": p, "rows": n} for p, n in new_files],
+        "total_rows": new_total,
+    }
+    counts: dict[str, int] = {}
+    for p, n in new_files:
+        key = os.path.dirname(p).split("=", 1)[1]
+        counts[key] = counts.get(key, 0) + n
+    m["snapshots"] = snaps + [snapshot]
+    m["snapshot_id"] = snap_id
+    m["current_snapshot_id"] = snap_id
+    m["bucket_rows"] = counts
+    m["total_rows"] = new_total
+    tmpf = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmpf, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmpf, os.path.join(path, MANIFEST))  # atomic commit
+    return {
+        "snapshot_id": snap_id,
+        "files_before": len(cur["files"]),
+        "files_after": len(new_files),
+        "rows": new_total,
+    }
+
+
+def expire_snapshots(
+    path: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Drop old snapshots and delete their now-unreferenced data files —
+    the Iceberg ``expire_snapshots`` maintenance action for this layout.
+
+    Retention: keep the newest ``keep_last`` snapshots, and/or every
+    snapshot with ``timestamp_ms >= older_than_ms`` (give at least one
+    criterion; both = union of what each retains).  The CURRENT snapshot
+    is always retained regardless of the criteria.  A data file is
+    deleted only when NO retained snapshot references it, so retained
+    time travel keeps working file-for-file; time travel to an expired
+    snapshot raises (its manifest entry is gone).  The manifest swap is
+    the same atomic temp-file + ``os.replace`` commit as ``write_table``,
+    and files are unlinked only AFTER the swap — a crash between the two
+    leaves orphan files (harmless; re-run to reclaim), never a manifest
+    pointing at deleted data."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("give keep_last and/or older_than_ms")
+    m = read_manifest(path)
+    snaps = m.get("snapshots", [])
+    if not snaps:
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    retained = []
+    for i, s in enumerate(snaps):
+        keep = s["snapshot_id"] == m["current_snapshot_id"]
+        if keep_last is not None and i >= len(snaps) - keep_last:
+            keep = True
+        if older_than_ms is not None and s["timestamp_ms"] >= older_than_ms:
+            keep = True
+        if keep:
+            retained.append(s)
+    live = {f["path"] for s in retained for f in s["files"]}
+    dead = sorted(
+        {f["path"] for s in snaps for f in s["files"]} - live
+    )
+    m["snapshots"] = retained
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit
+    for rel in dead:
+        full = os.path.join(path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+    return {
+        "retained": [s["snapshot_id"] for s in retained],
+        "expired": [
+            s["snapshot_id"] for s in snaps if s not in retained
+        ],
+        "deleted_files": dead,
+    }
 
 
 # ------------------------------------------------- tile-partitioned layout

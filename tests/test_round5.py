@@ -140,3 +140,88 @@ def test_q_dedup_clusters_uses_star_edges(spark):
     from gregor_spark import entry_queries as EQ
 
     assert "lsh_candidate_edges_star" in inspect.getsource(EQ.q_dedup_clusters)
+
+
+# -------------------------------------- compaction + snapshot expiry
+
+
+def test_compact_then_expire_snapshots(spark, tmp_path):
+    """VERDICT r4 item 5: ``expire_snapshots`` exists, works, and its
+    docstring contract holds — expired snapshots raise, retained time
+    travel still reads file-for-file, and files referenced by no
+    retained snapshot are physically reclaimed.  ``compact_table`` is
+    what makes expiry non-vacuous on an append-only table: it rewrites
+    the current state into few files while old snapshots keep the small
+    ones alive until expiry."""
+    import os
+
+    from gregor_spark.sources.iceberg_like import (
+        compact_table,
+        expire_snapshots,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    m1 = write_table(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(8),
+        path, bucket_by="k", n_buckets=4,
+    )
+    m2 = write_table(
+        spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v").repartition(8),
+        path, bucket_by="k", n_buckets=4, mode="append",
+    )
+    s1, s2 = m1["current_snapshot_id"], m2["current_snapshot_id"]
+    rep = compact_table(spark, path)
+    assert rep["files_after"] < rep["files_before"]
+    assert rep["rows"] == 150
+    # current read sees the COMPACTED file list only (no double count
+    # from the old small files still on disk)
+    assert read_table(spark, path).count() == 150
+    # pre-compaction snapshots still time-travel exactly
+    assert read_table(spark, path, snapshot_id=s1).count() == 100
+    assert read_table(spark, path, snapshot_id=s2).count() == 150
+    # an append AFTER compaction must not resurrect the old small files
+    m3 = write_table(
+        spark.range(150, 160).selectExpr("id AS k", "id * 2 AS v"),
+        path, bucket_by="k", n_buckets=4, mode="append",
+    )
+    assert read_table(spark, path).count() == 160
+    cur_files = {f["path"] for f in read_manifest(path)["snapshots"][-1]["files"]}
+    old_small = {f["path"] for f in m1["snapshots"][-1]["files"]}
+    assert not (cur_files & old_small)
+
+    out = expire_snapshots(path, keep_last=2)
+    assert set(out["expired"]) == {s1, s2}
+    # the small files referenced only by the expired snapshots are gone
+    assert out["deleted_files"]
+    for rel in out["deleted_files"]:
+        assert not os.path.exists(os.path.join(path, rel))
+    # expired snapshot raises; retained ones still read
+    with pytest.raises(ValueError, match="not found"):
+        read_table(spark, path, snapshot_id=s1)
+    assert read_table(spark, path, snapshot_id=rep["snapshot_id"]).count() == 150
+    assert read_table(spark, path).count() == 160
+    assert read_table(spark, path, snapshot_id=m3["current_snapshot_id"]).count() == 160
+
+
+def test_expire_snapshots_always_keeps_current_and_validates_args(spark, tmp_path):
+    from gregor_spark.sources.iceberg_like import (
+        expire_snapshots,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t2")
+    write_table(
+        spark.range(10).selectExpr("id AS k", "id AS v"), path,
+        bucket_by="k", n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(path)
+    # older_than far in the future would expire everything — the current
+    # snapshot must survive regardless
+    out = expire_snapshots(path, older_than_ms=2**62)
+    assert len(out["retained"]) == 1 and not out["expired"]
+    assert read_table(spark, path).count() == 10
