@@ -106,7 +106,11 @@ def main(argv: list[str] | None = None) -> None:
     # the data CRS; parquet carries no CRS, so the pair travels as flags
     p.add_argument("--to-data-crs", action="store_true", dest="to_data_crs")
     p.add_argument("--data-crs", default="EPSG:4326")
-    p.add_argument("--proxy-crs", default="EPSG:4326")
+    # None = "flag not given" sentinel: a GeoTIFF proxy's header CRS is
+    # adopted only then, so an EXPLICIT --proxy-crs EPSG:4326 overriding a
+    # mislabeled file is honored (a default of "EPSG:4326" could not tell
+    # the two apart and silently preferred the file header)
+    p.add_argument("--proxy-crs", default=None)
 
     p = sub.add_parser("poly-point")
     p.add_argument("data"), p.add_argument("column"), p.add_argument("proxy")
@@ -114,7 +118,7 @@ def main(argv: list[str] | None = None) -> None:
     # reference cli.py:78-81
     p.add_argument("--to-data-crs", action="store_true", dest="to_data_crs")
     p.add_argument("--data-crs", default="EPSG:4326")
-    p.add_argument("--proxy-crs", default="EPSG:4326")
+    p.add_argument("--proxy-crs", default=None)
 
     args = ap.parse_args(argv)
     _check_dst(args.destination)
@@ -141,8 +145,10 @@ def main(argv: list[str] | None = None) -> None:
 
         zones = _load_zones(args.data, args.column)
         proxy, proxy_meta = _read_raster(spark, args.proxy)
-        if _is_tiff(args.proxy) and args.proxy_crs == "EPSG:4326":
-            args.proxy_crs = proxy_meta.crs  # GeoTIFF carries its CRS
+        if args.proxy_crs is None:  # flag not given
+            args.proxy_crs = (
+                proxy_meta.crs if _is_tiff(args.proxy) else "EPSG:4326"
+            )
         if args.data_crs != args.proxy_crs:
             from .geo.crs import reproject_zones
 
@@ -165,6 +171,8 @@ def main(argv: list[str] | None = None) -> None:
     else:  # poly-point
         from .operators.disaggregate import disaggregate_polygon_to_point
 
+        if args.proxy_crs is None:  # flag not given (point layers carry no CRS)
+            args.proxy_crs = "EPSG:4326"
         zones = _load_zones(args.data, args.column)
         pts = _read_points(spark, args.proxy)
         out = disaggregate_polygon_to_point(

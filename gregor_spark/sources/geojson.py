@@ -135,6 +135,14 @@ def points_from_geojson(
         if value_property is None:
             rows.append((pid, x, y))
         else:
+            if value_property not in props:
+                # match the parser's descriptive-ValueError contract (a
+                # bare KeyError fails the CLI with an opaque traceback)
+                raise ValueError(
+                    f"feature {i}: missing property {value_property!r} "
+                    f"(have {sorted(props)!r}); pass value_property=None "
+                    "to omit the value column"
+                )
             rows.append((pid, x, y, float(props[value_property])))
     return rows
 

@@ -192,13 +192,19 @@ def write_geotiff(
     rows_per_strip = max(1, min(height, 8192))
     n_strips = (height + rows_per_strip - 1) // rows_per_strip
 
-    epsg = 0
-    if meta.crs.upper().startswith("EPSG:"):
-        epsg = int(meta.crs.split(":")[1])
+    if not meta.crs.upper().startswith("EPSG:"):
+        # raise, never silently misread/mislabel (module contract): a
+        # non-EPSG crs stamped as 4326 would hand GDAL/QGIS consumers a
+        # wrong georeference with no warning
+        raise ValueError(
+            f"write_geotiff needs an 'EPSG:*' crs to stamp geokeys, got "
+            f"{meta.crs!r} — reproject first or write parquet instead"
+        )
+    epsg = int(meta.crs.split(":")[1])
     geographic = epsg == 4326 or 4000 <= epsg < 5000
     geo_keys = [1, 1, 1, 2,
                 1024, 0, 1, 2 if geographic else 1,
-                (2048 if geographic else 3072), 0, 1, epsg or 4326]
+                (2048 if geographic else 3072), 0, 1, epsg]
     nodata_ascii = (f"{meta.nodata:g}").encode() + b"\x00"
 
     entries: list[tuple[int, int, int, object]] = []  # tag, type, count, values

@@ -225,3 +225,99 @@ def test_expire_snapshots_always_keeps_current_and_validates_args(spark, tmp_pat
     out = expire_snapshots(path, older_than_ms=2**62)
     assert len(out["retained"]) == 1 and not out["expired"]
     assert read_table(spark, path).count() == 10
+
+
+# ------------------------------------------------- ADVICE r4 low fixes
+
+
+def test_cli_explicit_proxy_crs_overrides_tiff_header(spark, tmp_path):
+    """ADVICE r4: an EXPLICIT --proxy-crs EPSG:4326 must win over a
+    GeoTIFF header claiming another CRS (mislabeled files happen); the
+    old == "EPSG:4326" check couldn't distinguish the argparse default
+    from the user's deliberate override and silently took the header."""
+    import json
+
+    import numpy as np
+
+    from gregor_spark.cli import main
+    from gregor_spark.model.raster import RasterMeta
+    from gregor_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    # a mislabeled file: header says LAEA meters, data is really degrees
+    bad_meta = RasterMeta(
+        width=4, height=4, origin_x=-0.25, origin_y=11.75, pixel=0.5,
+        crs="EPSG:3035", nodata=0.0,
+    )
+    proxy_tif = str(tmp_path / "mislabeled.tif")
+    write_geotiff(proxy_tif, bad_meta, np.ones((4, 4)))
+    zones_json = str(tmp_path / "zones.json")
+    with open(zones_json, "w") as f:
+        json.dump(
+            [{"zone_id": 0, "xs": [-0.25, 1.75, 1.75, -0.25],
+              "ys": [9.75, 9.75, 11.75, 11.75], "value": 8.0}], f
+        )
+    dst = str(tmp_path / "out.tif")
+    main([
+        "poly-raster", zones_json, "value", proxy_tif, dst,
+        "--proxy-crs", "EPSG:4326",
+    ])
+    _meta, grid = read_geotiff(dst)
+    assert grid.sum() == pytest.approx(8.0)  # degrees honored, conserved
+
+
+def test_write_geotiff_rejects_non_epsg_crs(tmp_path):
+    """ADVICE r4: stamping EPSG:4326 geokeys for a non-EPSG crs silently
+    mislabels the raster for GDAL consumers — raise instead."""
+    import numpy as np
+
+    from gregor_spark.model.raster import RasterMeta
+    from gregor_spark.sources.geotiff import write_geotiff
+
+    meta = RasterMeta(width=2, height=2, origin_x=0.0, origin_y=1.0,
+                      pixel=0.5, crs="+proj=utm +zone=31", nodata=0.0)
+    with pytest.raises(ValueError, match="EPSG"):
+        write_geotiff(str(tmp_path / "x.tif"), meta, np.ones((2, 2)))
+
+
+def test_points_from_geojson_missing_value_property_message():
+    """ADVICE r4: a missing value property raises the parser's
+    descriptive ValueError, not a bare KeyError."""
+    from gregor_spark.sources.geojson import points_from_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": 1,
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {"other": 3.0}},
+        ],
+    }
+    with pytest.raises(ValueError, match="missing property 'data'"):
+        points_from_geojson(fc)
+    # and value_property=None still reads the geometry
+    assert points_from_geojson(fc, value_property=None) == [(1, 1.0, 2.0)]
+
+
+def test_driver_window_membership():
+    """ADVICE r4: pin the verification-window layout — the driver checks
+    the FIRST 50 registry entries only, so every entry past position 50
+    must be a designated _WINDOW_TAIL fixture twin (each with its own
+    pytest golden).  An accidental registry insertion that silently
+    rotates a family's only oracle row out of the window fails here."""
+    from gregor_spark.entry_queries import _WINDOW_TAIL, REGISTRY
+
+    keys = list(REGISTRY)
+    assert len(keys) - len(_WINDOW_TAIL) <= 50, (
+        f"registry has {len(keys)} entries but only {len(_WINDOW_TAIL)} "
+        "tail twins — a non-twin query fell outside the driver's "
+        "first-50 window; extend _WINDOW_TAIL per COVERAGE.md rotation "
+        "protocol"
+    )
+    assert tuple(keys[-len(_WINDOW_TAIL):]) == _WINDOW_TAIL
+    # families whose ONLY oracle row lives in the window
+    window = set(keys[:50])
+    for must in (
+        "dedup_clusters", "ann_ivf", "ann_ivf_matmul", "media_decode",
+        "events_asof", "north_pipeline", "dedup_incremental",
+    ):
+        assert must in window, f"{must} rotated out of the driver window"
