@@ -10,15 +10,22 @@ ops/media.py and the GeoJSON parser in sources/geojson.py:
 * baseline TIFF 6.0: II/MM byte order, IFD chain, strips (RowsPerStrip /
   StripOffsets / StripByteCounts), SampleFormat × BitsPerSample →
   uint8/16/32, int8/16/32, float32/64;
+* compression (r5): DEFLATE (8 / legacy 32946, stdlib zlib), TIFF-LZW
+  (5, MSB-first variable-width codes with early change — the GDAL
+  default for downloaded rasters), PackBits (32773), plus horizontal
+  differencing (Predictor=2) for integer samples;
+* tiled layout (r5): TileWidth/TileLength/TileOffsets/TileByteCounts
+  (322/323/324/325) — edge tiles padded per spec, cropped on read;
 * GeoTIFF 1.1: ModelPixelScaleTag (33550) + ModelTiepointTag (33922)
   give the north-up affine; GeoKeyDirectoryTag (34735) keys 2048
   (geographic CS) / 3072 (projected CS) give the EPSG code;
 * GDAL_NODATA (42113) carries the nodata value as ASCII.
 
-Limits (raise, never silently misread): single band, no compression, no
-tiles (strips only), no palette.  The writer emits exactly that profile
-— little-endian, one strip per ≤ 8K rows, float64 by default — which
-GDAL/QGIS/rasterio open directly.
+Limits (raise, never silently misread): single band, no palette, no
+JPEG/CCITT codecs, no floating-point predictor (3).  The writer emits
+little-endian files — strips (one per ≤ 8K rows) or square tiles, and
+optional ``compress="deflate"|"lzw"`` — which GDAL/QGIS/rasterio open
+directly.
 
 Scale note: like zone layers, GeoTIFF is the driver-side INTERCHANGE
 format at the pipeline edge; at 100 TB rasters live as Morton-
@@ -82,6 +89,153 @@ def _parse_ifd(buf: bytes, endian: str, offset: int) -> dict[int, object]:
     return tags
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 9→12-bit
+    variable-width codes, ClearCode=256 / EOI=257, and the "early change"
+    quirk — the code width bumps when the NEXT table slot is 2^width−1,
+    one entry earlier than vanilla LZW.  Pure Python: runs driver-side on
+    interchange-sized files (module scale note)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    prev = b""
+    bitbuf = nbits = 0
+    width = 9
+    pos, n = 0, len(data)
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = b""
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # stream ended without EOI (GDAL tolerates)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the entry completed by the NEXT
+        # code), so it widens at 2^w−2 where the encoder widens at 2^w−1
+        # — libtiff's maxcode=(1<<n)-2 convention
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (writer twin of ``_lzw_decode``; emits
+    CLEAR, codes with early width change, EOI)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        elif next_code == (1 << 12) - 1:  # table full: restart
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        put(table[prev], width)
+    put(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
+def _decompress(raw: bytes, compression: int, path: str) -> bytes:
+    import zlib
+
+    if compression in (8, 32946):  # DEFLATE (+ legacy code)
+        return zlib.decompress(raw)
+    if compression == 5:
+        return _lzw_decode(raw)
+    if compression == 32773:
+        return _packbits_decode(raw)
+    raise NotImplementedError(
+        f"{path}: compression {compression} not supported "
+        "(uncompressed, DEFLATE, LZW, PackBits are)"
+    )
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int, dt: np.dtype, path: str) -> np.ndarray:
+    """Predictor=2 (horizontal differencing): samples are stored as
+    row-wise deltas; cumulative sum with same-width modular arithmetic
+    restores them (the spec defines the deltas mod 2^bits)."""
+    if predictor == 1:
+        return arr
+    if predictor == 2:
+        if dt.kind not in "iu":
+            raise NotImplementedError(
+                f"{path}: Predictor=2 with non-integer samples"
+            )
+        u = np.dtype(f"u{dt.itemsize}")
+        acc = np.cumsum(arr.astype(u, copy=False), axis=1, dtype=u)
+        return acc.view(np.dtype(f"{dt.kind}{dt.itemsize}"))
+    raise NotImplementedError(f"{path}: Predictor={predictor} (1 or 2 only)")
+
+
 def _epsg_from_geokeys(keys: list[int]) -> str | None:
     """GeoKeyDirectoryTag: header (version, rev, minor, n_keys) then
     4-short key entries (key_id, tag_location, count, value).  Location 0
@@ -122,13 +276,7 @@ def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
     width = int(tags[256][0])
     height = int(tags[257][0])
     compression = int(tags.get(259, [1])[0])
-    if compression != 1:
-        raise NotImplementedError(
-            f"{path}: compression {compression} needs codec libraries; "
-            "only uncompressed GeoTIFF decodable here"
-        )
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError(f"{path}: tiled TIFF not supported (strips only)")
+    predictor = int(tags.get(317, [1])[0])
     spp = int(tags.get(277, [1])[0])
     if spp != 1:
         raise NotImplementedError(f"{path}: {spp} samples/pixel (single band only)")
@@ -139,17 +287,54 @@ def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
         raise NotImplementedError(f"{path}: SampleFormat={fmt} BitsPerSample={bits}")
     dt = np.dtype(endian + dtype)
 
-    offsets = [int(v) for v in tags[273]]
-    counts = [int(v) for v in tags[279]]
-    rows_per_strip = int(tags.get(278, [height])[0])
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rows_per_strip, height - si * rows_per_strip)
-        strip = np.frombuffer(buf, dtype=dt, count=n_rows * width, offset=off)
-        if strip.nbytes > cnt:
-            raise ValueError(f"{path}: strip {si} shorter than its row span")
-        rows.append(strip.reshape(n_rows, width))
-    grid = np.concatenate(rows, axis=0).astype(np.float64)
+    def segment(off: int, cnt: int, n_rows: int, n_cols: int, label: str) -> np.ndarray:
+        """One strip or tile as an (n_rows, n_cols) array: slice →
+        decompress → dtype view → predictor undo."""
+        if compression == 1:
+            arr = np.frombuffer(buf, dtype=dt, count=n_rows * n_cols, offset=off)
+            if arr.nbytes > cnt:
+                raise ValueError(f"{path}: {label} shorter than its pixel span")
+        else:
+            raw = _decompress(bytes(buf[off : off + cnt]), compression, path)
+            want = n_rows * n_cols * dt.itemsize
+            if len(raw) < want:
+                raise ValueError(
+                    f"{path}: {label} decompressed to {len(raw)} bytes, "
+                    f"expected {want}"
+                )
+            arr = np.frombuffer(raw, dtype=dt, count=n_rows * n_cols)
+        return _undo_predictor(arr.reshape(n_rows, n_cols), predictor, dt, path)
+
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        tw = int(tags[322][0])
+        th = int(tags[323][0])
+        offsets = [int(v) for v in tags[324]]
+        counts = [int(v) for v in tags[325]]
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"{path}: {len(offsets)} tiles for a {across}x{down} tile grid"
+            )
+        # tiles are padded to full (th, tw) at the right/bottom edges
+        # (spec: tile data is always tile-sized); decode all, then crop
+        full = np.empty((down * th, across * tw), dtype=dt.newbyteorder("="))
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(ti, across)
+            full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = segment(
+                off, cnt, th, tw, f"tile {ti}"
+            )
+        grid = full[:height, :width].astype(np.float64)
+    else:
+        offsets = [int(v) for v in tags[273]]
+        counts = [int(v) for v in tags[279]]
+        rows_per_strip = int(tags.get(278, [height])[0])
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, height - si * rows_per_strip)
+            rows.append(segment(off, cnt, n_rows, width, f"strip {si}"))
+        grid = np.concatenate(rows, axis=0).astype(np.float64)
 
     scale = tags.get(33550)
     tie = tags.get(33922)
@@ -179,18 +364,26 @@ def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
 
 
 def write_geotiff(
-    path: str, meta: RasterMeta, grid: np.ndarray, dtype: str = "f8"
+    path: str,
+    meta: RasterMeta,
+    grid: np.ndarray,
+    dtype: str = "f8",
+    compress: str | None = None,
+    tile: int | None = None,
 ) -> None:
-    """Write a (height, width) grid as an uncompressed single-band
-    little-endian GeoTIFF (pixel scale + tiepoint + EPSG geokeys +
-    GDAL_NODATA) — the exact profile ``read_geotiff`` parses, and one any
-    GDAL-based tool opens."""
+    """Write a (height, width) grid as a single-band little-endian
+    GeoTIFF (pixel scale + tiepoint + EPSG geokeys + GDAL_NODATA) — a
+    profile ``read_geotiff`` parses and any GDAL-based tool opens.
+
+    ``compress``: None (default), ``"deflate"`` (zlib) or ``"lzw"``
+    (TIFF-variant codes, see ``_lzw_encode``).  ``tile``: side length to
+    write a tiled layout instead of strips (edge tiles padded with
+    ``meta.nodata`` per spec)."""
     grid = np.ascontiguousarray(np.asarray(grid), dtype=np.dtype("<" + dtype))
     height, width = grid.shape
     fmt_code = {"u": 1, "i": 2, "f": 3}[np.dtype(dtype).kind]
     bits = grid.dtype.itemsize * 8
-    rows_per_strip = max(1, min(height, 8192))
-    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    comp_code = {None: 1, "deflate": 8, "lzw": 5}[compress]
 
     if not meta.crs.upper().startswith("EPSG:"):
         # raise, never silently misread/mislabel (module contract): a
@@ -215,22 +408,54 @@ def write_geotiff(
     add(256, 4, [width])
     add(257, 4, [height])
     add(258, 3, [bits])
-    add(259, 3, [1])            # uncompressed
+    add(259, 3, [comp_code])
     add(262, 3, [1])            # BlackIsZero
     add(277, 3, [1])            # one band
-    add(278, 4, [rows_per_strip])
     add(284, 3, [1])            # chunky
     add(339, 3, [fmt_code])
     add(33550, 12, [meta.pixel, meta.pixel, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, meta.origin_x, meta.origin_y, 0.0])
     add(34735, 3, geo_keys)
     add(42113, 2, list(nodata_ascii))
-    strip_rows = [
-        grid[s * rows_per_strip : (s + 1) * rows_per_strip] for s in range(n_strips)
-    ]
-    byte_counts = [s.nbytes for s in strip_rows]
-    add(273, 4, [0] * n_strips)  # offsets patched below
-    add(279, 4, byte_counts)
+
+    if tile is None:
+        rows_per_strip = max(1, min(height, 8192))
+        n_segs = (height + rows_per_strip - 1) // rows_per_strip
+        seg_arrays = [
+            grid[s * rows_per_strip : (s + 1) * rows_per_strip]
+            for s in range(n_segs)
+        ]
+        add(278, 4, [rows_per_strip])
+        off_tag, cnt_tag = 273, 279
+    else:
+        th = tw = int(tile)
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        n_segs = across * down
+        padded = np.full(
+            (down * th, across * tw), meta.nodata, dtype=grid.dtype
+        )
+        padded[:height, :width] = grid
+        seg_arrays = [
+            padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            for ty in range(down)
+            for tx in range(across)
+        ]
+        add(322, 4, [tw])
+        add(323, 4, [th])
+        off_tag, cnt_tag = 324, 325
+
+    if compress == "deflate":
+        import zlib
+
+        segments = [zlib.compress(np.ascontiguousarray(s).tobytes()) for s in seg_arrays]
+    elif compress == "lzw":
+        segments = [_lzw_encode(np.ascontiguousarray(s).tobytes()) for s in seg_arrays]
+    else:
+        segments = [np.ascontiguousarray(s).tobytes() for s in seg_arrays]
+    byte_counts = [len(s) for s in segments]
+    add(off_tag, 4, [0] * n_segs)  # offsets patched below
+    add(cnt_tag, 4, byte_counts)
     entries.sort(key=lambda e: e[0])
 
     header = struct.pack("<2sHI", b"II", 42, 8)
@@ -251,9 +476,10 @@ def write_geotiff(
             packed_entries.append((tag, ttype, count, raw.ljust(4, b"\x00"), None))
         else:
             packed_entries.append((tag, ttype, count, None, raw))
-    # lay out out-of-line blobs (word-aligned), then strips — the 273
-    # placeholder already has its final SIZE (n_strips uint32s), so one
-    # layout pass is exact and the patch below never shifts offsets
+    # lay out out-of-line blobs (word-aligned), then the data segments —
+    # the offsets placeholder already has its final SIZE (n_segs
+    # uint32s), so one layout pass is exact and the patch below never
+    # shifts offsets
     blob_offsets = []
     off = data_off
     for _tag, _t, _c, inline, blob in packed_entries:
@@ -264,14 +490,14 @@ def write_geotiff(
             blob_offsets.append(off)
             off += len(blob)
     off += off % 2
-    strip_offsets = []
-    for s in strip_rows:
-        strip_offsets.append(off)
-        off += s.nbytes
-    # patch StripOffsets (tag 273) with the real positions
+    seg_offsets = []
+    for s in segments:
+        seg_offsets.append(off)
+        off += len(s)
+    # patch StripOffsets/TileOffsets with the real positions
     for idx, (tag, ttype, count, inline, blob) in enumerate(packed_entries):
-        if tag == 273:
-            raw = struct.pack("<" + "I" * n_strips, *strip_offsets)
+        if tag == off_tag:
+            raw = struct.pack("<" + "I" * n_segs, *seg_offsets)
             if len(raw) <= 4:
                 packed_entries[idx] = (tag, ttype, count, raw.ljust(4, b"\x00"), None)
             else:
@@ -298,10 +524,10 @@ def write_geotiff(
         if pos % 2:
             f.write(b"\x00")
             pos += 1
-        for s, soff in zip(strip_rows, strip_offsets):
+        for s, soff in zip(segments, seg_offsets):
             assert pos == soff
-            f.write(s.tobytes())
-            pos += s.nbytes
+            f.write(s)
+            pos += len(s)
 
 
 def read_geotiff_cells(spark, path: str):

@@ -110,13 +110,15 @@ def test_geotiff_rejects_unsupported(tmp_path):
     p = str(tmp_path / "x.tif")
     write_geotiff(p, META, _grid())
     buf = bytearray(open(p, "rb").read())
-    # find tag 259 (compression) in the IFD and flip its value to 5 (LZW)
+    # find tag 259 (compression) in the IFD and flip its value to 7
+    # (JPEG — a codec this parser deliberately does not attempt; DEFLATE,
+    # LZW and PackBits are supported as of r5)
     n = struct.unpack_from("<H", buf, 8)[0]
     for i in range(n):
         base = 10 + i * 12
         if struct.unpack_from("<H", buf, base)[0] == 259:
-            struct.pack_into("<H", buf, base + 8, 5)
-    bad = tmp_path / "lzw.tif"
+            struct.pack_into("<H", buf, base + 8, 7)
+    bad = tmp_path / "jpeg.tif"
     bad.write_bytes(bytes(buf))
     with pytest.raises(NotImplementedError, match="compression"):
         read_geotiff(str(bad))
@@ -124,6 +126,137 @@ def test_geotiff_rejects_unsupported(tmp_path):
     notif.write_bytes(b"PK\x03\x04 definitely not a tiff")
     with pytest.raises(ValueError, match="byte-order"):
         read_geotiff(str(notif))
+
+
+# ------------------------------------------- compressed / tiled profiles (r5)
+
+
+@pytest.mark.parametrize("compress", ["deflate", "lzw"])
+def test_geotiff_compressed_roundtrip(tmp_path, compress):
+    """DEFLATE and TIFF-LZW strips roundtrip bit-exactly (the common
+    profiles GDAL writes for downloaded rasters)."""
+    p = str(tmp_path / f"{compress}.tif")
+    write_geotiff(p, META, _grid(), compress=compress)
+    meta, grid = read_geotiff(p)
+    assert meta == META
+    assert np.array_equal(grid, _grid())
+
+
+@pytest.mark.parametrize("compress", [None, "deflate", "lzw"])
+def test_geotiff_tiled_roundtrip(tmp_path, compress):
+    """Tiled layout (with edge-tile padding) roundtrips for a grid whose
+    dimensions are NOT tile multiples, compressed or not."""
+    h, w = 37, 23
+    meta = RasterMeta(width=w, height=h, origin_x=1.0, origin_y=50.0,
+                      pixel=0.125, crs="EPSG:4326", nodata=-1.0)
+    g = (np.arange(h * w, dtype=np.float64).reshape(h, w) % 97) * 0.5 - 7.0
+    p = str(tmp_path / f"tiled_{compress}.tif")
+    write_geotiff(p, meta, g, compress=compress, tile=16)
+    m2, g2 = read_geotiff(p)
+    assert m2 == meta
+    assert np.array_equal(g2, g)
+
+
+def test_geotiff_compressed_multi_strip_integer(tmp_path):
+    """Multiple LZW strips of integer data (strip reassembly must happen
+    after per-strip decompression)."""
+    h, w = 20000, 3
+    meta = RasterMeta(width=w, height=h, origin_x=0.0, origin_y=100.0,
+                      pixel=0.01, crs="EPSG:4326", nodata=0.0)
+    g = (np.arange(h * w).reshape(h, w) % 251).astype(np.float64)
+    p = str(tmp_path / "mstrips.tif")
+    write_geotiff(p, meta, g, dtype="u2", compress="lzw")
+    m2, g2 = read_geotiff(p)
+    assert m2 == meta and np.array_equal(g2, g)
+
+
+def test_lzw_known_vector():
+    """Pin the TIFF-LZW bit layout against a hand-computed stream (the
+    encoder/decoder pair must not merely agree with each other).  Input
+    b'AAAB': codes CLEAR(256), 'A'(65), 258(=AA, the KwKwK entry),
+    'B'(66), EOI(257) at 9 bits MSB-first:
+      100000000 001000001 100000010 001000010 100000001 + 000 pad
+      = 0x80 0x10 0x60 0x44 0x28 0x08"""
+    from gregor_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+    expected = bytes([0x80, 0x10, 0x60, 0x44, 0x28, 0x08])
+    assert _lzw_encode(b"AAAB") == expected
+    assert _lzw_decode(expected) == b"AAAB"
+
+
+def test_lzw_width_change_roundtrip():
+    """Force the 9→10→11 bit early width changes (needs > 1023 distinct
+    table entries) and the KwKwK path, then roundtrip."""
+    from gregor_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 256, 60000).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data)) == data
+    run = b"\xab" * 5000  # long single-byte run = repeated KwKwK
+    assert _lzw_decode(_lzw_encode(run)) == run
+
+
+def _patch_ifd_short(buf: bytearray, tag: int, value: int) -> None:
+    n = struct.unpack_from("<H", buf, 8)[0]
+    for i in range(n):
+        base = 10 + i * 12
+        if struct.unpack_from("<H", buf, base)[0] == tag:
+            struct.pack_into("<H", buf, base + 8, value)
+            return
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_geotiff_predictor2_horizontal_differencing(tmp_path):
+    """Predictor=2: rewrite an uncompressed u2 file's pixel data as
+    row-wise deltas + set the predictor tag; the reader must restore the
+    original values via modular cumsum."""
+    g = (np.arange(20, dtype=np.float64).reshape(4, 5) * 13) % 700
+    meta = RasterMeta(width=5, height=4, origin_x=0.0, origin_y=2.0,
+                      pixel=0.5, crs="EPSG:4326", nodata=0.0)
+    p = tmp_path / "plain.tif"
+    write_geotiff(str(p), meta, g, dtype="u2")
+    buf = bytearray(p.read_bytes())
+    # pixel data is the trailing h*w*2 bytes (single strip, written last)
+    raw = np.frombuffer(bytes(buf[-40:]), dtype="<u2").reshape(4, 5).copy()
+    deltas = raw.copy()
+    deltas[:, 1:] = (raw[:, 1:].astype(np.int64) - raw[:, :-1]).astype(np.uint16)
+    buf[-40:] = deltas.astype("<u2").tobytes()
+    # no predictor tag in the writer's IFD: repurpose tag 284 (chunky
+    # planar config, value 1 = default) as 317 to keep offsets intact
+    n = struct.unpack_from("<H", buf, 8)[0]
+    for i in range(n):
+        base = 10 + i * 12
+        if struct.unpack_from("<H", buf, base)[0] == 284:
+            struct.pack_into("<H", buf, base, 317)  # tag id -> Predictor
+            struct.pack_into("<H", buf, base + 8, 2)
+    pred = tmp_path / "pred.tif"
+    pred.write_bytes(bytes(buf))
+    m2, g2 = read_geotiff(str(pred))
+    assert np.array_equal(g2, g)
+    # predictor 2 on float data must raise, not misread
+    q = tmp_path / "plain_f.tif"
+    write_geotiff(str(q), meta, g, dtype="f4")
+    fb = bytearray(q.read_bytes())
+    for i in range(struct.unpack_from("<H", fb, 8)[0]):
+        base = 10 + i * 12
+        if struct.unpack_from("<H", fb, base)[0] == 284:
+            struct.pack_into("<H", fb, base, 317)
+            struct.pack_into("<H", fb, base + 8, 2)
+    badp = tmp_path / "pred_f.tif"
+    badp.write_bytes(bytes(fb))
+    with pytest.raises(NotImplementedError, match="Predictor"):
+        read_geotiff(str(badp))
+
+
+def test_packbits_decode_known_vector():
+    """PackBits vector from the TIFF 6.0 spec appendix."""
+    from gregor_spark.sources.geotiff import _packbits_decode
+
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    dec = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+                + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+    assert _packbits_decode(enc) == dec
 
 
 REFERENCE_TIF = "/root/reference/test/_files/raster.tif"
