@@ -918,22 +918,27 @@ FROM s
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL bytes→samples media decoding (round 4): distributed-built
-    24-bit BMP images AND PCM16 WAV clips decoded by the pure-numpy
-    parsers inside extract_features (BMP: header parse, row padding,
-    bottom-up flip; WAV: RIFF chunk walk — see ops/media.py::decode_bmp,
+    """REAL bytes→samples media decoding (round 4, +PNG round 5):
+    distributed-built 24-bit BMP images, zlib-compressed PNGs (all five
+    scanline filters, rotating by id), and PCM16 WAV clips decoded by
+    the pure-numpy parsers inside extract_features (BMP: header parse,
+    row padding, bottom-up flip; PNG: chunk walk + inflate + unfilter;
+    WAV: RIFF chunk walk — ops/media.py::decode_bmp, ::decode_png,
     ::decode_wav).  The oracle re-derives every decoded feature from the
-    same modular pixel/sample arithmetic — if either decoder mis-parses
-    a single byte anywhere, the exact integer sums (and hence mean/std
-    at round-6) diverge."""
+    same modular pixel/sample arithmetic — if any decoder mis-parses a
+    single byte anywhere, the exact integer sums (and hence mean/std at
+    round-6) diverge."""
     from .ops.media import (
         extract_features,
         synthetic_media_bmp,
+        synthetic_media_png,
         synthetic_media_wav,
     )
 
-    media = synthetic_media_bmp(spark, 400).unionByName(
-        synthetic_media_wav(spark, 300, id_offset=1000)
+    media = (
+        synthetic_media_bmp(spark, 400)
+        .unionByName(synthetic_media_wav(spark, 300, id_offset=1000))
+        .unionByName(synthetic_media_png(spark, 200, id_offset=2000))
     )
     return extract_features(media).select(
         "media_id",
@@ -944,10 +949,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# pixel i of image id = (id*31 + i*7) % 256 over (id%13+4) x (id%11+4)
-# pixels; sample i of clip 1000+g = ((id*17 + i*11) % 4096) - 2048 over
-# g%50+20 samples (a 1 x n grid); features from EXACT integer sums, one
-# division + sqrt per side
+# pixel i of BMP image id = (id*31 + i*7) % 256 over (id%13+4) x
+# (id%11+4) pixels; PNG image 2000+g = ((2000+g)*37 + i*11) % 256 over
+# (g%13+4) x (g%11+4) — the PNG path additionally exercises inflate +
+# all five scanline unfilters before these values emerge; sample i of
+# clip 1000+g = ((id*17 + i*11) % 4096) - 2048 over g%50+20 samples (a
+# 1 x n grid); features from EXACT integer sums, one division + sqrt
+# per side
 _MEDIA_DECODE_SQL = """
 WITH m AS (
   SELECT g.g AS id, g.g % 13 + 4 AS w, g.g % 11 + 4 AS h
@@ -956,6 +964,15 @@ WITH m AS (
 px AS (
   SELECT id, w, h, (id * 31 + i.g * 7) % 256 AS v
   FROM m CROSS JOIN generate_series(0, 16 * 16 - 1) i(g)
+  WHERE i.g < w * h
+),
+png AS (
+  SELECT 2000 + g.g AS id, g.g % 13 + 4 AS w, g.g % 11 + 4 AS h
+  FROM generate_series(0, 199) g(g)
+),
+ppx AS (
+  SELECT id, w, h, (id * 37 + i.g * 11) % 256 AS v
+  FROM png CROSS JOIN generate_series(0, 16 * 16 - 1) i(g)
   WHERE i.g < w * h
 ),
 wav AS (
@@ -970,7 +987,8 @@ wsamp AS (
 s AS (
   SELECT id, w, h, count(*) AS n,
          CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
-  FROM (SELECT * FROM px UNION ALL SELECT * FROM wsamp) GROUP BY 1, 2, 3
+  FROM (SELECT * FROM px UNION ALL SELECT * FROM ppx
+        UNION ALL SELECT * FROM wsamp) GROUP BY 1, 2, 3
 )
 SELECT CAST(id AS BIGINT) AS media_id,
        round(CAST(s1 AS DOUBLE) / n, 6) AS mean_r,

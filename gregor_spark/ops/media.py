@@ -1,17 +1,23 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched pandas UDFs.
 
-COMPRESSED codecs (JPEG/PNG/MP3/H.264) are NOT in this environment, so
-their decode step is a clearly-marked deterministic fake
-(``_fake_decode``) behind the same batch interface a real libjpeg/ffmpeg
-binding would use.  Uncompressed containers need no codec library:
-``decode_bmp`` is a REAL pure-numpy decoder for 24-bit uncompressed BMP
-(``make_bmp_gray24`` is its encoder twin), and ``extract_features``
-sniffs the ``BM`` magic to route real BMP payloads through real
-bytes→pixels decoding while everything else keeps the stub.  The
-Spark-side contract (schema, partitioning, UDF signature, Arrow batch
-shape) is identical either way.  Swap ``_fake_decode`` for real codec
-bindings on a cluster that has them.
+Codec-library-dependent formats (JPEG/MP3/H.264) are NOT in this
+environment, so their decode step is a clearly-marked deterministic
+fake (``_fake_decode``) behind the same batch interface a real
+libjpeg/ffmpeg binding would use.  Three REAL decoders need no codec
+library and are magic-sniffed by ``extract_features``:
+
+* ``decode_bmp`` — 24-bit uncompressed BMP (encoder ``make_bmp_gray24``);
+* ``decode_png`` (r5) — 8-bit gray/RGB PNG via stdlib zlib inflate +
+  numpy scanline unfiltering, all five PNG filters (encoder
+  ``make_png_gray8``, which can emit every filter type) — the most
+  common real image container this pipeline will meet;
+* ``decode_wav`` — PCM16 RIFF/WAVE (encoder ``make_wav_pcm16``).
+
+Everything else keeps the stub.  The Spark-side contract (schema,
+partitioning, UDF signature, Arrow batch shape) is identical either
+way.  Swap ``_fake_decode`` for real codec bindings on a cluster that
+has them.
 """
 
 from __future__ import annotations
@@ -126,6 +132,148 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return lum if top_down else lum[::-1]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png_gray8(values: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (height, width) uint8 grayscale array as a real PNG
+    (color type 0, bit depth 8, one IDAT) — ``decode_png`` inverts it
+    exactly and any external viewer opens it.  ``filter_type`` applies
+    that scanline filter to EVERY row (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth) so tests can exercise each unfilter path with real files."""
+    import zlib
+
+    values = np.asarray(values, dtype=np.uint8)
+    height, width = values.shape
+    raw = bytearray()
+    prev = np.zeros(width, dtype=np.int64)
+    for y in range(height):
+        row = values[y].astype(np.int64)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: delta vs left
+            filt = row - np.concatenate(([0], row[:-1]))
+        elif filter_type == 2:  # Up: delta vs above
+            filt = row - prev
+        elif filter_type == 3:  # Average: delta vs floor((left+up)/2)
+            left = np.concatenate(([0], row[:-1]))
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate(([0], row[:-1]))
+            ul = np.concatenate(([0], prev[:-1]))
+            filt = row - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        raw.append(filter_type)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized: the neighbor
+    (left, up, upper-left) closest to p = a + b − c, ties a→b→c."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL bytes→pixels PNG decoding with zero codec libraries: chunk
+    walk (CRC-checked) → concatenated-IDAT zlib inflate → per-scanline
+    unfilter (None/Sub/Up/Average/Paeth, PNG spec §9) in numpy.  8-bit
+    grayscale (color type 0) returns the (height, width) array exactly;
+    8-bit RGB (type 2) returns (R+G+B)//3 luminance like ``decode_bmp``.
+    Raises on palette/alpha/16-bit/interlaced profiles — never misreads."""
+    import zlib
+
+    if bytes(payload[: len(_PNG_SIG)]) != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        body = bytes(payload[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or ctype_n not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB non-interlaced PNG decodable here (depth="
+            f"{depth}, color_type={ctype_n}, interlace={interlace})"
+        )
+    ch = 1 if ctype_n == 0 else 3
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel data {len(raw)} bytes, expected {(stride + 1) * height}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ft = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth need the left pixel:
+            # sequential per pixel-column in steps of the channel count
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = int(_paeth(np.array([left]), np.array([up]), np.array([ul]))[0])
+                cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG scanline filter {ft}")
+        out[y] = cur
+        prev = cur
+    if ch == 1:
+        return out.astype(np.uint8)
+    rgb = out.reshape(height, width, 3)
+    return (rgb.sum(axis=2) // 3).astype(np.uint8)
+
+
 def make_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Encode mono int16 samples as a standard PCM16 RIFF/WAVE file —
     ``decode_wav`` inverts it exactly; any audio tool plays it."""
@@ -213,11 +361,14 @@ def extract_features(media: DataFrame, thumb: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for rec in pdf.itertuples():
-                head = bytes(rec.payload[:4]) if rec.payload is not None else b""
+                head = bytes(rec.payload[:8]) if rec.payload is not None else b""
                 if head[:2] == b"BM":
                     px = decode_bmp(rec.payload)
                     h, w = px.shape
-                elif head == b"RIFF":
+                elif head == _PNG_SIG:
+                    px = decode_png(rec.payload)
+                    h, w = px.shape
+                elif head[:4] == b"RIFF":
                     samples, _rate = decode_wav(rec.payload)
                     px = np.atleast_2d(samples)
                     h, w = px.shape
@@ -278,6 +429,44 @@ def synthetic_media_bmp(spark: SparkSession, n: int) -> DataFrame:
                         "doc%012d" % mid,
                         "image",
                         make_bmp_gray24(flat.reshape(h, w).astype(np.uint8)),
+                        {"width": w, "height": h, "sample_rate": None, "n_frames": None},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def synthetic_media_png(
+    spark: SparkSession, n: int, id_offset: int = 0
+) -> DataFrame:
+    """PNG twin of ``synthetic_media_bmp``: REAL zlib-compressed PNG
+    payloads built distributed.  Image ``id`` is ``(id % 13 + 4) ×
+    (id % 11 + 4)`` pixels with flat pixel ``i`` = ``(id·37 + i·11) mod
+    256``, written with scanline filter ``id % 5`` — every PNG filter
+    type appears in the corpus, so the decode oracle replays the whole
+    unfilter matrix.  Pure modular arithmetic, SQL-replayable
+    (entry_queries ``media_decode``)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"]:
+                mid = int(raw) + id_offset
+                w = int(raw) % 13 + 4
+                h = int(raw) % 11 + 4
+                flat = (mid * 37 + np.arange(w * h, dtype=np.int64) * 11) % 256
+                rows.append(
+                    (
+                        mid,
+                        "doc%012d" % mid,
+                        "image",
+                        make_png_gray8(
+                            flat.reshape(h, w).astype(np.uint8),
+                            filter_type=int(raw) % 5,
+                        ),
                         {"width": w, "height": h, "sample_rate": None, "n_frames": None},
                     )
                 )

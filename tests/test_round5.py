@@ -227,6 +227,95 @@ def test_expire_snapshots_always_keeps_current_and_validates_args(spark, tmp_pat
     assert read_table(spark, path).count() == 10
 
 
+# ------------------------------------------------------- PNG decoding
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    """Each PNG scanline filter (None/Sub/Up/Average/Paeth) roundtrips
+    bit-exactly through the zlib + numpy unfilter path."""
+    import numpy as np
+
+    from gregor_spark.ops.media import decode_png, make_png_gray8
+
+    rng = np.random.RandomState(filter_type + 1)
+    img = rng.randint(0, 256, (23, 17)).astype(np.uint8)
+    assert np.array_equal(decode_png(make_png_gray8(img, filter_type)), img)
+
+
+def test_png_decode_rejects_and_crc():
+    """Unsupported profiles raise; a corrupted byte fails the CRC check
+    instead of silently decoding garbage."""
+    import struct
+
+    import numpy as np
+
+    from gregor_spark.ops.media import decode_png, make_png_gray8
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = bytearray(make_png_gray8(img))
+    payload[40] ^= 0xFF  # corrupt inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    # 16-bit depth: patch IHDR (depth byte) and re-CRC so only the
+    # profile guard fires
+    import zlib
+
+    p2 = bytearray(make_png_gray8(img))
+    ihdr_body = bytearray(p2[16:29])
+    ihdr_body[8] = 16
+    p2[16:29] = ihdr_body
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
+    p2[29:33] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(bytes(p2))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"definitely not a png")
+
+
+def test_png_rgb_luminance():
+    """8-bit RGB PNG decodes to (R+G+B)//3 luminance (hand-built RGB
+    IDAT, filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gregor_spark.ops.media import _PNG_SIG, _png_chunk, decode_png
+
+    h, w = 3, 2
+    rgb = (np.arange(h * w * 3).reshape(h, w, 3) * 7 % 256).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    want = rgb.astype(np.int64).sum(axis=2) // 3
+    assert np.array_equal(decode_png(payload), want.astype(np.uint8))
+
+
+def test_extract_features_sniffs_png(spark):
+    """extract_features routes PNG payloads through the real decoder —
+    mean over a known constant image proves real pixels were decoded
+    (the stub would give payload-byte statistics instead)."""
+    import numpy as np
+
+    from gregor_spark.ops.media import extract_features, make_png_gray8
+
+    img = np.full((10, 12), 77, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "d", "image", bytearray(make_png_gray8(img, filter_type=4)),
+          {"width": 12, "height": 10, "sample_rate": None, "n_frames": None})],
+        "media_id long, doc_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    row = extract_features(media).collect()[0]
+    assert row["mean_px"] == 77.0 and row["std_px"] == 0.0
+    assert (row["thumb_w"], row["thumb_h"]) == (12, 10)
+
+
 # ------------------------------------------------- ADVICE r4 low fixes
 
 
