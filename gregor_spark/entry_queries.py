@@ -1799,9 +1799,67 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_events_asof_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 as-of join determinism row: the RIGHT side keeps duplicate
+    (user, ts) rows (view timestamps coarsened to the DAY — 315 dup
+    groups at sf0.01, measured) and the OPERATOR resolves them via
+    its greatest-payload tertiary window key — no caller pre-dedup.  The
+    oracle replays the documented rule independently: per (user, ts)
+    group, winner = max_by(payload, (ts, payload)) — here the payload
+    struct is (ts, view_id, view_value), so the greatest view_id decides
+    — then DuckDB's native ASOF JOIN runs on the deduped side.  Hash
+    equality proves the tertiary key picks exactly the documented winner
+    on every dup group."""
+    from .ops.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.date_trunc("day", F.col("ts")).alias("ts"),
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(purchases, views, on="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value_r"),
+        F.col("r_view_id").alias("view_id"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("view_ts_us"),
+        F.round("r_view_value", 6).alias("view_value_r"),
+    )
+
+
+_EVENTS_ASOF_DUPS_SQL = """
+WITH p AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+),
+v0 AS (
+  SELECT user_id, date_trunc('day', ts) AS ts,
+         event_id AS view_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+),
+v AS (
+  -- the operator's tie rule, replayed: greatest (ts, view_id,
+  -- view_value) payload per (user, ts) dup group == max view_id here
+  SELECT user_id, ts, max(view_id) AS view_id,
+         arg_max(view_value, view_id) AS view_value
+  FROM v0 GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, round(p.value, 6) AS value_r,
+       v.view_id, epoch_us(v.ts) AS view_ts_us,
+       round(v.view_value, 6) AS view_value_r
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 REGISTRY.update(
     {
         "events_asof": (q_events_asof, _EVENTS_ASOF_SQL),
+        "events_asof_dups": (q_events_asof_dups, _EVENTS_ASOF_DUPS_SQL),
         "reproject_laea": (q_reproject_laea, _REPROJECT_LAEA_SQL),
         "dedup_incremental": (q_dedup_incremental, _DEDUP_INCR_SQL),
         "belongs_holes": (q_belongs_holed, _BELONGS_HOLED_SQL),
@@ -1844,10 +1902,23 @@ REGISTRY.update(
 #   belongs_3x3 — same path + fixture family as belongs_2x2 (in-window);
 #     rotated r4 to admit media_decode; golden matrix in
 #     test_operators_spark::test_belongs_to_spark.
+#   poly_to_poly_dist — same disaggregate_polygon_to_polygon family as
+#     poly_to_poly AND poly_to_poly_concave (both in-window, the latter
+#     exercising the same _distributed code path); rotated r5 to admit
+#     events_asof_dups; distributed-parity goldens in
+#     test_round2::test_poly_to_poly_distributed_parity (+ holed source)
+#     and test_round3::test_poly_to_poly_concave_distributed_parity.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
-# never let a family's only oracle row slip past position 50.
-_WINDOW_TAIL = ("belongs_overlap", "zonal_minmax", "coarsen_2x2", "belongs_3x3")
+# never let a family's only oracle row slip past position 50.  Enforced
+# by tests/test_round5.py::test_driver_window_membership.
+_WINDOW_TAIL = (
+    "belongs_overlap",
+    "zonal_minmax",
+    "coarsen_2x2",
+    "belongs_3x3",
+    "poly_to_poly_dist",
+)
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},
     **{k: REGISTRY[k] for k in _WINDOW_TAIL},
