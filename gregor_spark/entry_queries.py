@@ -1313,6 +1313,52 @@ SELECT d.doc_id, d.n_chars FROM documents d JOIN keep USING (doc_id)
 """
 
 
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (r5) — the CCNet-style line/paragraph-hash
+    curation pass: 20-token chunks, corpus-wide first-occurrence-wins,
+    per-doc surviving text reassembled (ops/dedup.py::dedup_chunks; one
+    explode + one partial-agg groupBy on the chunk hash).  The oracle
+    replays first-occurrence with a window row_number — an independent
+    formulation of the group-min rule the engine uses."""
+    docs = _docs(spark, sf_dir)
+    out = D.dedup_chunks(docs, chunk_tokens=20)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round("dup_frac", 6).alias("dup_frac_r"),
+        F.md5("kept_text").alias("kept_hash"),  # compact, still byte-exact
+    )
+
+
+_DEDUP_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, i.g AS chunk_idx,
+         array_to_string(toks[i.g * 20 + 1 : i.g * 20 + 20], ' ') AS chunk
+  FROM t CROSS JOIN generate_series(0, 249) i(g)
+  WHERE i.g < ceil(len(toks) / 20.0)
+),
+m AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM c
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(sum(CASE WHEN rn > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS dup_frac_r,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS kept_hash
+FROM m GROUP BY doc_id
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (the
     near-dup flavor of similarity search)."""
@@ -1347,6 +1393,7 @@ REGISTRY.update(
     {
         "tile_rollup": (q_tile_rollup, _TILE_ROLLUP_SQL),
         "dedup_keep": (q_dedup_keep, _DEDUP_KEEP_SQL),
+        "dedup_chunks": (q_dedup_chunks, _DEDUP_CHUNKS_SQL),
         "embedding_near_dup": (q_embedding_near_dup, _EMB_NEAR_DUP_SQL),
     }
 )
@@ -1908,6 +1955,9 @@ REGISTRY.update(
 #     events_asof_dups; distributed-parity goldens in
 #     test_round2::test_poly_to_poly_distributed_parity (+ holed source)
 #     and test_round3::test_poly_to_poly_concave_distributed_parity.
+#   dedup_keep — thin semi-join over dedup_exact's (in-window) canonical
+#     keep set; rotated r5 to admit dedup_chunks; golden in
+#     test_round5::test_dedup_keep_golden.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -1918,6 +1968,7 @@ _WINDOW_TAIL = (
     "coarsen_2x2",
     "belongs_3x3",
     "poly_to_poly_dist",
+    "dedup_keep",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -81,6 +81,82 @@ def dedup_exact_normalized(
     )
 
 
+def dedup_chunks(
+    docs: DataFrame, text: str = "text", chunk_tokens: int = 20
+) -> DataFrame:
+    """Chunk-level exact dedup (r5) — the line/paragraph-hash pass of the
+    standard LLM curation stack (CCNet-style line dedup; the scalable
+    stand-in for suffix-array exact-substring dedup): each doc's token
+    stream splits into consecutive ``chunk_tokens``-token chunks, and a
+    chunk is a DUPLICATE iff the same token sequence already occurred at
+    a smaller (doc_id, chunk_idx) anywhere in the corpus — boilerplate
+    headers/footers/templates drop corpus-wide while each first
+    occurrence survives, WITHOUT discarding whole documents the way
+    doc-level dedup would.
+
+    Returns one row per doc: (doc_id, n_chunks, n_dup_chunks,
+    dup_frac, kept_text) where ``kept_text`` is the doc's surviving
+    chunks rejoined in order (empty string when everything was seen
+    before).  Deterministic: first-occurrence = min (doc_id, chunk_idx).
+
+    Scale shape — explode + ONE groupBy on the chunk hash + equi-join
+    back: identical to ``dedup_exact``'s partial-agg shuffle, linear in
+    total chunks.  A boilerplate chunk repeated 10^6 times pre-aggregates
+    map-side to one (hash → min owner) row per partition, so hash skew
+    costs a reduce on ~n_partitions rows, never a hot-key blowup.  All
+    JVM column work (split/slice/md5/window-free join); no Python."""
+    toks = F.split(normalized_text(F.col(text)), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    keyed = chunked.select(
+        "doc_id", "chunk_idx", F.md5(F.col("chunk")).alias("h"), "chunk"
+    )
+    # first occurrence per hash: min over the orderable (doc_id, idx) pair
+    owners = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("owner")
+    )
+    marked = keyed.join(owners, "h").select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        (
+            (F.col("owner.doc_id") != F.col("doc_id"))
+            | (F.col("owner.chunk_idx") != F.col("chunk_idx"))
+        ).alias("is_dup"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+        (F.sum(F.col("is_dup").cast("double")) / F.count(F.lit(1))).alias("dup_frac"),
+        F.concat_ws(
+            " ",
+            F.array_compact(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_dup"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                )
+            ),
+        ).alias("kept_text"),
+    )
+
+
 def _shingle_int(s) -> "F.Column":
     """Shingle → 60-bit md5-prefix int (see _md5_int).  MinHash minima are
     only as discriminative as the underlying hash: the cheap

@@ -142,6 +142,77 @@ def test_q_dedup_clusters_uses_star_edges(spark):
     assert "lsh_candidate_edges_star" in inspect.getsource(EQ.q_dedup_clusters)
 
 
+# ------------------------------------------------ chunk-level dedup
+
+
+def test_dedup_chunks_semantics(spark):
+    """Chunk dedup (CCNet-style line/paragraph hash): corpus-wide
+    first-occurrence-wins at (doc_id, chunk_idx) order, surviving text
+    reassembled in chunk order, whole-dup docs reduced to ''. """
+    from gregor_spark.ops.dedup import dedup_chunks
+
+    a = " ".join(f"a{i}" for i in range(8))   # chunk A
+    b = " ".join(f"b{i}" for i in range(8))   # chunk B
+    c = " ".join(f"c{i}" for i in range(8))   # chunk C
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),       # chunks A, B — both first occurrences
+            (2, f"{b} {c}"),       # B is dup (doc 1 owns it), C kept
+            (3, f"{a} {b}"),       # everything dup -> ''
+            (4, f"{c} {a} {b}"),   # all three dup
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_chunks(docs, chunk_tokens=8).collect()
+    }
+    assert rows[1]["n_dup_chunks"] == 0 and rows[1]["kept_text"] == f"{a} {b}"
+    assert rows[2]["n_dup_chunks"] == 1 and rows[2]["kept_text"] == c
+    assert rows[3]["n_dup_chunks"] == 2 and rows[3]["kept_text"] == ""
+    assert rows[4]["n_dup_chunks"] == 3 and rows[4]["kept_text"] == ""
+    assert rows[4]["dup_frac"] == 1.0
+    # WITHIN-doc repetition also dedups (chunk repeated inside one doc)
+    solo = spark.createDataFrame([(9, f"{a} {a}")], "doc_id long, text string")
+    r9 = dedup_chunks(solo, chunk_tokens=8).collect()[0]
+    assert r9["n_chunks"] == 2 and r9["n_dup_chunks"] == 1
+    assert r9["kept_text"] == a
+
+
+def test_dedup_chunks_partial_tail_chunk(spark):
+    """A doc whose token count is not a chunk multiple gets a short tail
+    chunk, deduped like any other."""
+    from gregor_spark.ops.dedup import dedup_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "x y z p q"), (2, "p q")],  # chunk size 3: [x y z][p q] / [p q]
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in dedup_chunks(docs, chunk_tokens=3).collect()
+    }
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_dup_chunks"] == 0
+    assert rows[2]["n_chunks"] == 1 and rows[2]["n_dup_chunks"] == 1
+    assert rows[2]["kept_text"] == ""
+
+
+def test_dedup_keep_golden(spark):
+    """Golden for the dedup_keep contract query (rotated to the driver
+    window tail r5): lowest doc_id per exact content survives."""
+    import gregor_spark.entry_queries as EQ
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 2), (2, "bb", 2), (3, "aa", 2), (4, "cc", 2)],
+        "doc_id long, text string, n_chars long",
+    )
+    docs.createOrReplaceTempView("__dk")
+    from gregor_spark.ops.dedup import dedup_exact
+
+    keep = dedup_exact(docs).select("min_doc_id")
+    got = sorted(r["min_doc_id"] for r in keep.collect())
+    assert got == [1, 2, 4]
+
+
 # -------------------------------------- compaction + snapshot expiry
 
 
