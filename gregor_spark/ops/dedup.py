@@ -102,9 +102,16 @@ def dedup_chunks(
     Scale shape — explode + ONE groupBy on the chunk hash + equi-join
     back: identical to ``dedup_exact``'s partial-agg shuffle, linear in
     total chunks.  A boilerplate chunk repeated 10^6 times pre-aggregates
-    map-side to one (hash → min owner) row per partition, so hash skew
+    map-side to one (hash → min owner) row per partition (plan-verified:
+    ``partial_min`` precedes the Exchange, so the owners side ships only
+    ~distinct-hash rows; AQE broadcasts it when small), so hash skew
     costs a reduce on ~n_partitions rows, never a hot-key blowup.  All
-    JVM column work (split/slice/md5/window-free join); no Python."""
+    JVM column work (split/slice/md5); no Python.  The group-min + join
+    formulation scans the source twice (owners agg + join left side) —
+    persist/checkpoint upstream when the scan dominates; the one-scan
+    window (``row_number() over (partition by hash)``) formulation is
+    deliberately RESERVED for the SQL oracle so the two engines don't
+    share a shape."""
     toks = F.split(normalized_text(F.col(text)), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunked = docs.select(
