@@ -352,6 +352,49 @@ def expire_snapshots(
     }
 
 
+def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
+    """Delete data files referenced by NO snapshot — the Iceberg
+    ``remove_orphan_files`` action, completing the maintenance trio with
+    ``compact_table`` and ``expire_snapshots``.  Orphans come from
+    crashes between a data write and its manifest swap (an aborted
+    compaction's moved files, a failed append's part files) and from
+    leftover ``_compact_tmp`` staging dirs.
+
+    ``grace_seconds`` skips files younger than the threshold — a
+    concurrent writer's files are unreferenced until its commit, so
+    deleting fresh files would race an in-flight commit (same rationale
+    as Iceberg's ``older_than`` default).  Pass 0 only when no writer
+    can be active."""
+    import shutil
+
+    m = read_manifest(path)
+    if not m.get("snapshots"):
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    live = {f["path"] for s in m["snapshots"] for f in s["files"]}
+    cutoff = time.time() - grace_seconds
+    deleted: list[str] = []
+    for dirname in sorted(os.listdir(path)):
+        pdir = os.path.join(path, dirname)
+        if dirname == "_compact_tmp" and os.path.isdir(pdir):
+            if os.path.getmtime(pdir) <= cutoff:
+                shutil.rmtree(pdir)
+                deleted.append(dirname + "/")
+            continue
+        if not dirname.startswith("bucket=") or not os.path.isdir(pdir):
+            continue
+        for fname in sorted(os.listdir(pdir)):
+            rel = os.path.join(dirname, fname)
+            full = os.path.join(pdir, fname)
+            if (
+                fname.endswith(".parquet")
+                and rel not in live
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.remove(full)
+                deleted.append(rel)
+    return {"deleted": deleted, "live_files": len(live)}
+
+
 # ------------------------------------------------- tile-partitioned layout
 
 

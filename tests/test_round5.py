@@ -387,6 +387,38 @@ def test_extract_features_sniffs_png(spark):
     assert (row["thumb_w"], row["thumb_h"]) == (12, 10)
 
 
+def test_remove_orphan_files(spark, tmp_path):
+    """Crash-leftover files (referenced by no snapshot) are reclaimed;
+    live files and fresh (possibly in-flight) files are not."""
+    import os
+
+    from gregor_spark.sources.iceberg_like import (
+        read_table,
+        remove_orphan_files,
+        write_table,
+    )
+
+    path = str(tmp_path / "t3")
+    write_table(
+        spark.range(20).selectExpr("id AS k", "id AS v"), path,
+        bucket_by="k", n_buckets=2,
+    )
+    # simulate an aborted write: a stray parquet inside a bucket dir and
+    # a leftover staging dir
+    stray = os.path.join(path, "bucket=0", "part-aborted.parquet")
+    spark.range(3).toPandas().to_parquet(stray)
+    os.makedirs(os.path.join(path, "_compact_tmp", "bucket=0"), exist_ok=True)
+    # fresh files survive the grace window
+    out = remove_orphan_files(path, grace_seconds=3600)
+    assert out["deleted"] == [] and os.path.exists(stray)
+    # aged out -> reclaimed
+    out = remove_orphan_files(path, grace_seconds=0)
+    assert "bucket=0/part-aborted.parquet" in out["deleted"]
+    assert "_compact_tmp/" in out["deleted"]
+    assert not os.path.exists(stray)
+    assert read_table(spark, path).count() == 20
+
+
 # ------------------------------------------------- ADVICE r4 low fixes
 
 
