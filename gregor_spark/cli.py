@@ -64,12 +64,14 @@ def _is_tiff(path: str) -> bool:
     return path.lower().endswith((".tif", ".tiff"))
 
 
-def _read_raster(spark, path: str):
-    """(cells_df, meta_or_None): GeoTIFF or parquet cell table."""
+def _read_raster(spark, path: str, band: int | None = None):
+    """(cells_df, meta_or_None): GeoTIFF or parquet cell table.  ``band``
+    picks one band of a multi-band GeoTIFF (reader raises a descriptive
+    error when a multi-band file is read without it)."""
     if _is_tiff(path):
         from .sources.geotiff import read_geotiff_cells
 
-        return read_geotiff_cells(spark, path)
+        return read_geotiff_cells(spark, path, band=band)
     return spark.read.parquet(path), None
 
 
@@ -94,6 +96,8 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("raster-poly")
     p.add_argument("raster"), p.add_argument("polygons"), p.add_argument("destination")
     p.add_argument("--stats", default="sum")
+    # 0-based band of a multi-band GeoTIFF; single-band files need none
+    p.add_argument("--band", type=int, default=None)
 
     p = sub.add_parser("point-poly")
     p.add_argument("points"), p.add_argument("polygons"), p.add_argument("destination")
@@ -130,7 +134,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.cmd == "raster-poly":
         from .operators.aggregate import aggregate_raster_to_polygon
 
-        cells, _meta = _read_raster(spark, args.raster)
+        cells, _meta = _read_raster(spark, args.raster, band=args.band)
         zones = _load_zones(args.polygons)
         out = aggregate_raster_to_polygon(cells, zones, args.stats)
     elif args.cmd == "point-poly":

@@ -21,11 +21,18 @@ ops/media.py and the GeoJSON parser in sources/geojson.py:
   (geographic CS) / 3072 (projected CS) give the EPSG code;
 * GDAL_NODATA (42113) carries the nodata value as ASCII.
 
-Limits (raise, never silently misread): single band, no palette, no
-JPEG/CCITT codecs, no floating-point predictor (3).  The writer emits
-little-endian files — strips (one per ≤ 8K rows) or square tiles, and
-optional ``compress="deflate"|"lzw"`` — which GDAL/QGIS/rasterio open
-directly.
+* multi-band (r5 cont.): SamplesPerPixel > 1 in both chunky
+  (PlanarConfiguration=1, samples interleaved per pixel) and planar
+  (PlanarConfiguration=2, one segment set per band) layouts;
+  Predictor=2 differences per sample channel, so the unfilter runs on
+  a (rows, cols, bands) view.
+
+Limits (raise, never silently misread): no palette, no JPEG/CCITT
+codecs, no floating-point predictor (3), one BitsPerSample/SampleFormat
+across bands.  The writer emits little-endian files — strips (one per
+≤ 8K rows) or square tiles, optional ``compress="deflate"|"lzw"``, and
+2-D ``(h, w)`` or 3-D ``(bands, h, w)`` grids in either planar layout —
+which GDAL/QGIS/rasterio open directly.
 
 Scale note: like zone layers, GeoTIFF is the driver-side INTERCHANGE
 format at the pipeline edge; at 100 TB rasters live as Morton-
@@ -221,8 +228,11 @@ def _decompress(raw: bytes, compression: int, path: str) -> bytes:
 
 def _undo_predictor(arr: np.ndarray, predictor: int, dt: np.dtype, path: str) -> np.ndarray:
     """Predictor=2 (horizontal differencing): samples are stored as
-    row-wise deltas; cumulative sum with same-width modular arithmetic
-    restores them (the spec defines the deltas mod 2^bits)."""
+    row-wise deltas per sample channel; cumulative sum with same-width
+    modular arithmetic restores them (the spec defines the deltas mod
+    2^bits).  ``arr`` is (rows, cols) or (rows, cols, bands) — axis 1 is
+    the pixel axis either way, so the same cumsum differences each band
+    independently, matching the spec's per-channel deltas."""
     if predictor == 1:
         return arr
     if predictor == 2:
@@ -255,10 +265,9 @@ def _epsg_from_geokeys(keys: list[int]) -> str | None:
     return code
 
 
-def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
-    """Parse an uncompressed single-band GeoTIFF into (RasterMeta,
-    (height, width) float64 grid).  Raises on any profile this parser
-    cannot decode faithfully."""
+def _read_geotiff_impl(path: str) -> tuple[RasterMeta, np.ndarray]:
+    """Parse a GeoTIFF into (RasterMeta, (bands, height, width) float64
+    array).  Raises on any profile this parser cannot decode faithfully."""
     with open(path, "rb") as f:
         buf = f.read()
     order = buf[:2]
@@ -278,33 +287,47 @@ def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
     compression = int(tags.get(259, [1])[0])
     predictor = int(tags.get(317, [1])[0])
     spp = int(tags.get(277, [1])[0])
-    if spp != 1:
-        raise NotImplementedError(f"{path}: {spp} samples/pixel (single band only)")
-    bits = int(tags.get(258, [1])[0])
-    fmt = int(tags.get(339, [1])[0])
+    planar = int(tags.get(284, [1])[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"{path}: PlanarConfiguration={planar}")
+    bits_all = [int(v) for v in tags.get(258, [1])]
+    fmt_all = [int(v) for v in tags.get(339, [1] * len(bits_all))]
+    if len(set(bits_all)) > 1 or len(set(fmt_all)) > 1:
+        raise NotImplementedError(
+            f"{path}: mixed per-band BitsPerSample={bits_all} / "
+            f"SampleFormat={fmt_all}"
+        )
+    bits, fmt = bits_all[0], fmt_all[0]
     dtype = _FORMATS.get((fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"{path}: SampleFormat={fmt} BitsPerSample={bits}")
     dt = np.dtype(endian + dtype)
+    # samples interleaved per pixel in each segment row (chunky) vs one
+    # band per segment (planar)
+    seg_spp = spp if planar == 1 else 1
 
     def segment(off: int, cnt: int, n_rows: int, n_cols: int, label: str) -> np.ndarray:
-        """One strip or tile as an (n_rows, n_cols) array: slice →
-        decompress → dtype view → predictor undo."""
+        """One strip or tile as an (n_rows, n_cols, seg_spp) array:
+        slice → decompress → dtype view → per-channel predictor undo."""
+        n_samples = n_rows * n_cols * seg_spp
         if compression == 1:
-            arr = np.frombuffer(buf, dtype=dt, count=n_rows * n_cols, offset=off)
+            arr = np.frombuffer(buf, dtype=dt, count=n_samples, offset=off)
             if arr.nbytes > cnt:
                 raise ValueError(f"{path}: {label} shorter than its pixel span")
         else:
             raw = _decompress(bytes(buf[off : off + cnt]), compression, path)
-            want = n_rows * n_cols * dt.itemsize
+            want = n_samples * dt.itemsize
             if len(raw) < want:
                 raise ValueError(
                     f"{path}: {label} decompressed to {len(raw)} bytes, "
                     f"expected {want}"
                 )
-            arr = np.frombuffer(raw, dtype=dt, count=n_rows * n_cols)
-        return _undo_predictor(arr.reshape(n_rows, n_cols), predictor, dt, path)
+            arr = np.frombuffer(raw, dtype=dt, count=n_samples)
+        return _undo_predictor(
+            arr.reshape(n_rows, n_cols, seg_spp), predictor, dt, path
+        )
 
+    n_planes = 1 if planar == 1 else spp
     tiled = 322 in tags or 323 in tags
     if tiled:
         tw = int(tags[322][0])
@@ -313,28 +336,50 @@ def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
         counts = [int(v) for v in tags[325]]
         across = (width + tw - 1) // tw
         down = (height + th - 1) // th
-        if len(offsets) != across * down:
+        per_plane = across * down
+        if len(offsets) != per_plane * n_planes:
             raise ValueError(
-                f"{path}: {len(offsets)} tiles for a {across}x{down} tile grid"
+                f"{path}: {len(offsets)} tiles for a {across}x{down} tile "
+                f"grid x {n_planes} plane(s)"
             )
         # tiles are padded to full (th, tw) at the right/bottom edges
-        # (spec: tile data is always tile-sized); decode all, then crop
-        full = np.empty((down * th, across * tw), dtype=dt.newbyteorder("="))
-        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
-            ty, tx = divmod(ti, across)
-            full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = segment(
-                off, cnt, th, tw, f"tile {ti}"
+        # (spec: tile data is always tile-sized); decode all, then crop.
+        # planar layout stores all of plane 0's tiles, then plane 1's, …
+        planes = []
+        for p in range(n_planes):
+            full = np.empty(
+                (down * th, across * tw, seg_spp), dtype=dt.newbyteorder("=")
             )
-        grid = full[:height, :width].astype(np.float64)
+            for ti in range(per_plane):
+                off = offsets[p * per_plane + ti]
+                cnt = counts[p * per_plane + ti]
+                ty, tx = divmod(ti, across)
+                full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = segment(
+                    off, cnt, th, tw, f"plane {p} tile {ti}"
+                )
+            planes.append(full[:height, :width])
+        stacked = np.concatenate(planes, axis=2)  # (h, w, spp)
     else:
         offsets = [int(v) for v in tags[273]]
         counts = [int(v) for v in tags[279]]
         rows_per_strip = int(tags.get(278, [height])[0])
-        rows = []
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
-            n_rows = min(rows_per_strip, height - si * rows_per_strip)
-            rows.append(segment(off, cnt, n_rows, width, f"strip {si}"))
-        grid = np.concatenate(rows, axis=0).astype(np.float64)
+        per_plane = (height + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != per_plane * n_planes:
+            raise ValueError(
+                f"{path}: {len(offsets)} strips for {per_plane} rows-chunks "
+                f"x {n_planes} plane(s)"
+            )
+        planes = []
+        for p in range(n_planes):
+            rows = []
+            for si in range(per_plane):
+                off = offsets[p * per_plane + si]
+                cnt = counts[p * per_plane + si]
+                n_rows = min(rows_per_strip, height - si * rows_per_strip)
+                rows.append(segment(off, cnt, n_rows, width, f"plane {p} strip {si}"))
+            planes.append(np.concatenate(rows, axis=0))
+        stacked = np.concatenate(planes, axis=2)  # (h, w, spp)
+    grid = np.moveaxis(stacked, 2, 0).astype(np.float64)  # (spp, h, w)
 
     scale = tags.get(33550)
     tie = tags.get(33922)
@@ -363,6 +408,34 @@ def read_geotiff(path: str) -> tuple[RasterMeta, np.ndarray]:
     return meta, grid
 
 
+def read_geotiff(path: str, band: int | None = None) -> tuple[RasterMeta, np.ndarray]:
+    """Parse a GeoTIFF into (RasterMeta, (height, width) float64 grid).
+
+    Single-band files need no ``band``; for a multi-band file pass the
+    0-based band index (or use ``read_geotiff_bands`` for all of them) —
+    silently returning band 0 of an RGB raster would misread the file,
+    so the default raises instead."""
+    meta, bands_arr = _read_geotiff_impl(path)
+    n = bands_arr.shape[0]
+    if band is None:
+        if n != 1:
+            raise ValueError(
+                f"{path}: {n} bands — pass band=<0..{n - 1}> or use "
+                "read_geotiff_bands"
+            )
+        return meta, bands_arr[0]
+    if not 0 <= band < n:
+        raise ValueError(f"{path}: band {band} out of range (file has {n})")
+    return meta, bands_arr[band]
+
+
+def read_geotiff_bands(path: str) -> tuple[RasterMeta, np.ndarray]:
+    """Parse a GeoTIFF into (RasterMeta, (bands, height, width) float64
+    array) — the multi-band surface; chunky and planar layouts both land
+    in band-major order."""
+    return _read_geotiff_impl(path)
+
+
 def write_geotiff(
     path: str,
     meta: RasterMeta,
@@ -370,17 +443,26 @@ def write_geotiff(
     dtype: str = "f8",
     compress: str | None = None,
     tile: int | None = None,
+    planar: str = "chunky",
 ) -> None:
-    """Write a (height, width) grid as a single-band little-endian
-    GeoTIFF (pixel scale + tiepoint + EPSG geokeys + GDAL_NODATA) — a
-    profile ``read_geotiff`` parses and any GDAL-based tool opens.
+    """Write a (height, width) or (bands, height, width) grid as a
+    little-endian GeoTIFF (pixel scale + tiepoint + EPSG geokeys +
+    GDAL_NODATA) — a profile ``read_geotiff``/``read_geotiff_bands``
+    parses and any GDAL-based tool opens.
 
     ``compress``: None (default), ``"deflate"`` (zlib) or ``"lzw"``
     (TIFF-variant codes, see ``_lzw_encode``).  ``tile``: side length to
     write a tiled layout instead of strips (edge tiles padded with
-    ``meta.nodata`` per spec)."""
+    ``meta.nodata`` per spec).  ``planar``: multi-band sample layout —
+    ``"chunky"`` interleaves samples per pixel (PlanarConfiguration=1,
+    the GDAL default), ``"planar"`` writes one segment set per band."""
     grid = np.ascontiguousarray(np.asarray(grid), dtype=np.dtype("<" + dtype))
-    height, width = grid.shape
+    if grid.ndim == 2:
+        grid = grid[None]
+    spp, height, width = grid.shape
+    if planar not in ("chunky", "planar"):
+        raise ValueError(f"planar={planar!r} (chunky or planar)")
+    planar_code = 1 if planar == "chunky" else 2
     fmt_code = {"u": 1, "i": 2, "f": 3}[np.dtype(dtype).kind]
     bits = grid.dtype.itemsize * 8
     comp_code = {None: 1, "deflate": 8, "lzw": 5}[compress]
@@ -407,40 +489,57 @@ def write_geotiff(
 
     add(256, 4, [width])
     add(257, 4, [height])
-    add(258, 3, [bits])
+    add(258, 3, [bits] * spp)
     add(259, 3, [comp_code])
     add(262, 3, [1])            # BlackIsZero
-    add(277, 3, [1])            # one band
-    add(284, 3, [1])            # chunky
-    add(339, 3, [fmt_code])
+    add(277, 3, [spp])
+    add(284, 3, [planar_code])
+    add(339, 3, [fmt_code] * spp)
+    if spp > 1:
+        # extra bands beyond the photometric one are "unspecified data"
+        # (spec tag 338) — what GDAL writes for generic multi-band rasters
+        add(338, 3, [0] * (spp - 1))
     add(33550, 12, [meta.pixel, meta.pixel, 0.0])
     add(33922, 12, [0.0, 0.0, 0.0, meta.origin_x, meta.origin_y, 0.0])
     add(34735, 3, geo_keys)
     add(42113, 2, list(nodata_ascii))
 
+    # chunky: ONE plane with samples interleaved on a trailing axis;
+    # planar: one (h, w) plane per band, segments concatenated band-major
+    # (the same order the reader's plane loop expects)
+    if planar_code == 1:
+        plane_arrays = [np.moveaxis(grid, 0, 2)]
+    else:
+        plane_arrays = [grid[b] for b in range(spp)]
+
     if tile is None:
         rows_per_strip = max(1, min(height, 8192))
-        n_segs = (height + rows_per_strip - 1) // rows_per_strip
+        per_plane = (height + rows_per_strip - 1) // rows_per_strip
         seg_arrays = [
-            grid[s * rows_per_strip : (s + 1) * rows_per_strip]
-            for s in range(n_segs)
+            pa[s * rows_per_strip : (s + 1) * rows_per_strip]
+            for pa in plane_arrays
+            for s in range(per_plane)
         ]
+        n_segs = len(seg_arrays)
         add(278, 4, [rows_per_strip])
         off_tag, cnt_tag = 273, 279
     else:
         th = tw = int(tile)
         across = (width + tw - 1) // tw
         down = (height + th - 1) // th
-        n_segs = across * down
-        padded = np.full(
-            (down * th, across * tw), meta.nodata, dtype=grid.dtype
-        )
-        padded[:height, :width] = grid
-        seg_arrays = [
-            padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
-            for ty in range(down)
-            for tx in range(across)
-        ]
+        seg_arrays = []
+        for pa in plane_arrays:
+            padded = np.full(
+                (down * th, across * tw) + pa.shape[2:], meta.nodata,
+                dtype=grid.dtype,
+            )
+            padded[:height, :width] = pa
+            seg_arrays.extend(
+                padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                for ty in range(down)
+                for tx in range(across)
+            )
+        n_segs = len(seg_arrays)
         add(322, 4, [tw])
         add(323, 4, [th])
         off_tag, cnt_tag = 324, 325
@@ -530,12 +629,13 @@ def write_geotiff(
             pos += len(s)
 
 
-def read_geotiff_cells(spark, path: str):
+def read_geotiff_cells(spark, path: str, band: int | None = None):
     """GeoTIFF → the engine's long-form cell DataFrame (row, col, x, y,
-    value) + its RasterMeta."""
+    value) + its RasterMeta.  ``band`` selects one band of a multi-band
+    file (the engine's raster model is one value column per cell)."""
     from ..model.raster import raster_df
 
-    meta, grid = read_geotiff(path)
+    meta, grid = read_geotiff(path, band=band)
     return raster_df(spark, meta, grid), meta
 
 

@@ -331,3 +331,127 @@ def test_cli_geotiff_raster_poly_input(spark, tmp_path):
     rows = duckdb.sql(f"SELECT * FROM '{dst}/*.parquet'").fetchall()
     # value 0 is nodata-excluded by the aggregate (reference semantics)
     assert rows == [(0, float(sum(range(1, 16))))]
+
+
+# ------------------------------------------------------- multi-band (r5 cont.)
+
+from gregor_spark.sources.geotiff import read_geotiff_bands  # noqa: E402
+
+MB_META = RasterMeta(width=7, height=5, origin_x=-1.0, origin_y=10.0,
+                     pixel=0.5, crs="EPSG:3035", nodata=-1.0)
+
+
+def _bands(n=3, h=5, w=7):
+    return ((np.arange(n * h * w).reshape(n, h, w) * 29) % 251).astype(np.float64)
+
+
+@pytest.mark.parametrize("planar", ["chunky", "planar"])
+@pytest.mark.parametrize("compress,tile", [(None, None), ("deflate", None),
+                                           ("lzw", None), (None, 4), ("deflate", 4)])
+def test_geotiff_multiband_roundtrip(tmp_path, planar, compress, tile):
+    """3-band grids roundtrip bit-exactly through both sample layouts
+    (chunky = interleaved per pixel, planar = one segment set per band),
+    strips and padded tiles, compressed or not."""
+    g = _bands()
+    p = str(tmp_path / f"mb_{planar}_{compress}_{tile}.tif")
+    write_geotiff(p, MB_META, g, dtype="u1", compress=compress, tile=tile,
+                  planar=planar)
+    m2, b = read_geotiff_bands(p)
+    assert m2 == MB_META
+    assert b.shape == (3, 5, 7)
+    assert np.array_equal(b, g)
+
+
+def test_geotiff_multiband_band_selection(tmp_path):
+    """read_geotiff on a multi-band file: band= extracts one band,
+    omitting it raises (silent band-0 would misread RGB), out-of-range
+    raises."""
+    g = _bands()
+    p = str(tmp_path / "mb.tif")
+    write_geotiff(p, MB_META, g, dtype="u1")
+    for k in range(3):
+        m2, one = read_geotiff(p, band=k)
+        assert m2 == MB_META and np.array_equal(one, g[k])
+    with pytest.raises(ValueError, match="3 bands"):
+        read_geotiff(p)
+    with pytest.raises(ValueError, match="out of range"):
+        read_geotiff(p, band=3)
+    # single-band files keep the no-band-argument surface
+    q = str(tmp_path / "sb.tif")
+    write_geotiff(q, MB_META, g[0], dtype="u1")
+    _, flat = read_geotiff(q)
+    assert flat.ndim == 2 and np.array_equal(flat, g[0])
+
+
+@pytest.mark.parametrize("planar", ["chunky", "planar"])
+def test_geotiff_multiband_multi_strip(tmp_path, planar):
+    """2 bands x 20000 rows forces multiple strips per plane; planar
+    order is all of band 0's strips then band 1's."""
+    h, w = 20000, 2
+    meta = RasterMeta(width=w, height=h, origin_x=0.0, origin_y=100.0,
+                      pixel=0.01, crs="EPSG:4326", nodata=0.0)
+    g = ((np.arange(2 * h * w).reshape(2, h, w) * 7) % 509).astype(np.float64)
+    p = str(tmp_path / f"mbs_{planar}.tif")
+    write_geotiff(p, meta, g, dtype="u2", planar=planar)
+    m2, b = read_geotiff_bands(p)
+    assert m2 == meta and np.array_equal(b, g)
+
+
+def test_geotiff_multiband_predictor2_chunky(tmp_path):
+    """Predictor=2 with interleaved samples differences each band's
+    samples against the SAME band of the previous pixel (spec: per
+    sample channel) — rewrite a chunky 2-band u2 file's single strip as
+    per-channel deltas and check the reader restores both bands."""
+    h, w = 3, 4
+    g = ((np.arange(2 * h * w).reshape(2, h, w) * 131) % 60000).astype(np.float64)
+    meta = RasterMeta(width=w, height=h, origin_x=0.0, origin_y=2.0,
+                      pixel=0.5, crs="EPSG:4326", nodata=0.0)
+    p = tmp_path / "mb_plain.tif"
+    write_geotiff(str(p), meta, g, dtype="u2")
+    buf = bytearray(p.read_bytes())
+    nbytes = 2 * h * w * 2
+    raw = np.frombuffer(bytes(buf[-nbytes:]), dtype="<u2").reshape(h, w, 2).copy()
+    deltas = raw.copy()
+    deltas[:, 1:, :] = (raw[:, 1:, :].astype(np.int64)
+                        - raw[:, :-1, :]).astype(np.uint16)
+    buf[-nbytes:] = deltas.astype("<u2").tobytes()
+    # repurpose tag 284 (chunky = the default) as 317/Predictor=2, as in
+    # test_geotiff_predictor2_horizontal_differencing
+    n = struct.unpack_from("<H", buf, 8)[0]
+    for i in range(n):
+        base = 10 + i * 12
+        if struct.unpack_from("<H", buf, base)[0] == 284:
+            struct.pack_into("<H", buf, base, 317)
+            struct.pack_into("<H", buf, base + 8, 2)
+    pred = tmp_path / "mb_pred.tif"
+    pred.write_bytes(bytes(buf))
+    m2, b = read_geotiff_bands(str(pred))
+    assert np.array_equal(b, g)
+
+def test_cli_geotiff_raster_poly_multiband(spark, tmp_path):
+    """raster-poly on a multi-band .tif: --band selects the band; without
+    it the reader's descriptive multi-band error surfaces."""
+    import json
+
+    import duckdb
+
+    from gregor_spark.cli import main
+
+    meta = RasterMeta(width=4, height=4, origin_x=-0.25, origin_y=11.75,
+                      pixel=0.5, crs="EPSG:4326", nodata=0.0)
+    g = np.stack([np.arange(16, dtype=np.float64).reshape(4, 4),
+                  np.arange(16, 32, dtype=np.float64).reshape(4, 4)])
+    tif = str(tmp_path / "mb_cells.tif")
+    write_geotiff(tif, meta, g)
+    zones_json = str(tmp_path / "zones.json")
+    with open(zones_json, "w") as f:
+        json.dump(
+            [{"zone_id": 0, "xs": [-0.25, 1.75, 1.75, -0.25],
+              "ys": [9.75, 9.75, 11.75, 11.75]}], f
+        )
+    dst = str(tmp_path / "out_b1.parquet")
+    main(["raster-poly", tif, zones_json, dst, "--band", "1"])
+    rows = duckdb.sql(f"SELECT * FROM '{dst}/*.parquet'").fetchall()
+    assert rows == [(0, float(sum(range(16, 32))))]
+    with pytest.raises(ValueError, match="2 bands"):
+        main(["raster-poly", tif, zones_json, str(tmp_path / "nope.parquet")])
