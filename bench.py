@@ -58,6 +58,9 @@ HEADLINE = [
     "dedup_incremental",   # r3: delta-dedup vs persisted band index
     "ann_ivf_matmul",      # r3: IVF cogroup matmul re-rank
     "events_asof",         # r3: as-of join (union+window, no range join)
+    "pii_scrub",           # r5: regex PII redaction (map-only codegen)
+    "repetition_filter",   # r5: Gopher repetition metrics (2-level agg)
+    "sample_stratified",   # r5: deterministic hash-bucket sampling
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -1,0 +1,72 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Engine-style `.sample()` is seed-dependent on partitioning: the same row
+can be kept on one run and dropped on the next whenever the scan order
+changes (AQE, file splits, cluster size).  Training-data curation needs
+the opposite contract — membership decided by the ROW, not the plan — so
+these operators hash a stable key column (md5, same idiom as
+ops/dedup.py's shingle hash) into a bucket in [0, n_buckets) and keep the
+row iff its bucket clears the stratum's rate.  Properties that matter at
+100 TB:
+
+* map-only — a pure filter expression, no shuffle, no state, trivially
+  resumable and identical on any cluster size (the same property the
+  exact-dedup keep rule relies on);
+* stratified — per-stratum integer rates (basis points of ``n_buckets``)
+  rebalance skewed corpora (e.g. downsample the 'en' firehose, keep all
+  of a rare language) in one pass;
+* nested — because membership is a prefix predicate on the bucket
+  (``bucket < rate``), a 5% sample is a strict subset of a 20% sample
+  with the same salt, so growing a dataset never invalidates a smaller
+  published slice.
+
+Rates are INTEGERS in bucket units (not floats) so the keep predicate is
+pure int comparison — bit-identical across Spark, the DuckDB oracle, and
+any future engine (float rate * n_buckets would hang the boundary bucket
+on rounding mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, salt: str, n_buckets: int = 10000) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 60 bits of
+    md5(salt || key) mod n_buckets.  Salt isolates independent samples —
+    two samples with different salts are uncorrelated."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(n_buckets)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    key_col: str,
+    default_rate: int = 0,
+    salt: str = "strat",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Keep each row iff ``hash_bucket(key) < rates[stratum]``.
+
+    ``rates`` maps stratum value → kept buckets out of ``n_buckets``
+    (2000/10000 = 20%).  Unlisted strata fall back to ``default_rate``
+    (0 = drop, n_buckets = keep all).  Adds a ``bucket`` column so
+    downstream audits can verify membership without re-hashing.
+    """
+    for name, r in rates.items():
+        if not 0 <= r <= n_buckets:
+            raise ValueError(f"rate for {name!r} is {r}, not in [0, {n_buckets}]")
+    pairs = [x for kv in rates.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(default_rate)),
+    )
+    bucket = hash_bucket(F.col(key_col), salt, n_buckets)
+    return df.withColumn("bucket", bucket).where(F.col("bucket") < rate)

@@ -108,3 +108,95 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(sh)
+
+
+# --------------------------------------------------- PII scrubbing (r5 cont.)
+
+# Regexes chosen to mean the same thing in Java regex (Spark) and RE2
+# (the DuckDB oracle): no backreferences, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+# international-ish phone: optional +/( prefix, a digit, >= 6 of
+# digit/sep, closing digit — the trailing-digit anchor keeps prose after
+# a number from being swallowed by the greedy middle
+PHONE_RE = "\\+?\\(?[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_phones) — regex PII redaction.
+
+    Emails are replaced first so their digit runs can never double-count
+    as phone numbers; phone counting therefore runs on the email-scrubbed
+    text.  Pure ``regexp_replace``/``regexp_count`` column expressions —
+    map-only, whole-stage codegen, no shuffle: the shape that matters at
+    100 TB, where PII scrubbing is a streaming pass over every document.
+    """
+    t = F.col(text)
+    no_email = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(no_email, PHONE_RE, "[PHONE]").alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+# ------------------------------------- repetition quality filter (r5 cont.)
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    text: str = "text",
+    top_frac_max: float = 0.12,
+    dup_bigram_max: float = 0.06,
+) -> DataFrame:
+    """(doc_id, n_tokens, top_token_frac, dup_bigram_frac, keep) —
+    Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+    §A1.1: "fraction of characters in the most common n-gram" family).
+
+    * ``top_token_frac``: count of the most frequent token / total
+      tokens — flags keyword-stuffed or looping generations;
+    * ``dup_bigram_frac``: 1 − distinct bigrams / total bigrams — flags
+      phrase-level repetition;
+    * ``keep``: both below their thresholds.
+
+    Shape: the token histogram is explode → two-level aggregate (partial
+    map-side combine on (doc_id, token), then a per-doc max/sum roll-up)
+    — each doc's tokens stay one shuffle key family, no skew beyond the
+    longest document.  The bigram fraction never leaves the row: it is a
+    pure array expression.  Both paths join on doc_id (co-partitioned by
+    the aggregate's own shuffle).
+    """
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    dup_frac = F.lit(1.0) - (
+        F.size(F.array_distinct(bigrams)).cast("double")
+        / F.size(bigrams).cast("double")
+    )
+    per_word = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_cnt"),
+            F.sum("count").cast("long").alias("n_tokens"),
+        )
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        per_word.join(docs.select("doc_id", dup_frac.alias("dup_bigram_frac")), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            "dup_bigram_frac",
+            (
+                (top_frac <= F.lit(top_frac_max))
+                & (F.col("dup_bigram_frac") <= F.lit(dup_bigram_max))
+            ).alias("keep"),
+        )
+    )

@@ -513,3 +513,98 @@ def test_driver_window_membership():
         "events_asof", "north_pipeline", "dedup_incremental",
     ):
         assert must in window, f"{must} rotated out of the driver window"
+
+
+# --------------------------- curation ops: PII / repetition / sampling (r5)
+
+
+def test_pii_scrub(spark):
+    """Emails and phones redact independently; email digits never
+    double-count as phones; PII-free text passes through untouched."""
+    from gregor_spark.ops.text import pii_scrub
+
+    rows = [
+        (0, "mail me at jane.doe+spam@mail.example.org thanks"),
+        (1, "call +1-555-0042 2233 or (020) 7946-0958 now"),
+        (2, "user123@example.com then dial 555 867 5309 ok"),
+        (3, "no pii here just words"),
+        (4, "year 2024 is short"),  # 4 digits: below the phone floor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["clean_text"] == "mail me at [EMAIL] thanks"
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (1, 0)
+    assert out[1]["clean_text"] == "call [PHONE] or [PHONE] now"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (0, 2)
+    assert out[2]["clean_text"] == "[EMAIL] then dial [PHONE] ok"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (1, 1)
+    assert out[3]["clean_text"] == rows[3][1] and out[3]["n_phones"] == 0
+    assert out[4]["clean_text"] == rows[4][1] and out[4]["n_phones"] == 0
+
+
+def test_repetition_metrics(spark):
+    """Hand-computed Gopher-style fractions: a looping doc is dropped on
+    top-token fraction AND bigram duplication; diverse text is kept."""
+    from gregor_spark.ops.text import repetition_metrics
+
+    rows = [
+        (0, "spam spam spam spam eggs"),          # top 4/5, bigrams: 4 -> 2 distinct
+        (1, "one two three four five six seven eight nine"),  # all distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[0]["n_tokens"] == 5
+    assert out[0]["top_token_frac"] == pytest.approx(0.8)
+    # bigrams: [spam spam, spam spam, spam spam, spam eggs] -> 2 distinct of 4
+    assert out[0]["dup_bigram_frac"] == pytest.approx(0.5)
+    assert out[0]["keep"] is False
+    assert out[1]["top_token_frac"] == pytest.approx(1 / 9)
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["keep"] is True
+
+
+def test_sample_stratified_deterministic_nested(spark):
+    """Membership is row-determined (partitioning-independent), nested
+    across rates (5% subset of 20% subset of 80%), per-stratum sized
+    within binomial tolerance, and salt-isolated."""
+    from gregor_spark.ops.sampling import sample_stratified
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = sample_stratified(docs, "lang", {"en": 2000, "de": 8000}, "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # same input at different partitioning -> identical membership
+    ids2 = {
+        r["doc_id"]
+        for r in sample_stratified(
+            docs.repartition(13), "lang", {"en": 2000, "de": 8000}, "doc_id"
+        ).collect()
+    }
+    assert ids == ids2
+    # nesting: lower rate is a strict subset at the same salt
+    sub = {
+        r["doc_id"]
+        for r in sample_stratified(
+            docs, "lang", {"en": 500, "de": 2000}, "doc_id"
+        ).collect()
+    }
+    assert sub < ids
+    # per-stratum rates land near expectation (1000 en @20%, 3000 de @80%)
+    n_en = sum(1 for i in ids if i % 4 == 0)
+    n_de = len(ids) - n_en
+    assert abs(n_en - 200) < 60 and abs(n_de - 2400) < 120
+    # default_rate=0 drops unlisted strata entirely
+    none_kept = sample_stratified(docs, "lang", {"en": 2000}, "doc_id")
+    assert none_kept.where(F.col("lang") == "de").count() == 0
+    # a different salt decorrelates membership (not identical sets)
+    other = {
+        r["doc_id"]
+        for r in sample_stratified(
+            docs, "lang", {"en": 2000, "de": 8000}, "doc_id", salt="other"
+        ).collect()
+    }
+    assert other != ids
+    with pytest.raises(ValueError, match="not in"):
+        sample_stratified(docs, "lang", {"en": 10001}, "doc_id")
