@@ -61,6 +61,8 @@ HEADLINE = [
     "pii_scrub",           # r5: regex PII redaction (map-only codegen)
     "repetition_filter",   # r5: Gopher repetition metrics (2-level agg)
     "sample_stratified",   # r5: deterministic hash-bucket sampling
+    "bpe_token_count",     # r5: pre-tokenizer segment counting
+    "contamination",       # r5: eval-suite n-gram overlap (broadcast)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

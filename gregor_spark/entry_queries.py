@@ -2033,11 +2033,65 @@ WHERE bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 8000
 """
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_token_count(_docs(spark, sf_dir))
+
+
+_BPE_SQL_RE = TX.BPE_RE.replace("'", "''")
+_BPE_TOKEN_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS n_bpe,
+         len(regexp_extract_all(text, '[^ ]+')) AS n_ws
+  FROM documents
+)
+SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(n_bpe AS DOUBLE) / CAST(nullif(n_ws, 0) AS DOUBLE) AS tokens_per_word
+FROM t
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    deterministic stand-in eval suite; every other doc sharing a distinct
+    3-gram with it is flagged.  (Real use is 13-grams — GPT-3 appendix C;
+    3 here because the fixture corpus's tiny vocabulary has no cross-doc
+    13-gram collisions at all, verified empirically.)"""
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return TX.contamination_check(corpus, ev, n=3)
+
+
+_CONTAMINATION_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM t
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM g WHERE doc_id % 97 != 0),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM corpus JOIN ev USING (gram) GROUP BY 1)
+SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(tt.n_grams AS BIGINT) AS n_grams,
+       CAST(h.n_hits AS DOUBLE) / CAST(tt.n_grams AS DOUBLE) AS hit_frac
+FROM hits h JOIN totals tt USING (doc_id)
+"""
+
+
 REGISTRY.update(
     {
         "pii_scrub": (q_pii_scrub, _PII_SCRUB_SQL),
         "repetition_filter": (q_repetition_filter, _REPETITION_SQL),
         "sample_stratified": (q_sample_stratified, _SAMPLE_STRAT_SQL),
+        "bpe_token_count": (q_bpe_token_count, _BPE_TOKEN_SQL),
+        "contamination": (q_contamination, _CONTAMINATION_SQL),
     }
 )
 
@@ -2082,6 +2136,13 @@ REGISTRY.update(
 #     poly_to_poly (in-window); rotated r5 to admit sample_stratified;
 #     ear-clip kernel goldens in test_kernels (concave section) and
 #     parity in test_round3::test_poly_to_poly_concave_distributed_parity.
+#   jaccard_pairs — uncapped variant of jaccard_capped (in-window: same
+#     shingle join + the exact-rescore tier on top); rotated r5 to admit
+#     bpe_token_count; goldens in test_ops::test_jaccard_pairs.
+#   doc_tile_hist — thin rollup over doc_tiles (in-window), histogram
+#     shape also in-window via tile_rollup; rotated r5 to admit
+#     contamination; golden in
+#     test_spatial_join::test_tile_assignment_and_span_equality.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2096,6 +2157,8 @@ _WINDOW_TAIL = (
     "zonal_sum_holes",
     "simhash_pairs",
     "poly_to_poly_concave",
+    "jaccard_pairs",
+    "doc_tile_hist",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -200,3 +200,95 @@ def repetition_metrics(
             ).alias("keep"),
         )
     )
+
+
+# ------------------------------------ BPE-ish token counting (r5 cont.)
+
+# GPT-2-style pre-tokenizer, restricted to the Java-regex ∩ RE2 common
+# dialect (the upstream pattern's trailing-space lookahead `\s+(?!\S)` is
+# dropped — RE2 has no lookaround; contractions, letter runs, digit runs,
+# punctuation runs, and whitespace runs survive intact).
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+
+def bpe_token_count(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_ws_tokens, tokens_per_word) — pre-BPE
+    segment counting, the standard proxy for model-token cost when the
+    actual merges table is not in play (each BPE merge only fuses WITHIN
+    a pre-tokenizer segment, so segment count upper-bounds token count
+    shape-faithfully).  Pure regexp column expression, map-only."""
+    t = F.col(text)
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).cast("long")
+    n_ws = F.size(tokens(t)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        (n_bpe.cast("double") / F.nullif(n_ws, F.lit(0)).cast("double")).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+# --------------------------------- benchmark decontamination (r5 cont.)
+
+
+def contamination_check(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 13, text: str = "text"
+) -> DataFrame:
+    """(doc_id, n_hits, n_grams, hit_frac) for every training doc sharing
+    at least one distinct word n-gram with the eval set — the standard
+    benchmark-decontamination test (GPT-3 appendix C uses 13-grams).
+
+    Shape: the EVAL side (a benchmark suite — thousands of docs, not
+    billions) collapses to its distinct n-gram set and broadcasts; the
+    corpus side is explode → broadcast-semi-hash-join → partial-agg
+    count per doc.  The corpus is touched once, map-side, with no
+    corpus-scale shuffle — the only exchange is the per-doc count
+    roll-up on doc_id.  Eval docs also present in ``docs`` are the
+    caller's concern (pass them pre-filtered).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size(tokens(F.col(text))) - F.lit(n - 1),
+                                F.lit(1),
+                            ),
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(tokens(F.col(text)), i, n)),
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    from pyspark.sql.functions import broadcast
+
+    eval_grams = broadcast(
+        grams(eval_docs).select("gram").distinct().withColumn("hit", F.lit(1))
+    )
+    # ONE corpus pass: left broadcast join tags each gram, a single
+    # partial-agg groupBy counts totals and hits together (count(hit)
+    # skips the nulls the left join leaves on clean grams)
+    flagged = grams(docs).join(eval_grams, "gram", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_grams",
+            (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+                "hit_frac"
+            ),
+        )
+    )

@@ -608,3 +608,47 @@ def test_sample_stratified_deterministic_nested(spark):
     assert other != ids
     with pytest.raises(ValueError, match="not in"):
         sample_stratified(docs, "lang", {"en": 10001}, "doc_id")
+
+
+def test_bpe_token_count(spark):
+    """Pre-tokenizer segment counts on hand-segmented strings: a
+    contraction splits off, punctuation runs separate from letter runs,
+    and digits segment separately from letters."""
+    from gregor_spark.ops.text import bpe_token_count
+
+    rows = [
+        (0, "don't stop"),        # don | 't | (space)stop          -> 3
+        (1, "hello, world!!"),    # hello | , | (sp)world | !!      -> 4
+        (2, "abc123 x"),          # abc | 123 | (sp)x               -> 3
+        (3, "plain words here"),  # 3 words                          -> 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_token_count(docs).collect()}
+    assert out[0]["n_bpe_tokens"] == 3 and out[0]["n_ws_tokens"] == 2
+    assert out[1]["n_bpe_tokens"] == 4 and out[1]["n_ws_tokens"] == 2
+    assert out[2]["n_bpe_tokens"] == 3 and out[2]["n_ws_tokens"] == 2
+    assert out[3]["n_bpe_tokens"] == 3
+    assert out[3]["tokens_per_word"] == pytest.approx(1.0)
+
+
+def test_contamination_check(spark):
+    """A doc sharing an n-gram with the eval set is flagged with the
+    right distinct-gram counts; clean docs are absent from the result."""
+    from gregor_spark.ops.text import contamination_check
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "zzz alpha beta gamma yyy"),   # shares 'alpha beta gamma'
+            (1, "totally clean text here ok"),
+            (2, "alpha beta gamma delta"),     # shares both eval 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_check(docs, ev, n=3).collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["n_hits"] == 1 and out[0]["n_grams"] == 3
+    assert out[2]["n_hits"] == 2 and out[2]["n_grams"] == 2
+    assert out[2]["hit_frac"] == pytest.approx(1.0)
