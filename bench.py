@@ -63,6 +63,8 @@ HEADLINE = [
     "sample_stratified",   # r5: deterministic hash-bucket sampling
     "bpe_token_count",     # r5: pre-tokenizer segment counting
     "contamination",       # r5: eval-suite n-gram overlap (broadcast)
+    "events_interval",     # r5: bucketized range join (no BNLJ)
+    "tfidf_top_terms",     # r5: TF-IDF keyword extraction
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))
@@ -791,6 +793,73 @@ def run_clusters_hotband() -> dict:
     return out
 
 
+def run_interval() -> dict:
+    """Range-join evidence: the bucketized equi-join (`interval_join`)
+    vs the plan Spark gives a naive range predicate — a
+    BroadcastNestedLoopJoin that tests EVERY point against EVERY
+    interval.  Both paths run on the same deterministic data at a
+    naive-feasible size (results asserted identical), then the
+    bucketized path alone at a size where the nested loop would stream
+    ~10^12 pairs."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.ops.temporal import interval_join
+    from gregor_spark.session import get_spark
+
+    n_pts = int(os.environ.get("SPARK_GRAFT_IVL_POINTS", "1000000"))
+    n_ivl = int(os.environ.get("SPARK_GRAFT_IVL_INTERVALS", "10000"))
+    n_pts_big = int(os.environ.get("SPARK_GRAFT_IVL_POINTS_BIG", "8000000"))
+    n_ivl_big = int(os.environ.get("SPARK_GRAFT_IVL_INTERVALS_BIG", "200000"))
+    horizon = 1_000_000.0  # time units; interval widths 0..200, bucket 128
+    spark = get_spark(app="gregor-interval", master=f"local[{CPUS}]")
+
+    def points(n):
+        return spark.range(n).select(
+            F.col("id").alias("pid"),
+            ((F.col("id") * 2654435761) % F.lit(int(horizon))).cast("double").alias("ts"),
+        )
+
+    def intervals(n):
+        lo = (F.col("id") * 40503) % F.lit(int(horizon))
+        return spark.range(n).select(
+            F.col("id").alias("ivl_id"),
+            lo.cast("double").alias("lo"),
+            (lo + (F.col("id") * 7) % 201).cast("double").alias("hi"),
+        )
+
+    out = {"n_points": n_pts, "n_intervals": n_ivl}
+    pts, ivl = points(n_pts).cache(), intervals(n_ivl).cache()
+    pts.count(), ivl.count()
+
+    def run(df_fn, label):
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            rows = df_fn().count()
+            best = min(best, time.time() - t0)
+        out[f"{label}_sec"] = round(best, 3)
+        out[f"{label}_rows"] = rows
+        return rows
+
+    naive = lambda: pts.crossJoin(ivl).filter(
+        (F.col("lo") <= F.col("ts")) & (F.col("ts") <= F.col("hi"))
+    )
+    bucketized = lambda: interval_join(pts, ivl, ts="ts", bucket=128.0)
+    r_naive = run(naive, "naive_bnlj")
+    r_bucket = run(bucketized, "bucketized")
+    assert r_naive == r_bucket, (r_naive, r_bucket)
+    out["pairs_streamed_naive"] = n_pts * n_ivl
+    pts.unpersist(), ivl.unpersist()
+
+    big_p, big_i = points(n_pts_big).cache(), intervals(n_ivl_big).cache()
+    big_p.count(), big_i.count()
+    out["big_n_points"], out["big_n_intervals"] = n_pts_big, n_ivl_big
+    run(lambda: interval_join(big_p, big_i, ts="ts", bucket=128.0), "bucketized_big")
+    out["big_pairs_naive_would_stream"] = n_pts_big * n_ivl_big
+    spark.stop()
+    return out
+
+
 def run_scaling() -> dict:
     """Same north-rule job at two parallelism levels (the sandbox stand-in
     for N vs 4N executors)."""
@@ -872,6 +941,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--clusters-hotband" in sys.argv:
         print(json.dumps(run_clusters_hotband()))
+        sys.exit(0)
+    if "--interval" in sys.argv:
+        print(json.dumps(run_interval()))
         sys.exit(0)
     times = run_headline()
     total = round(

@@ -158,3 +158,174 @@ def asof_join(
         F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in r_payload
     ]
     return merged.filter(F.col("_side") == 1).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) joins.
+#
+# Spark has no range-join optimization: ``l JOIN r ON l.ts BETWEEN r.lo
+# AND r.hi`` with no equi-key plans as BroadcastNestedLoopJoin (every
+# point row tested against EVERY interval — O(|points|·|intervals|)
+# comparisons), and with an equi-key it still streams every same-key
+# pair through the predicate.  The standard fix (Databricks range-join
+# hints, DuckDB IEJoin do it engine-side) is BUCKETIZATION: quantize the
+# range dimension into fixed-width buckets, emit each interval once per
+# bucket it touches, give each point its single containing bucket, and
+# equi-join on the bucket id — Catalyst then plans a plain hash/SMJ
+# join and the exact predicate only re-checks same-bucket candidates.
+# Cost: O(|points| + Σ span_i/width) join input rows; picking width
+# around the median interval length keeps the explode factor ~2-3×.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_num(col, is_time: bool):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp")) if is_time else c.cast("double")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None = None,
+    ts: str = "ts",
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket: float = 3600.0,
+    closed: str = "both",
+    interval_prefix: str = "i_",
+    max_buckets: int = 16384,
+) -> DataFrame:
+    """Point-in-interval join: every ``points`` row paired with every
+    ``intervals`` row whose ``[lo, hi]`` contains its ``ts`` (inner join;
+    multi-match emits one row per match, no match emits nothing).
+    Interval columns come back prefixed ``{interval_prefix}`` (the
+    equi-key ``on``, when given, is not duplicated).
+
+    ``closed``: ``both`` (lo <= ts <= hi), ``left`` (lo <= ts < hi),
+    ``right`` (lo < ts <= hi), ``neither``.  Empty intervals under the
+    chosen closure match nothing and are pruned before the explode.
+
+    ``bucket`` is the quantization width — SECONDS when ``ts``/``lo``/
+    ``hi`` are timestamps or dates, raw units when numeric.  Each point
+    lands in exactly ONE bucket, so the join needs no post-dedup.  An
+    interval spanning more than ``max_buckets`` buckets raises at run
+    time (``assert_true``) instead of silently exploding the build side
+    — pick a wider ``bucket`` for long intervals.
+
+    Scale shape: one map-side explode of the (small) interval side, one
+    equi-join on (key?, bucket) that Catalyst plans as broadcast or SMJ
+    by size, exact predicate as a post-join filter.  No nested-loop
+    join at any size; bench.py --interval measures the gap.
+    """
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"closed must be both|left|right|neither, got {closed!r}")
+    is_time = isinstance(
+        points.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    )
+    width = float(bucket) * (1_000_000.0 if is_time else 1.0)
+    if width <= 0:
+        raise ValueError("bucket width must be positive")
+
+    pts = points.withColumn(
+        "_ib", F.floor(_bucket_num(ts, is_time) / F.lit(width)).cast("long")
+    )
+    lo_n = _bucket_num(lo, is_time)
+    hi_n = _bucket_num(hi, is_time)
+    nonempty = (lo_n < hi_n) if closed == "neither" else (lo_n <= hi_n)
+    lb = F.floor(lo_n / F.lit(width)).cast("long")
+    hb = F.floor(hi_n / F.lit(width)).cast("long")
+    ivl_cols = [
+        F.col(c).alias(c if c == on else f"{interval_prefix}{c}")
+        for c in intervals.columns
+    ]
+    # the guard lives INSIDE the sequence bound (not a dropped side
+    # column Catalyst would prune away): a span over the cap evaluates
+    # raise_error before the generator can materialize a huge array
+    stop = F.when(hb - lb < F.lit(max_buckets), hb).otherwise(
+        F.raise_error(
+            F.lit(
+                f"interval_join: an interval spans >= {max_buckets} buckets "
+                f"of width {bucket}; widen `bucket` or raise `max_buckets`"
+            )
+        ).cast("long")
+    )
+    ivl = intervals.filter(nonempty).select(
+        *ivl_cols, F.explode(F.sequence(lb, stop)).alias("_ib")
+    )
+    plo = F.col(f"{interval_prefix}{lo}")
+    phi = F.col(f"{interval_prefix}{hi}")
+    tsc = F.col(ts)
+    exact = {
+        "both": (plo <= tsc) & (tsc <= phi),
+        "left": (plo <= tsc) & (tsc < phi),
+        "right": (plo < tsc) & (tsc <= phi),
+        "neither": (plo < tsc) & (tsc < phi),
+    }[closed]
+    keys = ["_ib"] if on is None else [on, "_ib"]
+    return pts.join(ivl, on=keys, how="inner").filter(exact).drop("_ib")
+
+
+def overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: str | None = None,
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket: float = 3600.0,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    max_buckets: int = 16384,
+) -> DataFrame:
+    """Interval-overlap join: every ``a`` row paired with every ``b``
+    row whose ``[lo, hi]`` intersects it (closed-closed:
+    ``a.lo <= b.hi AND b.lo <= a.hi``), columns prefixed per side.
+
+    Same bucketization as :func:`interval_join`, both sides exploded.
+    A pair co-occurs in every bucket of the intersection of its two
+    bucket spans; keeping only ``bucket == greatest(a_lb, b_lb)`` (the
+    first shared bucket, always inside the intersection) emits each
+    overlapping pair EXACTLY once — no ``distinct`` needed, so the plan
+    stays one explode per side + one equi-join + filters.
+    """
+    is_time = isinstance(
+        a.schema[lo].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    )
+    width = float(bucket) * (1_000_000.0 if is_time else 1.0)
+    if width <= 0:
+        raise ValueError("bucket width must be positive")
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        lo_n = _bucket_num(lo, is_time)
+        hi_n = _bucket_num(hi, is_time)
+        lb = F.floor(lo_n / F.lit(width)).cast("long")
+        hb = F.floor(hi_n / F.lit(width)).cast("long")
+        cols = [
+            F.col(c).alias(c if c == on else f"{prefix}{c}") for c in df.columns
+        ]
+        stop = F.when(hb - lb < F.lit(max_buckets), hb).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"overlap_join: an interval spans >= {max_buckets} "
+                    f"buckets of width {bucket}; widen `bucket`"
+                )
+            ).cast("long")
+        )
+        return df.filter(lo_n <= hi_n).select(
+            *cols,
+            lb.alias(f"{prefix}_lb"),
+            F.explode(F.sequence(lb, stop)).alias("_ib"),
+        )
+
+    aa, bb = prep(a, left_prefix), prep(b, right_prefix)
+    keys = ["_ib"] if on is None else [on, "_ib"]
+    overlap = (F.col(f"{left_prefix}{lo}") <= F.col(f"{right_prefix}{hi}")) & (
+        F.col(f"{right_prefix}{lo}") <= F.col(f"{left_prefix}{hi}")
+    )
+    first_shared = F.col("_ib") == F.greatest(
+        F.col(f"{left_prefix}_lb"), F.col(f"{right_prefix}_lb")
+    )
+    return (
+        aa.join(bb, on=keys, how="inner")
+        .filter(overlap & first_shared)
+        .drop("_ib", f"{left_prefix}_lb", f"{right_prefix}_lb")
+    )

@@ -292,3 +292,62 @@ def contamination_check(
             ),
         )
     )
+
+
+# --------------------------------- TF-IDF keyword extraction (r5 cont.)
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text: str = "text", round_to: int = 6
+) -> DataFrame:
+    """(doc_id, term, tfidf, rn) — the top-``k`` terms of every document
+    by raw-count TF × ln(N/DF) IDF, the classic keyword-extraction /
+    retrieval weighting (Sparck Jones 1972).  ``rn`` is the 1-based rank
+    (ties broken by term asc so the output is fully deterministic).
+
+    Reference has no text surface; a training-data pipeline uses this for
+    topic balancing and near-duplicate triage.
+
+    Scale shape, 100 TB honest: tokenize is a map-side explode; TF is one
+    groupBy (doc_id, term); DF is a partial-agg groupBy on term whose
+    result is VOCABULARY-sized (sublinear in the corpus — Heaps' law), so
+    Catalyst/AQE broadcasts it into the TF join rather than re-shuffling
+    the corpus-sized TF table; N comes from a 1-row aggregate cross-join
+    (broadcast, no collect); top-k is a window whose rank filter pushes
+    into WindowGroupLimit (partial per-partition top-k before the
+    shuffle).  The only corpus-scale exchanges are the TF groupBy and the
+    per-doc window — both keyed on doc_id-ish keys, no skew beyond doc
+    length.  tfidf is rounded BEFORE ranking (round 6) so the ordering
+    never depends on last-ulp libm differences between engines — the
+    DuckDB oracle replays the exact same ranking.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text)))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.select(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n") / F.col("df").cast("double")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -1,0 +1,151 @@
+"""Interval (range) joins: bucketized equi-join vs the naive
+cross-join-filter oracle, closure variants, dedup guarantees, and the
+explode guard.  TF-IDF top-terms golden lives here too (same r5 batch).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gregor_spark.ops.temporal import interval_join, overlap_join
+
+
+def _points_num(spark, n=200):
+    # deterministic scatter over [0, 1000)
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37 + 11) % 1000).cast("double").alias("ts"),
+    )
+
+
+def _intervals_num(spark, n=40):
+    # deterministic lo/width mix: widths 0..~120, some empty under open
+    # closures (width 0), overlapping heavily
+    return spark.range(n).select(
+        F.col("id").alias("ivl_id"),
+        ((F.col("id") * 53) % 970).cast("double").alias("lo"),
+        (((F.col("id") * 53) % 970) + (F.col("id") * 7) % 121).cast("double").alias(
+            "hi"
+        ),
+    )
+
+
+def _naive(points, intervals, closed):
+    lo, hi, ts = F.col("lo"), F.col("hi"), F.col("ts")
+    pred = {
+        "both": (lo <= ts) & (ts <= hi),
+        "left": (lo <= ts) & (ts < hi),
+        "right": (lo < ts) & (ts <= hi),
+        "neither": (lo < ts) & (ts < hi),
+    }[closed]
+    return (
+        points.crossJoin(intervals)
+        .filter(pred)
+        .select("pid", "ivl_id")
+    )
+
+
+@pytest.mark.parametrize("closed", ["both", "left", "right", "neither"])
+@pytest.mark.parametrize("bucket", [16.0, 250.0])
+def test_interval_join_matches_naive(spark, closed, bucket):
+    pts, ivl = _points_num(spark, 200), _intervals_num(spark, 40)
+    got = sorted(
+        (r["pid"], r["i_ivl_id"])
+        for r in interval_join(
+            pts, ivl, ts="ts", bucket=bucket, closed=closed
+        ).collect()
+    )
+    want = sorted((r["pid"], r["ivl_id"]) for r in _naive(pts, ivl, closed).collect())
+    assert got == want and len(got) > 50  # non-trivial match set
+
+
+def test_interval_join_timestamps_and_key(spark):
+    base = dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            (i, i % 3, base + dt.timedelta(minutes=17 * i % 300))
+            for i in range(60)
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    ivl = spark.createDataFrame(
+        [
+            (j, j % 3, base + dt.timedelta(minutes=30 * j), base + dt.timedelta(minutes=30 * j + 45))
+            for j in range(10)
+        ],
+        "ivl_id long, k long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["i_ivl_id"])
+        for r in interval_join(
+            pts, ivl, on="k", ts="ts", bucket=600.0, closed="both"
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["ivl_id"])
+        for r in pts.join(ivl, "k")
+        .filter((F.col("lo") <= F.col("ts")) & (F.col("ts") <= F.col("hi")))
+        .select("pid", "ivl_id")
+        .collect()
+    )
+    assert got == want and len(got) > 10
+    # each (point, interval) pair appears exactly once despite multi-bucket spans
+    assert len(got) == len(set(got))
+
+
+def test_interval_join_guard_raises(spark):
+    pts = _points_num(spark, 10)
+    wide = spark.createDataFrame([(0, 0.0, 1e9)], "ivl_id long, lo double, hi double")
+    with pytest.raises(Exception, match="spans >= "):
+        interval_join(pts, wide, ts="ts", bucket=1.0, max_buckets=100).collect()
+
+
+def test_overlap_join_matches_naive(spark):
+    a = _intervals_num(spark, 35).withColumnRenamed("ivl_id", "aid")
+    b = spark.range(25).select(
+        F.col("id").alias("bid"),
+        ((F.col("id") * 91 + 5) % 950).cast("double").alias("lo"),
+        (((F.col("id") * 91 + 5) % 950) + (F.col("id") * 13) % 97).cast("double").alias(
+            "hi"
+        ),
+    )
+    got = sorted(
+        (r["a_aid"], r["b_bid"])
+        for r in overlap_join(a, b, bucket=64.0).collect()
+    )
+    want = sorted(
+        (r["aid"], r["bid"])
+        for r in a.crossJoin(b.withColumnRenamed("lo", "l2").withColumnRenamed("hi", "h2"))
+        .filter((F.col("lo") <= F.col("h2")) & (F.col("l2") <= F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 20
+    assert len(got) == len(set(got))  # exactly-once per overlapping pair
+
+
+def test_tfidf_top_terms_golden(spark):
+    from gregor_spark.ops.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana banana durian"),
+            (2, "cherry durian elderberry elderberry elderberry"),
+        ],
+        "doc_id long, text string",
+    )
+    import math
+
+    rows = {
+        (r["doc_id"], r["rn"]): (r["term"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    ln = math.log
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana/cherry tf=1 df=2 -> ln(1.5)
+    assert rows[(0, 1)] == ("apple", round(2 * ln(3.0), 6))
+    assert rows[(0, 2)] == ("banana", round(ln(1.5), 6))  # tie with cherry -> term asc
+    # doc 2: elderberry tf=3 df=1 -> 3*ln(3) beats cherry/durian ln(1.5)
+    assert rows[(2, 1)] == ("elderberry", round(3 * ln(3.0), 6))
+    assert rows[(2, 2)] == ("cherry", round(ln(1.5), 6))
+    assert len(rows) == 6
