@@ -65,6 +65,8 @@ HEADLINE = [
     "contamination",       # r5: eval-suite n-gram overlap (broadcast)
     "events_interval",     # r5: bucketized range join (no BNLJ)
     "tfidf_top_terms",     # r5: TF-IDF keyword extraction
+    "doc_pairs_nearby",    # r5: grid-blocked within-distance pair join
+    "lm_score",            # r5: bigram-LM perplexity scoring
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))
@@ -132,6 +134,72 @@ def raw_cpu_control(lo: int, hi: int, seconds: float = 1.5) -> dict:
 # information on this box (r4 evidence: three identical-code salted
 # passes spanned 0.33-0.77 under depressed controls)
 CALIBRATION_GATE = 0.85
+
+
+def _monitor_loop(path: str) -> None:
+    """Child process: nice'd single-core busy loop, appending one
+    iters/sec sample per ~0.5 s window until killed."""
+    import time as _t
+
+    try:
+        os.nice(10)  # yield to Spark under contention; steal measures load
+    except OSError:
+        pass
+    x = 1.0
+    with open(path, "a") as f:
+        while True:
+            t0 = _t.monotonic_ns()
+            n = 0
+            while _t.monotonic_ns() - t0 < 500_000_000:
+                for _ in range(10_000):
+                    x = x * 1.0000001 + 1e-9
+                n += 10_000
+            rate = n / ((_t.monotonic_ns() - t0) / 1e9) + x * 0
+            f.write(f"{rate}\n")
+            f.flush()
+
+
+class phase_monitor:
+    """DURING-phase load control (BENCH run-7 finding: a load spike
+    between the pre and post control samples is invisible to both, and
+    bent a gate-met row to 0.49 on byte-identical code).  Runs ONE
+    nice'd single-core sampler for the phase's whole duration; its
+    median rate relative to an idle-baseline single-core rate is the
+    phase's control.  Costs at most 1 of 32 cores (nice'd 10, so under
+    full Spark load it mostly measures what's left — which is exactly
+    the signal)."""
+
+    def __init__(self, baseline_rate: float):
+        self.baseline = baseline_rate
+        self.samples: list[float] = []
+
+    def __enter__(self):
+        import multiprocessing as mp
+        import tempfile
+
+        fd, self._path = tempfile.mkstemp(prefix="gregor_mon_", suffix=".txt")
+        os.close(fd)
+        ctx = mp.get_context("spawn")
+        self._proc = ctx.Process(target=_monitor_loop, args=(self._path,), daemon=True)
+        self._proc.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._proc.terminate()
+        self._proc.join(timeout=5)
+        with open(self._path) as f:
+            self.samples = [float(s) for s in f.read().split()]
+        os.unlink(self._path)
+        return False
+
+    def control(self) -> float:
+        """Median sampled single-core rate / idle baseline.  Under an
+        idle box with Spark saturating the other cores this reads near
+        the baseline's nice'd share; external load pushes it down."""
+        if not self.samples:
+            return 0.0
+        med = sorted(self.samples)[len(self.samples) // 2]
+        return round(med / self.baseline, 3)
 
 
 def ensure_corpus(spark, n_docs: int) -> str:
@@ -889,21 +957,38 @@ def run_scaling() -> dict:
     # information on this box (r4: three identical-code salted passes
     # spanned 0.33-0.77)
     cal_pre = raw_cpu_control(lo, hi)
+    # idle single-core baseline for the DURING-phase monitors (same
+    # arithmetic loop); taken at pre-control time, i.e. the same host
+    # state the pre control certifies.  Max of two independent probes
+    # (direct 1-proc + the pre-control's per-proc lo rate) so a
+    # momentarily depressed baseline can't INFLATE the during-controls
+    # and hide a spike.
+    base_1 = max(raw_cpu_rate(1, 1.5), cal_pre["rate_lo"] / lo)
     for cpus in (lo, hi):
         spark = get_spark(app=f"gregor-scale-{cpus}", master=f"local[{cpus}]")
         ensure_corpus(spark, n_docs)
-        for mode in modes:
-            _north_pipeline(spark, n_docs, mode)  # warmup (JIT + page cache)
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                n = _north_pipeline(spark, n_docs, mode)
-                best = min(best, time.time() - t0)
-            out[f"{mode}_rate_{cpus}"] = n / best
-            out[f"{mode}_sec_{cpus}"] = best
+        with phase_monitor(base_1) as mon:
+            for mode in modes:
+                _north_pipeline(spark, n_docs, mode)  # warmup (JIT + page cache)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    n = _north_pipeline(spark, n_docs, mode)
+                    best = min(best, time.time() - t0)
+                out[f"{mode}_rate_{cpus}"] = n / best
+                out[f"{mode}_sec_{cpus}"] = best
+        out[f"during_control_{cpus}"] = mon.control()
         spark.stop()
     cal_post = raw_cpu_control(lo, hi)
-    control = min(cal_pre["control"], cal_post["control"])
+    # BENCH run-7 finding: a spike between the pre and post samples bent
+    # a "gate met" row to 0.49 on byte-identical code — the during-phase
+    # medians close that window, so the gate is the WORST of all four
+    control = min(
+        cal_pre["control"],
+        cal_post["control"],
+        out[f"during_control_{lo}"],
+        out[f"during_control_{hi}"],
+    )
     out["raw_cpu_control_pre"] = cal_pre["control"]
     out["raw_cpu_control_post"] = cal_post["control"]
     out["calibration_gate"] = CALIBRATION_GATE

@@ -2159,10 +2159,70 @@ FROM s QUALIFY rn <= 3
 """
 
 
+def q_doc_pairs_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial self-join over the derived doc points
+    (grid-blocked pair join, operators/knn.py); oracle is DuckDB's
+    native quadratic join over the same predicate."""
+    from .operators.knn import within_distance_join
+
+    pts = _doc_points_df(spark, sf_dir)
+    # radius 0.08: the derived points form a Kronecker-type lattice whose
+    # MIN pair distance at sf0.01 is 0.0327 — a smaller radius makes the
+    # oracle vacuously empty (verified: 1,086 pairs at 0.08, 0 at 0.02)
+    out = within_distance_join(pts, radius=0.08, x="lon", y="lat", id_col="doc_id")
+    return out.select(
+        "a_doc_id", "b_doc_id", F.round("d2", 9).alias("d2_r")
+    )
+
+
+_DOC_PAIRS_NEARBY_SQL = f"""
+WITH {_DOCPTS}
+SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+       round((a.lon - b.lon) * (a.lon - b.lon)
+             + (a.lat - b.lat) * (a.lat - b.lat), 9) AS d2_r
+FROM docpts a JOIN docpts b
+  ON a.doc_id < b.doc_id
+ AND (a.lon - b.lon) * (a.lon - b.lon)
+     + (a.lat - b.lat) * (a.lat - b.lat) <= 0.0064
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lm_score(_docs(spark, sf_dir))
+
+
+_LM_SCORE_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(prev := CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END,
+                              cur := t[i]))) AS b
+  FROM t WHERE len(t) > 0
+),
+pairs AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+cb AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2),
+cp AS (SELECT prev, count(*) AS cp FROM pairs GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM pairs),
+s AS (
+  SELECT p.doc_id,
+         log2((CAST(cb.cb AS DOUBLE) + 0.1) / (CAST(cp.cp AS DOUBLE) + 0.1 * v.v))
+           AS lp
+  FROM pairs p JOIN cb USING (prev, cur) JOIN cp USING (prev) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(lp), 6) AS bits_per_token,
+       round(pow(2, -avg(lp)), 6) AS ppl
+FROM s GROUP BY 1
+"""
+
+
 REGISTRY.update(
     {
         "events_interval": (q_events_interval, _EVENTS_INTERVAL_SQL),
         "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
+        "doc_pairs_nearby": (q_doc_pairs_nearby, _DOC_PAIRS_NEARBY_SQL),
+        "lm_score": (q_lm_score, _LM_SCORE_SQL),
     }
 )
 
@@ -2221,6 +2281,15 @@ REGISTRY.update(
 #     over the same tokenizer the in-window bpe_token_count/token_count
 #     verify); rotated r5 to admit tfidf_top_terms; golden stability +
 #     sensitivity assertions in test_ops::test_text_ops.
+#   token_count — same ops/text.py pure-column tokenizer path the
+#     in-window text_quality/bpe_token_count/tfidf_top_terms all verify;
+#     rotated r5 to admit doc_pairs_nearby; goldens in
+#     test_ops::test_text_ops.
+#   cosine_topk — exact-cosine similarity family whose distributed
+#     paths stay in-window via embedding_near_dup (exact block-pair
+#     sweep) + ann_lsh/ann_ivf/ann_ivf_matmul; rotated r5 to admit
+#     lm_score; path-agreement goldens in
+#     test_ops::test_cosine_paths_agree.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2239,6 +2308,8 @@ _WINDOW_TAIL = (
     "doc_tile_hist",
     "lang_id",
     "fingerprint",
+    "token_count",
+    "cosine_topk",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

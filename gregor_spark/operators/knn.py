@@ -198,3 +198,79 @@ def knn_cell_join(
         for df in cached:
             df.unpersist()
     return done.drop("_fcell") if "_fcell" in done.columns else done
+
+
+def within_distance_join(
+    pts: DataFrame,
+    radius: float,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "point_id",
+    cell: float | None = None,
+) -> DataFrame:
+    """All pairs of ``pts`` rows within planar distance ``radius``:
+    (a_{id}, b_{id}, d2) with a_{id} < b_{id}, each qualifying pair
+    exactly once.  The 2-D sibling of ops/temporal.py's bucketized range
+    join — Spark would otherwise plan the distance predicate as a
+    BroadcastNestedLoopJoin over all N² pairs.
+
+    Grid blocking: every point gets its (floor(x/cell), floor(y/cell))
+    grid key; the LEFT side explodes into the (2r+1)² neighborhood with
+    r = ceil(radius/cell) (cells default to radius → 3×3, the proven
+    shape) while the RIGHT side keeps its single cell, so each candidate
+    pair meets EXACTLY once (the right cell appears once in the left
+    neighborhood) — no distinct needed.  Exact d² <= radius² filters
+    post-join.  Scale: one shuffle on the grid key per side; per-cell
+    density bounds the candidate blowup (pick ``cell`` ≈ radius; AQE
+    skew-join splits pathological cells).  a_id < b_id both halves the
+    work and drops self-pairs.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    w = float(cell) if cell is not None else float(radius)
+    if w <= 0:
+        raise ValueError("cell width must be positive")
+    ring = int(np.ceil(radius / w))
+    offsets = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    ]
+    cx = F.floor(F.col(x) / F.lit(w)).cast("long")
+    cy = F.floor(F.col(y) / F.lit(w)).cast("long")
+    left = (
+        pts.select(
+            F.col(id_col).alias("_aid"),
+            F.col(x).alias("_ax"),
+            F.col(y).alias("_ay"),
+            cx.alias("_cx0"),
+            cy.alias("_cy0"),
+        )
+        .withColumn("_o", F.explode(F.array(*offsets)))
+        .select(
+            "_aid",
+            "_ax",
+            "_ay",
+            (F.col("_cx0") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_o.dy")).alias("_cy"),
+        )
+    )
+    right = pts.select(
+        F.col(id_col).alias("_bid"),
+        F.col(x).alias("_bx"),
+        F.col(y).alias("_by"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    d2 = (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx")) + (
+        F.col("_ay") - F.col("_by")
+    ) * (F.col("_ay") - F.col("_by"))
+    return (
+        left.join(right, ["_cx", "_cy"], "inner")
+        .filter((F.col("_aid") < F.col("_bid")) & (d2 <= F.lit(radius * radius)))
+        .select(
+            F.col("_aid").alias(f"a_{id_col}"),
+            F.col("_bid").alias(f"b_{id_col}"),
+            d2.alias("d2"),
+        )
+    )

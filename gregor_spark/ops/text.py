@@ -351,3 +351,72 @@ def tfidf_top_terms(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+# --------------------------------- bigram-LM quality scoring (r5 cont.)
+
+
+def lm_score(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    text: str = "text",
+    k_smooth: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_bigrams, bits_per_token, ppl) — add-k-smoothed bigram
+    language-model score per document, the engine-native analog of
+    CCNet's KenLM perplexity filter (Wenzek et al. 2020): documents far
+    from the training distribution (gibberish, boilerplate, wrong
+    domain) score high perplexity and get filtered/bucketed.
+
+    ``train_docs`` is the reference corpus the LM is counted over
+    (CCNet uses Wikipedia); defaults to ``docs`` itself (self-scoring —
+    outliers vs the corpus's own distribution).  Every token sequence is
+    BOS-prefixed so each doc contributes exactly len(tokens) bigrams;
+    p(cur|prev) = (C(prev,cur) + k) / (C(prev) + k·V) with V = distinct
+    observed successors; bits_per_token = -mean log2 p, ppl = 2^bits.
+
+    Scale shape: bigram extraction is a map-side array expression +
+    explode; the count tables are partial-agg groupBys whose results are
+    vocabulary²-bounded (far sublinear in the corpus); the probe join
+    has multiplicity exactly 1 (count tables are keyed uniquely), so hot
+    bigrams ("of the") never explode rows — heavy probe keys against a
+    1-row-per-key build side is the benign direction, and the count
+    sides broadcast when small.  V is a 1-row broadcast cross-join (no
+    collect).  Scores are rounded before returning so cross-engine libm
+    ulp differences can't flip the oracle hash.
+    """
+    train = docs if train_docs is None else train_docs
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        t = tokens(F.col(text))
+        prev = F.concat(F.array(F.lit("<s>")), F.slice(t, 1, F.size(t) - 1))
+        pairs = F.zip_with(
+            prev, t, lambda p, c: F.struct(p.alias("prev"), c.alias("cur"))
+        )
+        return (
+            df.filter(F.size(t) > 0)
+            .select("doc_id", F.explode(pairs).alias("b"))
+            .select("doc_id", "b.prev", "b.cur")
+        )
+
+    tb = bigrams(train)
+    cb = tb.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cp = tb.groupBy("prev").agg(F.count("*").alias("cp"))
+    v = tb.agg(F.count_distinct("cur").cast("double").alias("v"))
+    p = (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(k_smooth)) / (
+        F.coalesce(F.col("cp"), F.lit(0)).cast("double") + F.lit(k_smooth) * F.col("v")
+    )
+    scored = (
+        bigrams(docs)
+        .join(cb, ["prev", "cur"], "left")
+        .join(cp, ["prev"], "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.log2(p).alias("lp"))
+    )
+    bits = -F.avg("lp")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(bits, round_to).alias("bits_per_token"),
+        F.round(F.pow(F.lit(2.0), bits), round_to).alias("ppl"),
+    )

@@ -149,3 +149,83 @@ def test_tfidf_top_terms_golden(spark):
     assert rows[(2, 1)] == ("elderberry", round(3 * ln(3.0), 6))
     assert rows[(2, 2)] == ("cherry", round(ln(1.5), 6))
     assert len(rows) == 6
+
+
+# ---------------------- within-distance pair join + bigram LM (r5 cont.)
+
+
+def _scatter(spark, n=300):
+    # deterministic scatter over [0, 10) x [0, 10)
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") * 7919) % 1000) / 100.0).alias("x"),
+        (((F.col("id") * 104729 + 3) % 1000) / 100.0).alias("y"),
+    )
+
+
+@pytest.mark.parametrize("cell", [None, 0.5, 0.11])  # default=r, r<cell, ring=3
+def test_within_distance_join_matches_naive(spark, cell):
+    from gregor_spark.operators.knn import within_distance_join
+
+    pts = _scatter(spark)
+    r = 0.3
+    got = sorted(
+        (row["a_point_id"], row["b_point_id"])
+        for row in within_distance_join(
+            pts, radius=r, id_col="point_id", cell=cell
+        ).collect()
+    )
+    b = (
+        pts.withColumnRenamed("point_id", "bid")
+        .withColumnRenamed("x", "bx")
+        .withColumnRenamed("y", "by")
+    )
+    d2 = (F.col("x") - F.col("bx")) ** 2 + (F.col("y") - F.col("by")) ** 2
+    want = sorted(
+        (row["point_id"], row["bid"])
+        for row in pts.crossJoin(b)
+        .filter((F.col("point_id") < F.col("bid")) & (d2 <= r * r))
+        .collect()
+    )
+    assert got == want and len(got) > 10
+    assert len(got) == len(set(got))  # exactly-once, no dedup pass needed
+
+
+def test_lm_score_golden(spark):
+    import math
+
+    from gregor_spark.ops.text import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b a"), (2, ""), (3, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert 2 not in rows  # empty text contributes nothing, scores nothing
+    # corpus counts: cb {(<s>,a):2,(a,b):1,(b,a):2,(<s>,b):1}; cp {<s>:3,a:1,b:2}; V=2
+    p_sa = (2 + 0.1) / (3 + 0.2)
+    p_ab = (1 + 0.1) / (1 + 0.2)
+    p_ba = (2 + 0.1) / (2 + 0.2)
+    p_sb = (1 + 0.1) / (3 + 0.2)
+    bits0 = -(math.log2(p_sa) + math.log2(p_ab) + math.log2(p_ba)) / 3
+    bits1 = -(math.log2(p_sb) + math.log2(p_ba)) / 2
+    bits3 = -math.log2(p_sa)
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["bits_per_token"] == round(bits0, 6)
+    assert rows[0]["ppl"] == round(2 ** bits0, 6)
+    assert rows[1]["bits_per_token"] == round(bits1, 6)
+    assert rows[3]["n_bigrams"] == 1 and rows[3]["bits_per_token"] == round(bits3, 6)
+
+
+def test_lm_score_separate_train_corpus(spark):
+    """Unseen bigrams/prefixes get the smoothed floor, never a crash."""
+    from gregor_spark.ops.text import lm_score
+
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(9, "z q")], "doc_id long, text string")
+    row = lm_score(score, train_docs=train).collect()[0]
+    # V=2; p(<s>,z) = 0.1/(1+0.2); p(z,q) = 0.1/(0+0.2)
+    import math
+
+    bits = -(math.log2(0.1 / 1.2) + math.log2(0.1 / 0.2)) / 2
+    assert row["n_bigrams"] == 2 and row["bits_per_token"] == round(bits, 6)
