@@ -2217,12 +2217,84 @@ FROM s GROUP BY 1
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-centroid Lloyd k-means (k=8, 2 iterations) over the
+    embeddings table; the oracle replays the ENTIRE training loop in SQL
+    — possible only because centroid means are rounded to 6 dp each
+    iteration, which makes every distance bit-identical cross-engine
+    (ops/similarity.py::kmeans_fit)."""
+    from .ops.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _cents = kmeans_fit(emb, k=8, iters=2, method="expr")
+    return assigned.select(
+        "vec_id", "cid", F.round("d2", 6).alias("d2_r")
+    )
+
+
+_FOLD_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), s -> (s[1] - s[2]) * (s[1] - s[2]))), "
+    "(x,y) -> x + y)"
+)
+
+
+def _kmeans_sql() -> str:
+    dim = 64
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {_FOLD_D2.format(a='e.v', b='c.cv')} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_FOLD_D2.format(a='e.v', b='c.cv')}, c.cid
+           ) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update(prev_a: str, prev_c: str, name: str) -> str:
+        return f"""{name}_m AS (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[t.i]), 6) AS m
+  FROM {prev_a} a JOIN e USING (vec_id)
+  CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, {dim + 1})) t
+  GROUP BY 1, 2
+), {name} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+  FROM {prev_c} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM {name}_m GROUP BY cid
+  ) u USING (cid)
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5('km' || CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT), vec_id) - 1 AS BIGINT) AS cid,
+         list_transform(v, x -> round(x, 6)) AS cv
+  FROM e
+  ORDER BY CAST(('0x' || substr(md5('km' || CAST(vec_id AS VARCHAR)), 1, 15))
+           AS BIGINT), vec_id
+  LIMIT 8
+),
+{assign('c0', 'a1')},
+{update('a1', 'c0', 'c1')},
+{assign('c1', 'a2')},
+{update('a2', 'c1', 'c2')},
+{assign('c2', 'a3')}
+SELECT vec_id, cid, round(d2, 6) AS d2_r FROM a3
+"""
+
+
 REGISTRY.update(
     {
         "events_interval": (q_events_interval, _EVENTS_INTERVAL_SQL),
         "tfidf_top_terms": (q_tfidf_top_terms, _TFIDF_SQL),
         "doc_pairs_nearby": (q_doc_pairs_nearby, _DOC_PAIRS_NEARBY_SQL),
         "lm_score": (q_lm_score, _LM_SCORE_SQL),
+        "kmeans_assign": (q_kmeans_assign, _kmeans_sql()),
     }
 )
 
@@ -2290,6 +2362,13 @@ REGISTRY.update(
 #     sweep) + ann_lsh/ann_ivf/ann_ivf_matmul; rotated r5 to admit
 #     lm_score; path-agreement goldens in
 #     test_ops::test_cosine_paths_agree.
+#   lsh_pairs — MinHash band pair join over the in-window minhash_sig
+#     signatures; the banding path stays driver-verified via
+#     dedup_clusters (star-edge variant, component-parity-proven) and
+#     dedup_incremental (band-index join); rotated r5 to admit
+#     kmeans_assign; goldens in
+#     test_ops::test_lsh_candidates_contain_near_dups +
+#     test_round4::test_lsh_star_edges_same_components_as_pairs.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2310,6 +2389,7 @@ _WINDOW_TAIL = (
     "fingerprint",
     "token_count",
     "cosine_topk",
+    "lsh_pairs",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -629,3 +629,161 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias(key), "rank", "nbr_id", "cos")
     )
+
+
+# ------------------------- k-means (IVF list training, r5 cont.)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec: str = "embedding",
+    key: str = "vec_id",
+    method: str = "auto",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(key, cid, d2) — nearest-centroid assignment by squared euclidean
+    distance, ties to the smaller centroid id.  The reusable back half of
+    :func:`kmeans_fit`, and a drop-in IVF list assigner for trained
+    centroids.  ``keep_vec`` carries the vector through as ``_v`` so the
+    training loop's mean update needs no re-join back to the corpus (one
+    corpus-scale shuffle saved per iteration).
+
+    ``method``: ``expr`` builds one fold expression per centroid (pure
+    JVM codegen, exactly replayable in SQL — the oracle path; right for
+    k×dim up to a few thousand), ``matmul`` is one Arrow-batched numpy
+    pass (the scale path for big k×dim; same results up to float-sum
+    association, parity-tested), ``auto`` picks by k×dim.
+    """
+    k_dim = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if method == "auto":
+        method = "expr" if k_dim <= 4096 else "matmul"
+    base = df.select(
+        F.col(key).cast("long").alias(key),
+        F.col(vec).cast("array<double>").alias("_v"),
+    )
+    if method == "expr":
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("c"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )
+        cols = [
+            F.col(key),
+            best["c"].cast("long").alias("cid"),
+            best["d"].alias("d2"),
+        ] + ([F.col("_v")] if keep_vec else [])
+        return base.select(*cols)
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    fields = [
+        base.schema[key],
+        T.StructField("cid", T.LongType()),
+        T.StructField("d2", T.DoubleType()),
+    ] + ([T.StructField("_v", T.ArrayType(T.DoubleType()))] if keep_vec else [])
+    out_schema = T.StructType(fields)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+            cid = np.argmin(d2, axis=1)  # first min -> smaller cid on ties
+            out = {
+                key: pdf[key].to_numpy(),
+                "cid": cid.astype(np.int64),
+                "d2": d2[np.arange(len(pdf)), cid],
+            }
+            if keep_vec:
+                out["_v"] = pdf["_v"]
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(go, out_schema)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    round_to: int = 6,
+    method: str = "auto",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column; returns
+    (assignments DataFrame (key, cid, d2), trained centroids).  This is
+    IVF list TRAINING (faiss trains exactly this before building inverted
+    lists) — hash-sampled corpus vectors (the current `_ivf_assign`
+    default) are the untrained baseline.
+
+    QUANTIZED-CENTROID determinism: after every mean update the centroid
+    coordinates are rounded to ``round_to`` decimals.  Partial-aggregate
+    float sums differ in the last ulp across partition counts and
+    engines; un-rounded those differences make the trained model depend
+    on the cluster size.  Rounding at 6 dp (absorbing ~1e-7, nine orders
+    above ulp noise) makes every iteration's centroids BIT-IDENTICAL at
+    any parallelism and exactly replayable in SQL — the contract oracle
+    replays the full training loop.
+
+    Init: the ``k`` corpus vectors minimizing md5('km' || key) (ties by
+    key) — the same engine-neutral seeded sample as `_ivf_assign`, salted
+    so the two selections are independent.  cid = rank in that order.
+    Empty clusters carry their previous centroid forward (replayed by the
+    oracle's left join + coalesce).
+
+    Scale shape per iteration: ONE corpus pass for assignment (codegen
+    fold or Arrow matmul), one posexplode + partial-agg groupBy
+    (cid, pos) whose result is k×dim rows (driver-bounded collect — 512
+    doubles at k=8, dim=64), no corpus-scale driver traffic anywhere.
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError("k must be positive, iters non-negative")
+    base = df.select(
+        F.col(key).cast("long").alias(key),
+        F.col(vec).cast("array<double>").alias("_v"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("km"), F.col(key).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    init_rows = (
+        base.select(key, "_v", h.alias("_h")).orderBy("_h", key).limit(k).collect()
+    )
+    if not init_rows:
+        raise ValueError("kmeans_fit: empty corpus")
+    cents = [[round(float(x), round_to) for x in r["_v"]] for r in init_rows]
+    for _ in range(iters):
+        assigned = kmeans_assign(
+            df, cents, vec=vec, key=key, method=method, keep_vec=True
+        )
+        means = (
+            assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), round_to).alias("m"))
+            .collect()
+        )  # <= k*dim rows — driver-bounded by construction
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [d[p] for p in sorted(d)] if (d := by_cid.get(i)) else cents[i]
+            for i in range(k)
+        ]
+    return kmeans_assign(df, cents, vec=vec, key=key, method=method), cents

@@ -229,3 +229,62 @@ def test_lm_score_separate_train_corpus(spark):
 
     bits = -(math.log2(0.1 / 1.2) + math.log2(0.1 / 0.2)) / 2
     assert row["n_bigrams"] == 2 and row["bits_per_token"] == round(bits, 6)
+
+
+# ---------------------------------------- k-means IVF training (r5 cont.)
+
+
+def _clustered_emb(spark, n=120, dim=8):
+    """4 well-separated clusters at corners of a hypercube scaled x10."""
+    import numpy as np
+
+    rng_free = [
+        (
+            i,
+            [
+                float(10.0 * ((i % 4) >> b & 1) + 0.01 * ((i * 31 + b * 7) % 17))
+                for b in range(dim)
+            ],
+            i % 4,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rng_free, "vec_id long, embedding array<double>, label long"
+    )
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from gregor_spark.ops.similarity import kmeans_fit
+
+    emb = _clustered_emb(spark)
+    assigned, cents = kmeans_fit(emb, k=4, iters=3, method="expr")
+    rows = assigned.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).collect()
+    # every k-means cluster maps to exactly one ground-truth label
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], set()).add(r["label"])
+    assert all(len(labels) == 1 for labels in by_cid.values())
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+
+
+def test_kmeans_expr_matmul_parity_and_partition_invariance(spark):
+    from gregor_spark.ops.similarity import kmeans_assign, kmeans_fit
+
+    emb = _clustered_emb(spark)
+    _, cents = kmeans_fit(emb, k=4, iters=2, method="expr")
+    _, cents_m = kmeans_fit(emb.repartition(13), k=4, iters=2, method="matmul")
+    # quantized centroids are BIT-identical across assignment method AND
+    # partitioning (the determinism claim in the docstring)
+    assert cents == cents_m
+    a = sorted(
+        (r["vec_id"], r["cid"])
+        for r in kmeans_assign(emb, cents, method="expr").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cid"])
+        for r in kmeans_assign(emb.repartition(7), cents, method="matmul").collect()
+    )
+    assert a == b

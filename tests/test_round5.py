@@ -512,6 +512,7 @@ def test_driver_window_membership():
         "dedup_clusters", "ann_ivf", "ann_ivf_matmul", "media_decode",
         "events_asof", "north_pipeline", "dedup_incremental",
         "events_interval", "tfidf_top_terms", "doc_pairs_nearby", "lm_score",
+        "kmeans_assign",
     ):
         assert must in window, f"{must} rotated out of the driver window"
 
