@@ -154,6 +154,8 @@ def _monitor_loop(path: str) -> None:
                 for _ in range(10_000):
                     x = x * 1.0000001 + 1e-9
                 n += 10_000
+            if x > 1e100:  # compounding growth hits inf after ~5 min of
+                x = 1.0  # samples, and inf*0 = NaN poisons the median
             rate = n / ((_t.monotonic_ns() - t0) / 1e9) + x * 0
             f.write(f"{rate}\n")
             f.flush()
@@ -196,9 +198,10 @@ class phase_monitor:
         """Median sampled single-core rate / idle baseline.  Under an
         idle box with Spark saturating the other cores this reads near
         the baseline's nice'd share; external load pushes it down."""
-        if not self.samples:
+        good = [s for s in self.samples if s == s]  # drop NaN defensively
+        if not good:
             return 0.0
-        med = sorted(self.samples)[len(self.samples) // 2]
+        med = sorted(good)[len(good) // 2]
         return round(med / self.baseline, 3)
 
 
