@@ -1,0 +1,159 @@
+"""Mergeable cardinality sketches: HyperLogLog with CROSS-ENGINE
+bit-exact registers.
+
+Why not ``approx_count_distinct``: Spark's HLL++ and DuckDB's
+``approx_distinct`` use different hash functions and bias tables, so
+their estimates can never hash-match an oracle — and neither exposes
+the registers, which are the actual mergeable/persistable artifact a
+100 TB pipeline stores per partition and ORs together at rollup time.
+This implementation derives everything from the same 60-bit md5 hash
+both engines compute identically (the package's standard portable hash,
+ops/dedup.py minhash), so registers, register sums, and the final
+Flajolet-et-al. estimate are reproducible bit-for-bit anywhere.
+
+Register layout (p bucket bits, m = 2**p buckets over a 60-bit hash):
+``bucket = h mod m``, ``w = h >> p`` (a (60-p)-bit window), ``rho =
+(60-p) + 1 - bit_length(w)`` = leading zeros in the window + 1.  w = 0
+maps to bit_length 1 (both engines render '0' with length 1), i.e. rho
+= 60-p rather than the theoretically-correct 61-p; the case has
+probability 2**-(60-p) per value and both engines agree, so parity
+holds and the estimator bias is unmeasurable.
+
+The register sum is computed IN THE INTEGER DOMAIN: each bucket
+contributes ``2**(S_BITS - rho)`` (empty buckets ``2**S_BITS``), so the
+aggregate is an exact BIGINT no matter the aggregation order — the
+float ``sum(2^-rho)`` of the textbook formulation is
+ulp-order-dependent and would break cross-engine hashing.  Only the
+final estimate touches doubles (one division + the small-range ``m *
+ln(m/zeros)`` correction), rounded to 6 dp because libm ``ln`` may
+differ in the last ulp across engines.
+
+At scale: one explode-free map (hash/bucket/rho are column exprs), one
+partial-agg groupBy (key, bucket) max — the shuffle carries at most
+``groups × m`` rows regardless of input size — then a groups-sized
+rollup.  Sketch merge between shards is the same max-by-bucket groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+H_BITS = 60  # md5-prefix portable hash width
+
+
+def _hash60(col):
+    """The package's portable 60-bit hash: first 15 md5 hex chars.
+    DuckDB twin: CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 9, by: list[str] | None = None
+) -> DataFrame:
+    """Occupied HLL registers: (``*by``, bucket, rho) with rho maxed per
+    bucket.  This IS the sketch — persist it, merge shards by the same
+    groupBy-max, feed it to :func:`hll_estimate_from_registers`."""
+    m = 1 << p
+    w_bits = H_BITS - p
+    h = _hash60(F.col(col))
+    keyed = df.select(
+        *(by or []),
+        (h % m).cast("int").alias("bucket"),
+        (
+            F.lit(w_bits + 1)
+            - F.length(F.conv(F.shiftright(h, p).cast("string"), 10, 2))
+        ).cast("int").alias("rho"),
+    )
+    return keyed.groupBy(*(by or []), "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(
+    reg: DataFrame, p: int = 9, by: list[str] | None = None
+) -> DataFrame:
+    """(``*by``, occupied, zeros, s_int, est_r) from a register table.
+
+    ``s_int`` = Σ 2**(S_BITS − rho) over all m buckets (empty → full
+    weight) — an exact integer, order-independent.  ``est_r`` is the
+    standard HLL estimate with small-range linear counting, rounded 6dp.
+    """
+    m = 1 << p
+    s_bits = H_BITS - p + 1  # max rho, so 2**(s_bits - rho) >= 1
+    # 512 * 2**52 = 2**61 < 2**63: BIGINT-safe at p=9
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_bits} - rho)")
+    agg = reg.groupBy(*(by or [])).agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(term).alias("s_occ"),
+    )
+    zeros = (F.lit(m) - F.col("occupied")).alias("zeros")
+    full = F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_bits})")
+    s_int = (F.col("s_occ") + (F.lit(m) - F.col("occupied")) * full).alias("s_int")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    out = agg.select(*(by or []), "occupied", zeros, s_int)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(1 << s_bits))
+        / F.col("s_int").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return out.select(
+        *(by or []), "occupied", "zeros", "s_int", F.round(est, 6).alias("est_r")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 9, by: list[str] | None = None
+) -> DataFrame:
+    """End-to-end distinct-count sketch, optionally per group."""
+    return hll_estimate_from_registers(hll_registers(df, col, p, by), p, by)
+
+
+def hll_sql(expr: str, p: int = 9, by: str = "", src: str = "src") -> str:
+    """DuckDB oracle twin of :func:`hll_distinct` over CTE ``src`` —
+    the SAME hash, register, integer-sum, and estimate expressions, so
+    results hash-match bit-for-bit (est_r to 6 dp)."""
+    m = 1 << p
+    w_bits = H_BITS - p
+    s_bits = w_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sel_by = f"{by}, " if by else ""
+    grp_by = f"GROUP BY {by}" if by else ""
+    grp_by2 = f"GROUP BY {sel_by}bucket" if by else "GROUP BY bucket"
+    # NB: a bare 16-digit literal parses as DECIMAL(18) in DuckDB (and
+    # then overflows the estimate arithmetic); force DOUBLE explicitly
+    alpha_sql = f"CAST({alpha!r} AS DOUBLE)"
+    return f"""
+hashed AS (
+  SELECT {sel_by}
+         CAST(h % {m} AS INT) AS bucket,
+         CAST({w_bits + 1} - length(bin(h >> {p})) AS INT) AS rho
+  FROM (SELECT {sel_by}
+               CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) AS h
+        FROM {src})
+),
+regs AS (SELECT {sel_by}bucket, max(rho) AS rho FROM hashed {grp_by2}),
+rolled AS (
+  SELECT {sel_by}
+         count(*) AS occupied,
+         CAST(sum(CAST(1 AS BIGINT) << ({s_bits} - rho)) AS BIGINT) AS s_occ
+  FROM regs {grp_by}
+),
+est AS (
+  SELECT {sel_by}occupied,
+         {m} - occupied AS zeros,
+         s_occ + ({m} - occupied) * (CAST(1 AS BIGINT) << {s_bits}) AS s_int
+  FROM rolled
+)
+SELECT {sel_by}occupied, zeros, s_int,
+       round(CASE WHEN ({alpha_sql} * {float(m * m)!r} * {float(1 << s_bits)!r}
+                        / CAST(s_int AS DOUBLE)) <= {2.5 * m!r} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                  ELSE {alpha_sql} * {float(m * m)!r} * {float(1 << s_bits)!r}
+                       / CAST(s_int AS DOUBLE)
+             END, 6) AS est_r
+FROM est
+"""
