@@ -70,3 +70,79 @@ def sample_stratified(
     )
     bucket = hash_bucket(F.col(key_col), salt, n_buckets)
     return df.withColumn("bucket", bucket).where(F.col("bucket") < rate)
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    by: list[str] | None = None,
+    salt: str = "wres",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, deterministic
+    (Efraimidis–Spirakis A-ES): each row gets priority ``u**(1/w)`` with
+    ``u`` hash-uniform in (0, 1]; the k largest priorities per group are
+    an exact weighted sample without replacement.  Ordering happens in
+    the monotone-equivalent log domain (``ln(u)/w``, larger = keep) to
+    skip the pow() call.  Membership is a pure function of (salt, key,
+    weight) — stable under repartitioning, AQE, cluster size, appends of
+    other rows' files — the same contract as :func:`sample_stratified`,
+    which A-ES generalizes from per-stratum rates to per-ROW weights.
+
+    Rows with weight <= 0 or NULL are never sampled (dropped up front).
+    Scale shape: one window top-k per group — Spark's WindowGroupLimit
+    pushes the k-filter below the shuffle, so each partition ships at
+    most k rows per group instead of the group.
+
+    Output adds ``rn`` (1-based weighted rank).  Float priorities stay
+    internal: the emitted columns are the input's, so cross-engine
+    parity only needs the ORDERING to agree (ties broken by key).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))  # (0, 1]
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    win = (
+        Window.partitionBy(*(by or []))
+        .orderBy(pri.desc(), F.col(key_col))
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= k)
+    )
+
+
+def sample_weighted_sql(
+    k: int,
+    weight_col: str,
+    key_col: str,
+    cols: str,
+    by: str = "",
+    salt: str = "wres",
+    src: str = "src",
+) -> str:
+    """DuckDB oracle twin of :func:`sample_weighted` over CTE ``src``:
+    same hash, same log-domain priority, same tie-break."""
+    part = f"PARTITION BY {by} " if by else ""
+    u = (
+        f"(CAST(('0x' || substr(md5('{salt}' || CAST({key_col} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) + 1) / {float(1 << 60)!r}"
+    )
+    return f"""
+SELECT {cols}, rn FROM (
+  SELECT {cols},
+         row_number() OVER (
+           {part}ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {key_col}
+         ) AS rn
+  FROM {src} WHERE {weight_col} > 0
+) WHERE rn <= {k}
+"""
