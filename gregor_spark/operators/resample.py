@@ -24,6 +24,7 @@ so the plan survives any grid size that fits the cluster.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,29 +49,21 @@ def target_grid(spark: SparkSession, meta: RasterMeta) -> DataFrame:
     )
 
 
-def _src_index(meta: RasterMeta):
-    """Fractional source pixel-center coordinates of a target center."""
-    gx = (F.col("x") - F.lit(meta.origin_x)) / F.lit(meta.pixel) - F.lit(0.5)
-    gy = (F.lit(meta.origin_y) - F.col("y")) / F.lit(meta.pixel) - F.lit(0.5)
-    return gx, gy
-
-
-def resample_nearest(
-    spark: SparkSession,
+def _nearest_lookup(
+    tgt: DataFrame,
     src: DataFrame,
     src_meta: RasterMeta,
     dst_meta: RasterMeta,
-    value: str = "value",
+    value: str,
+    lx: str,
+    ly: str,
 ) -> DataFrame:
-    """Nearest-neighbor regrid.  Targets whose nearest source pixel falls
-    outside the source grid get ``dst_meta.nodata`` (no silent clamp —
-    resampling beyond the source extent is extrapolation and the caller
-    should see it as missing)."""
-    tgt = target_grid(spark, dst_meta)
+    """Nearest-pixel lookup of target rows at coords (``lx``, ``ly``)
+    expressed in the SOURCE grid's CRS; OOB targets -> nodata."""
     # nearest pixel = the cell whose half-open [edge, edge+pixel) span
     # contains the target center, i.e. floor of the edge-relative coord
-    sc = F.floor((F.col("x") - F.lit(src_meta.origin_x)) / F.lit(src_meta.pixel))
-    sr = F.floor((F.lit(src_meta.origin_y) - F.col("y")) / F.lit(src_meta.pixel))
+    sc = F.floor((F.col(lx) - F.lit(src_meta.origin_x)) / F.lit(src_meta.pixel))
+    sr = F.floor((F.lit(src_meta.origin_y) - F.col(ly)) / F.lit(src_meta.pixel))
     tgt = tgt.withColumn("_sr", sr.cast("int")).withColumn("_sc", sc.cast("int"))
     s = src.select(
         F.col("row").alias("_sr"), F.col("col").alias("_sc"), F.col(value).alias("_v")
@@ -87,22 +80,38 @@ def resample_nearest(
     )
 
 
-def resample_bilinear(
+def resample_nearest(
     spark: SparkSession,
     src: DataFrame,
     src_meta: RasterMeta,
     dst_meta: RasterMeta,
     value: str = "value",
 ) -> DataFrame:
-    """Bilinear regrid with edge-clamped corners (GDAL/edge-extend
-    convention: targets within the outer source BOUNDS but outside the
-    center lattice reuse the border pixels).  Requires a DENSE source
-    (every (row, col) in the grid present — the model's invariant)."""
+    """Nearest-neighbor regrid.  Targets whose nearest source pixel falls
+    outside the source grid get ``dst_meta.nodata`` (no silent clamp —
+    resampling beyond the source extent is extrapolation and the caller
+    should see it as missing)."""
+    tgt = target_grid(spark, dst_meta)
+    return _nearest_lookup(tgt, src, src_meta, dst_meta, value, "x", "y")
+
+
+def _bilinear_lookup(
+    tgt: DataFrame,
+    src: DataFrame,
+    src_meta: RasterMeta,
+    value: str,
+    lx: str,
+    ly: str,
+) -> DataFrame:
+    """Edge-clamped bilinear lookup at coords (``lx``, ``ly``) in the
+    source CRS (GDAL/edge-extend convention: targets within the outer
+    source bounds but outside the center lattice reuse border pixels).
+    Requires a DENSE source (the model's invariant)."""
     w, h = src_meta.width, src_meta.height
-    gx, gy = _src_index(src_meta)
+    gx = (F.col(lx) - F.lit(src_meta.origin_x)) / F.lit(src_meta.pixel) - F.lit(0.5)
+    gy = (F.lit(src_meta.origin_y) - F.col(ly)) / F.lit(src_meta.pixel) - F.lit(0.5)
     tgt = (
-        target_grid(spark, dst_meta)
-        .withColumn("_gx", gx)
+        tgt.withColumn("_gx", gx)
         .withColumn("_gy", gy)
         .withColumn("_x0", F.floor(F.col("_gx")).cast("int"))
         .withColumn("_y0", F.floor(F.col("_gy")).cast("int"))
@@ -158,6 +167,18 @@ def resample_bilinear(
     )
 
 
+def resample_bilinear(
+    spark: SparkSession,
+    src: DataFrame,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    value: str = "value",
+) -> DataFrame:
+    """Bilinear regrid (same CRS both sides); see :func:`_bilinear_lookup`."""
+    tgt = target_grid(spark, dst_meta)
+    return _bilinear_lookup(tgt, src, src_meta, value, "x", "y")
+
+
 def resample_raster(
     spark: SparkSession,
     src: DataFrame,
@@ -170,4 +191,58 @@ def resample_raster(
         return resample_nearest(spark, src, src_meta, dst_meta, value)
     if method == "bilinear":
         return resample_bilinear(spark, src, src_meta, dst_meta, value)
+    raise ValueError(f"method={method!r} (nearest or bilinear)")
+
+
+def warp_raster(
+    spark: SparkSession,
+    src: DataFrame,
+    src_meta: RasterMeta,
+    dst_meta: RasterMeta,
+    method: str = "nearest",
+    value: str = "value",
+) -> DataFrame:
+    """Reproject + regrid (GDAL-warp semantics): the target grid lives
+    in ``dst_meta.crs``; each target center is INVERSE-projected into
+    the source CRS (vectorized pandas-UDF kernels from ``geo/crs.py`` —
+    any registered CRS pair works) and looked up with the same
+    nearest/bilinear machinery as :func:`resample_raster`.
+
+    Scale shape: the inverse projection is one Arrow-batched map over
+    the TARGET grid only (never the source raster), then the identical
+    single equi-join; output (row, col, x, y, value) keeps target-CRS
+    coordinates."""
+    from pyspark.sql import types as T
+
+    from ..geo.crs import _norm, reproject
+
+    tgt = target_grid(spark, dst_meta)
+    if _norm(src_meta.crs) == _norm(dst_meta.crs):
+        lx, ly = "x", "y"
+    else:
+        @F.pandas_udf(
+            T.StructType(
+                [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+            )
+        )
+        def inv(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+            import numpy as np
+
+            nx, ny = reproject(
+                xs.to_numpy("float64"), ys.to_numpy("float64"),
+                dst_meta.crs, src_meta.crs,
+            )
+            return pd.DataFrame({"x": nx, "y": ny})
+
+        tgt = (
+            tgt.withColumn("_l", inv(F.col("x"), F.col("y")))
+            .withColumn("_lx", F.col("_l.x"))
+            .withColumn("_ly", F.col("_l.y"))
+            .drop("_l")
+        )
+        lx, ly = "_lx", "_ly"
+    if method == "nearest":
+        return _nearest_lookup(tgt, src, src_meta, dst_meta, value, lx, ly)
+    if method == "bilinear":
+        return _bilinear_lookup(tgt, src, src_meta, value, lx, ly)
     raise ValueError(f"method={method!r} (nearest or bilinear)")

@@ -86,3 +86,57 @@ def test_bilinear_conserves_constant_field(spark):
     src = raster_df(spark, sm, np.full((5, 5), 3.25))
     got = collect_to_grid(resample_raster(spark, src, sm, dm, method="bilinear"), dm)
     assert np.allclose(got, np.full((9, 11), 3.25), atol=1e-12)
+
+
+def test_warp_same_crs_equals_resample(spark):
+    from gregor_spark.operators.resample import warp_raster
+
+    dm = RasterMeta(width=5, height=4, origin_x=-0.3, origin_y=11.9, pixel=0.45)
+    src = raster_df(spark, SRC_META, FX.RASTER_VALUES)
+    a = collect_to_grid(resample_raster(spark, src, SRC_META, dm, "nearest"), dm)
+    b = collect_to_grid(warp_raster(spark, src, SRC_META, dm, "nearest"), dm)
+    assert np.array_equal(a, b)
+
+
+def test_warp_mercator_roundtrip_nearest(spark):
+    """Warp the fixture into WebMercator, then verify every in-bounds
+    target against a driver-side inverse projection + numpy nearest."""
+    from gregor_spark.geo.crs import reproject
+    from gregor_spark.operators.resample import warp_raster
+
+    dm = RasterMeta(
+        width=9, height=9, origin_x=-60000.0, origin_y=1330000.0, pixel=28000.0,
+        crs="EPSG:3857", nodata=-7.0,
+    )
+    src = raster_df(spark, SRC_META, FX.RASTER_VALUES)
+    got = collect_to_grid(warp_raster(spark, src, SRC_META, dm, "nearest"), dm)
+    sm = SRC_META
+    saw_nodata = False
+    for r in range(dm.height):
+        for c in range(dm.width):
+            mx = dm.origin_x + (c + 0.5) * dm.pixel
+            my = dm.origin_y - (r + 0.5) * dm.pixel
+            lon, lat = reproject(
+                np.array([mx]), np.array([my]), "EPSG:3857", "EPSG:4326"
+            )
+            sc = math.floor((lon[0] - sm.origin_x) / sm.pixel)
+            sr = math.floor((sm.origin_y - lat[0]) / sm.pixel)
+            if 0 <= sr < sm.height and 0 <= sc < sm.width:
+                assert got[r, c] == FX.RASTER_VALUES[sr, sc], (r, c)
+            else:
+                assert got[r, c] == -7.0, (r, c)
+                saw_nodata = True
+    assert saw_nodata  # the grid really overhangs the source
+
+
+def test_warp_bilinear_runs_and_conserves_constant(spark):
+    from gregor_spark.operators.resample import warp_raster
+
+    sm = RasterMeta(width=6, height=6, origin_x=-0.25, origin_y=11.75, pixel=0.4)
+    dm = RasterMeta(
+        width=5, height=5, origin_x=10000.0, origin_y=1300000.0, pixel=20000.0,
+        crs="EPSG:3857",
+    )
+    src = raster_df(spark, sm, np.full((6, 6), 2.5))
+    got = collect_to_grid(warp_raster(spark, src, sm, dm, "bilinear"), dm)
+    assert np.allclose(got, np.full((5, 5), 2.5), atol=1e-12)
