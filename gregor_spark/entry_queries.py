@@ -2501,6 +2501,66 @@ FROM idx i LEFT JOIN cells c ON c.r = i.sr AND c.c = i.sc
 REGISTRY.update({"warp_mercator": (q_warp_mercator, _WARP_MERCATOR_SQL)})
 
 
+# --------------------------------------------------------- count-min
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens, probed with the 30 most
+    frequent tokens (ops/sketch.py::cms_build/cms_lookup).  Entirely
+    integer, so true counts, sketch cells, and estimates are bit-exact
+    cross-engine; est_cnt >= true_cnt is the CMS one-sided guarantee."""
+    from pyspark.sql.window import Window
+
+    from .ops.sketch import cms_build, cms_lookup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(text, '[^ ]+', 0)")).alias("tok")
+    )
+    true = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = (
+        true.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("true_cnt").desc(), "tok")),
+        )
+        .filter(F.col("rn") <= 30)
+        .drop("rn")
+    )
+    est = cms_lookup(cms_build(toks, "tok"), probes.select("tok"), "tok")
+    return probes.join(est, "tok").select("tok", "true_cnt", "est_cnt")
+
+
+_CMS_HASH = (
+    "CAST(CAST(('0x' || substr(md5('cms' || CAST(j.j AS VARCHAR) || {t}), 1, 15))"
+    " AS BIGINT) % 1024 AS INT)"
+)
+
+_CMS_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents),
+true_c AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+probes AS (
+  SELECT tok, true_cnt FROM (
+    SELECT tok, true_cnt, row_number() OVER (ORDER BY true_cnt DESC, tok) AS rn
+    FROM true_c) WHERE rn <= 30),
+js AS (SELECT CAST(range AS INT) AS j FROM range(4)),
+hashes AS (
+  SELECT t.tok, j.j, {_CMS_HASH.format(t='t.tok')} AS bucket
+  FROM toks t CROSS JOIN js j),
+sketch AS (SELECT j, bucket, count(*) AS cnt FROM hashes GROUP BY j, bucket),
+ph AS (
+  SELECT p.tok, j.j, {_CMS_HASH.format(t='p.tok')} AS bucket
+  FROM probes p CROSS JOIN js j),
+est AS (
+  SELECT ph.tok, min(coalesce(s.cnt, 0)) AS est_cnt
+  FROM ph LEFT JOIN sketch s USING (j, bucket) GROUP BY ph.tok)
+SELECT p.tok, p.true_cnt, est.est_cnt FROM probes p JOIN est USING (tok)
+"""
+
+
+REGISTRY.update({"cms_counts": (q_cms_counts, _CMS_COUNTS_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -2595,6 +2655,11 @@ REGISTRY.update({"warp_mercator": (q_warp_mercator, _WARP_MERCATOR_SQL)})
 #     test_knn::test_knn_cell_join_matches_broadcast); rotated r5 to
 #     admit warp_mercator; exactness golden in
 #     test_knn::test_knn_broadcast_exact.
+#   events_window — per-user running-sum/rank window whose shapes stay
+#     in-window via events_sessions (same window partitioning) and
+#     events_asof/events_asof_dups (same ordered-window machinery);
+#     rotated r5 to admit cms_counts; golden in
+#     test_sketch::test_events_window_golden.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2621,6 +2686,7 @@ _WINDOW_TAIL = (
     "tpch_q1",
     "media_features",
     "knn_docs",
+    "events_window",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

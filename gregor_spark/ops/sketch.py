@@ -157,3 +157,63 @@ SELECT {sel_by}occupied, zeros, s_int,
              END, 6) AS est_r
 FROM est
 """
+
+
+# ------------------------------------------------------------ count-min
+
+
+def cms_build(
+    df: DataFrame, col: str, d: int = 4, w: int = 1024, weight: str | None = None
+) -> DataFrame:
+    """Count-min sketch: (j, bucket, cnt) for ``d`` hash rows of ``w``
+    buckets.  Entirely integer — build, merge (sum by (j, bucket)), and
+    query are exact and order-independent, so the sketch is bit-identical
+    on any engine/partitioning with no rounding escape hatch needed.
+    The shuffle is bounded at d×w rows regardless of input size; point
+    estimates upper-bound true counts (one-sided error ≤ e·N/w with
+    probability 1−e^−d).  ``weight`` sums that column instead of 1s."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    _hash60(F.concat(F.lit(f"cms{j}"), F.col(col).cast("string")))
+                    % w
+                ).cast("int").alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    wcol = F.col(weight) if weight else F.lit(1)
+    return (
+        df.select(F.explode(rows).alias("r"), wcol.cast("long").alias("_w"))
+        .groupBy(F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame, probes: DataFrame, col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-query: min over the d rows (missing bucket = 0).  One
+    broadcast-sized join — the sketch is ≤ d×w rows by construction."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    _hash60(F.concat(F.lit(f"cms{j}"), F.col(col).cast("string")))
+                    % w
+                ).cast("int").alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    ex = probes.select(col, F.explode(rows).alias("r")).select(
+        col, F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket")
+    )
+    return (
+        ex.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

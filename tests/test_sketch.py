@@ -83,3 +83,77 @@ def test_tpch_q1_golden(spark):
     assert ("A", "F") in by_key and ("N", "O") in by_key
     for r in rows:
         assert r["sum_qty"] > 0 and r["cnt"] > 0 and r["sum_disc"] <= r["sum_base"]
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_cms_upper_bounds_and_exact_when_sparse(spark):
+    from gregor_spark.ops.sketch import cms_build, cms_lookup
+
+    # 100 distinct tokens, known counts (token i appears i+1 times)
+    items = spark.range(100).select(
+        F.col("id").alias("t"), (F.col("id") + 1).alias("n")
+    )
+    toks = items.select(F.explode(F.expr("array_repeat(t, CAST(n AS INT))")).alias("t"))
+    true = {r.t: r.n for r in items.collect()}
+    # w=4096 >> 100 distinct: collisions near-impossible -> est == true
+    est = cms_lookup(
+        cms_build(toks, "t", w=4096), items.select("t"), "t", w=4096
+    ).collect()
+    assert {r.t: r.est_cnt for r in est} == true
+    # tight sketch (w=32): still an upper bound everywhere
+    est2 = cms_lookup(cms_build(toks, "t", w=32), items.select("t"), "t", w=32)
+    for r in est2.collect():
+        assert r.est_cnt >= true[r.t]
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    from gregor_spark.ops.sketch import cms_build
+
+    a = spark.range(500).select((F.col("id") % 40).cast("string").alias("t"))
+    b = spark.range(300).select((F.col("id") % 25).cast("string").alias("t"))
+    sa, sb = cms_build(a, "t"), cms_build(b, "t")
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "t")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_weighted(spark):
+    from gregor_spark.ops.sketch import cms_build, cms_lookup
+
+    df = spark.range(10).select(F.col("id").alias("t"), (F.col("id") * 10).alias("wt"))
+    est = cms_lookup(
+        cms_build(df, "t", w=4096, weight="wt"), df.select("t"), "t", w=4096
+    )
+    got = {r.t: r.est_cnt for r in est.collect()}
+    assert got == {i: i * 10 for i in range(10)}
+
+
+def test_events_window_golden(spark):
+    """Direct pytest coverage for the events_window contract query
+    (window-tail candidate per COVERAGE.md rotation protocol)."""
+    from gregor_spark.entry_queries import REGISTRY
+
+    rows = REGISTRY["events_window"][0](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert len(rows) == ev.count()  # one output row per event
+    for user, rs in by_user.items():
+        # rn is a dense 1..n permutation within each user
+        assert sorted(x.rn for x in rs) == list(range(1, len(rs) + 1))
+    # running sum at the last rank equals the user's rounded total value
+    totals = {
+        r.user_id: round(r.s, 6)
+        for r in ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    for user, rs in by_user.items():
+        last = max(rs, key=lambda x: x.rn)
+        assert abs(last.running_r - totals[user]) < 1e-6, user
