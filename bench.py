@@ -67,6 +67,11 @@ HEADLINE = [
     "tfidf_top_terms",     # r5: TF-IDF keyword extraction
     "doc_pairs_nearby",    # r5: grid-blocked within-distance pair join
     "lm_score",            # r5: bigram-LM perplexity scoring
+    "kmeans_assign",       # r5 cont.: quantized-centroid Lloyd training
+    "hll_distinct",        # r5 cont.: per-group HLL registers + estimate
+    "cms_counts",          # r5 cont.: count-min build + top-30 probe
+    "sample_weighted",     # r5 cont.: A-ES weighted top-k per group
+    "warp_mercator",       # r5 cont.: CRS warp (pandas-UDF inverse + lookup)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))
