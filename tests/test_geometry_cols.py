@@ -1,0 +1,67 @@
+"""Shoelace column functions vs independent numpy references."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gregor_spark.functions.geometry import (
+    ring_centroid_x,
+    ring_centroid_y,
+    ring_perimeter,
+    ring_signed_area,
+)
+
+
+def _np_shoelace(xs, ys):
+    x, y = np.asarray(xs), np.asarray(ys)
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cr = x * yn - xn * y
+    a = 0.5 * cr.sum()
+    cx = ((x + xn) * cr).sum() / (6 * a)
+    cy = ((y + yn) * cr).sum() / (6 * a)
+    per = float(np.hypot(xn - x, yn - y).sum())
+    return float(a), float(cx), float(cy), per
+
+
+def test_ring_functions_match_numpy(spark):
+    rings = [
+        ((0.0, 4.0, 4.0, 0.0), (0.0, 0.0, 3.0, 3.0)),            # ccw rect
+        ((0.0, 0.0, 4.0, 4.0), (0.0, 3.0, 3.0, 0.0)),            # cw rect
+        ((0.0, 1.5, 1.5, 0.75, 0.75, 0.0),
+         (10.0, 10.0, 11.0, 11.0, 11.5, 11.5)),                  # L-shape
+        ((1.0, 5.0, 7.0, 3.0, 0.0), (0.0, -1.0, 4.0, 6.0, 2.5)), # irregular
+    ]
+    vals = ", ".join(
+        "(array(" + ", ".join(f"{x!r}D" for x in xs) + "), array("
+        + ", ".join(f"{y!r}D" for y in ys) + "))"
+        for xs, ys in rings
+    )
+    df = spark.sql(f"SELECT * FROM VALUES {vals} AS t(xs, ys)").select(
+        ring_signed_area(F.col("xs"), F.col("ys")).alias("a"),
+        ring_centroid_x(F.col("xs"), F.col("ys")).alias("cx"),
+        ring_centroid_y(F.col("xs"), F.col("ys")).alias("cy"),
+        ring_perimeter(F.col("xs"), F.col("ys")).alias("p"),
+    )
+    for got, (xs, ys) in zip(df.collect(), rings):
+        a, cx, cy, p = _np_shoelace(xs, ys)
+        assert abs(got.a - a) < 1e-12 and abs(got.p - p) < 1e-12
+        assert abs(got.cx - cx) < 1e-12 and abs(got.cy - cy) < 1e-12
+    # winding flips the signed area, not the centroid
+    rows = df.collect()
+    assert rows[0].a == -rows[1].a and rows[0].cx == rows[1].cx
+
+
+def test_zone_metrics_holed_area(spark):
+    from gregor_spark.entry_queries import REGISTRY
+
+    rows = {r.zone_id: r for r in REGISTRY["zone_metrics"][0](spark, "").collect()}
+    # holed rectangle: 1.0x1.0 outer minus 0.5x0.5 hole = 0.75
+    assert abs(rows[1].area - 0.75) < 1e-12
+    # symmetric hole: centroid stays at the outer rect center
+    assert abs(rows[1].cx - 0.75) < 1e-12 and abs(rows[1].cy - 10.75) < 1e-12
+    # L-shape area: 0.75-wide left column (1.5 tall) + 0.75x1.0 block
+    xs = (0.0, 1.5, 1.5, 0.75, 0.75, 0.0)
+    ys = (10.0, 10.0, 11.0, 11.0, 11.5, 11.5)
+    a, *_ = _np_shoelace(xs, ys)
+    assert abs(rows[0].area - abs(a)) < 1e-12
+    # perimeter includes hole boundary
+    assert abs(rows[1].perimeter - (4.0 + 2.0)) < 1e-12
