@@ -2727,6 +2727,45 @@ FROM per GROUP BY zone_id
 REGISTRY.update({"zone_metrics": (q_zone_metrics, _ZONE_METRICS_SQL)})
 
 
+# --------------------------------------------------- geodesic pair join
+
+
+def q_doc_pairs_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle within-distance self-join (operators/knn.py::
+    within_distance_join_geodesic — conservative lat/lon degree-grid
+    blocking + exact haversine rescore, no nested loop).  Oracle is
+    DuckDB's native quadratic join over the identical haversine
+    expression."""
+    from .operators.knn import within_distance_join_geodesic
+
+    pts = _doc_points_df(spark, sf_dir)
+    out = within_distance_join_geodesic(
+        pts, radius_km=9.0, lon="lon", lat="lat", id_col="doc_id"
+    )
+    return out.select("a_doc_id", "b_doc_id", F.round("km", 6).alias("km_r"))
+
+
+_HAV_SQL = (
+    "CAST(12742.0176 AS DOUBLE) * asin(least(1.0, sqrt("
+    "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)"
+    " + cos(radians(a.lat)) * cos(radians(b.lat))"
+    " * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2))))"
+)
+
+_DOC_PAIRS_GEODESIC_SQL = f"""
+WITH {_DOCPTS},
+h AS (
+  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, {_HAV_SQL} AS km
+  FROM docpts a JOIN docpts b ON a.doc_id < b.doc_id)
+SELECT a_doc_id, b_doc_id, round(km, 6) AS km_r FROM h WHERE km <= 9.0
+"""
+
+
+REGISTRY.update(
+    {"doc_pairs_geodesic": (q_doc_pairs_geodesic, _DOC_PAIRS_GEODESIC_SQL)}
+)
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -2835,6 +2874,10 @@ REGISTRY.update({"zone_metrics": (q_zone_metrics, _ZONE_METRICS_SQL)})
 #     doc_tiles/north_pipeline span filtering; rotated r5 to admit
 #     zone_metrics; golden in
 #     test_operators_spark::test_uniform_proxy_and_clip.
+#   agg_points_overlap — row-per-containing-polygon aggregation over the
+#     overlap fixture; the aggregate_point_to_polygon path stays
+#     in-window via agg_points; rotated r5 to admit doc_pairs_geodesic;
+#     golden in test_geometry_cols::test_agg_points_overlap_golden.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2864,6 +2907,7 @@ _WINDOW_TAIL = (
     "events_window",
     "zonal_sum_2x2",
     "clip_bbox",
+    "agg_points_overlap",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

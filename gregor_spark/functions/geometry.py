@@ -184,3 +184,24 @@ def point_within_zone(px: Column, py: Column, rings: Column) -> Column:
     """Strict interior (kernels.points_within_rings twin): odd parity
     and not on any ring boundary."""
     return _once(point_zone_state(px, py, rings), lambda s: s["i"] & ~s["a"])
+
+
+# ------------------------------------------------------------ geodesic
+
+R_EARTH_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in km (haversine on the mean sphere) —
+    pure codegen trig, no UDF.  sqrt is clamped to 1.0 before asin so
+    antipodal float noise cannot produce NaN."""
+    dphi = F.radians(lat2 - lat1)
+    dlmb = F.radians(lon2 - lon1)
+    h = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlmb / 2)
+        * F.sin(dlmb / 2)
+    )
+    return F.lit(2.0 * R_EARTH_KM) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))

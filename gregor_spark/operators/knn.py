@@ -274,3 +274,89 @@ def within_distance_join(
             d2.alias("d2"),
         )
     )
+
+
+KM_PER_DEG_LAT = 110.574  # smallest km/degree of latitude (conservative)
+KM_PER_DEG_LON_EQ = 111.320  # km/degree of longitude at the equator
+
+
+def within_distance_join_geodesic(
+    pts: DataFrame,
+    radius_km: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "point_id",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """All pairs within great-circle ``radius_km``: (a_id, b_id, km)
+    with a_id < b_id, each pair exactly once — the geodesic sibling of
+    :func:`within_distance_join`.
+
+    Blocking uses a lat/lon DEGREE grid sized conservatively: the lat
+    cell is ``radius/110.574`` degrees and the lon cell is widened by
+    ``1/cos(max_abs_lat)`` so candidate neighborhoods still cover the
+    radius at the highest latitude the data reaches (caller-declared;
+    the default 66° covers everything south of the polar circles — for
+    polar corpora use a polar-cap-aware partitioner, not wider boxes).
+    The exactness guard is the exact haversine rescore post-join; the
+    degree box only bounds candidates.  Same exactly-once construction
+    as the planar join: left explodes its (2r+1)² neighborhood, right
+    keeps one cell.
+    """
+    import math
+
+    if radius_km <= 0:
+        raise ValueError("radius_km must be positive")
+    if not 0 <= max_abs_lat < 90:
+        raise ValueError("max_abs_lat must be in [0, 90)")
+    from ..functions.geometry import haversine_km
+
+    wlat = radius_km / KM_PER_DEG_LAT
+    wlon = radius_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
+    # one ring in each direction because the cell IS the (conservative)
+    # radius in that dimension
+    offsets = [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    cx = F.floor(F.col(lon) / F.lit(wlon)).cast("long")
+    cy = F.floor(F.col(lat) / F.lit(wlat)).cast("long")
+    left = (
+        pts.select(
+            F.col(id_col).alias("_aid"),
+            F.col(lon).alias("_alon"),
+            F.col(lat).alias("_alat"),
+            cx.alias("_cx0"),
+            cy.alias("_cy0"),
+        )
+        .withColumn("_o", F.explode(F.array(*offsets)))
+        .select(
+            "_aid",
+            "_alon",
+            "_alat",
+            (F.col("_cx0") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_o.dy")).alias("_cy"),
+        )
+    )
+    right = pts.select(
+        F.col(id_col).alias("_bid"),
+        F.col(lon).alias("_blon"),
+        F.col(lat).alias("_blat"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    km = haversine_km(
+        F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat")
+    )
+    return (
+        left.join(right, ["_cx", "_cy"], "inner")
+        .filter(F.col("_aid") < F.col("_bid"))
+        .withColumn("_km", km)
+        .filter(F.col("_km") <= F.lit(float(radius_km)))
+        .select(
+            F.col("_aid").alias(f"a_{id_col}"),
+            F.col("_bid").alias(f"b_{id_col}"),
+            F.col("_km").alias("km"),
+        )
+    )
