@@ -72,6 +72,10 @@ HEADLINE = [
     "cms_counts",          # r5 cont.: count-min build + top-30 probe
     "sample_weighted",     # r5 cont.: A-ES weighted top-k per group
     "warp_mercator",       # r5 cont.: CRS warp (pandas-UDF inverse + lookup)
+    "quantiles_hist",      # r5 cont.: bounded-state distributed quantiles
+    "zone_metrics",        # r5 cont.: shoelace area/centroid/perimeter folds
+    "doc_pairs_geodesic",  # r5 cont.: great-circle within-distance pair join
+    "bloom_semi",          # r5 cont.: bloom-filter semi-join pruning
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))
