@@ -140,3 +140,23 @@ def test_warp_bilinear_runs_and_conserves_constant(spark):
     src = raster_df(spark, sm, np.full((6, 6), 2.5))
     got = collect_to_grid(warp_raster(spark, src, sm, dm, "bilinear"), dm)
     assert np.allclose(got, np.full((5, 5), 2.5), atol=1e-12)
+
+
+def test_resample_nearest_golden(spark):
+    """Direct registry-query golden for the window-tail rotation
+    (entry_queries._WINDOW_TAIL): the nearest regrid of the 4x4 fixture
+    onto the 7x5 overhang grid, checked cell-by-cell against an inline
+    nearest lookup independent of the operator's join plan."""
+    from gregor_spark.entry_queries import META, REGISTRY, _RS_NEAR
+
+    rows = REGISTRY["resample_nearest"][0](spark, "/root/testdata/sf0.001").collect()
+    src = FX.RASTER_VALUES
+    dm = _RS_NEAR
+    assert len(rows) == dm["height"] * dm["width"]
+    for r in rows:
+        sc = math.floor((r.x - META.origin_x) / META.pixel)
+        sr = math.floor((META.origin_y - r.y) / META.pixel)
+        if 0 <= sr < META.height and 0 <= sc < META.width:
+            assert r.value == src[sr][sc], (r.row, r.col)
+        else:
+            assert r.value == dm["nodata"], (r.row, r.col)

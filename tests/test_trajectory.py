@@ -70,22 +70,3 @@ def test_track_stats_partition_invariance(spark):
     assert a == b  # integer-quantized sums: bit-exact at any parallelism
 
 
-def test_resample_nearest_golden(spark):
-    """Direct registry-query golden for the window-tail rotation: the
-    nearest regrid of the 4x4 fixture onto the 7x5 overhang grid, checked
-    cell-by-cell against an inline nearest lookup (independent of the
-    operator's join plan)."""
-    from gregor_spark.entry_queries import REGISTRY, META, _RS_NEAR
-    from gregor_spark.model import fixtures as FX
-
-    rows = REGISTRY["resample_nearest"][0](spark, "/root/testdata/sf0.001").collect()
-    src = FX.RASTER_VALUES
-    dm = _RS_NEAR
-    assert len(rows) == dm["height"] * dm["width"]
-    for r in rows:
-        sc = math.floor((r.x - META.origin_x) / META.pixel)
-        sr = math.floor((META.origin_y - r.y) / META.pixel)
-        if 0 <= sr < META.height and 0 <= sc < META.width:
-            assert r.value == src[sr][sc], (r.row, r.col)
-        else:
-            assert r.value == dm["nodata"], (r.row, r.col)
