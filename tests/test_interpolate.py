@@ -88,3 +88,55 @@ def test_idw_brute_force_parity(spark):
             assert got[rc][1] is None, rc
         else:
             assert abs(got[rc][1] - want) < 1e-12, rc
+
+
+def test_kde_golden_and_empty(spark):
+    from gregor_spark.operators.interpolate import kde_to_grid
+
+    g = _grid(spark, (0.0, 0.0, 2.0, 2.0), (2, 2))
+    pts = _pts(spark, [(0.5, 1.5, 10.0), (0.9, 1.5, 20.0)])
+    out = {(r.row, r.col): r
+           for r in kde_to_grid(g, pts, radius=0.6,
+                                px="px", py="py", value="val").collect()}
+    r2 = 0.6 * 0.6
+    # cell (0,0) center (0.5,1.5): A at d2=0 (K=1), B at d2=0.16
+    ka, kb = 1.0, 1.0 - (0.5 - 0.9) ** 2 / r2
+    den = (round(ka * IDW_SCALE) + round(kb * IDW_SCALE)) / IDW_SCALE
+    wsum = (round(10.0 * ka * IDW_SCALE) + round(20.0 * kb * IDW_SCALE)) / IDW_SCALE
+    r00 = out[(0, 0)]
+    assert r00.n_pts == 2
+    assert abs(r00.density - den) < 1e-12 and abs(r00.wsum - wsum) < 1e-12
+    # cell (0,1): B exactly at the radius edge -> K = 0 (kept, zero weight)
+    r01 = out[(0, 1)]
+    assert r01.n_pts == 1 and r01.density == 0.0 and r01.wsum == 0.0
+    # empty cells: density 0.0 (not NULL), wsum NULL
+    assert out[(1, 0)].n_pts == 0 and out[(1, 0)].density == 0.0
+    assert out[(1, 0)].wsum is None
+
+
+def test_kde_brute_force_parity(spark):
+    from gregor_spark.operators.interpolate import kde_to_grid
+
+    g = _grid(spark, (0.0, 0.0, 4.0, 4.0), (4, 4))
+    rows = [((i * 13 % 40) / 10.0, (i * 29 % 40) / 10.0, float(i % 5 + 1))
+            for i in range(60)]
+    pts = _pts(spark, rows)
+    r, r2 = 0.9, 0.81
+    got = {(rr.row, rr.col): rr
+           for rr in kde_to_grid(g, pts, radius=r, px="px", py="py", value="val").collect()}
+    for gr in g.collect():
+        den = ws = n = 0
+        for (px, py, v) in rows:
+            d2 = (gr.x - px) ** 2 + (gr.y - py) ** 2
+            if d2 <= r2:
+                n += 1
+                k = 1.0 - d2 / r2
+                den += round(k * IDW_SCALE)
+                ws += round(v * k * IDW_SCALE)
+        rr = got[(gr.row, gr.col)]
+        assert rr.n_pts == n
+        assert abs(rr.density - den / IDW_SCALE) < 1e-12
+        if n:
+            assert abs(rr.wsum - ws / IDW_SCALE) < 1e-12
+        else:
+            assert rr.wsum is None
