@@ -787,3 +787,84 @@ def kmeans_fit(
             for i in range(k)
         ]
     return kmeans_assign(df, cents, vec=vec, key=key, method=method), cents
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_blocks: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    corpus embeddings, then drop WITHIN-CLUSTER semantic duplicates —
+    docs with cosine >= ``threshold`` to a lower-keyed cluster-mate.
+    Returns one row per doc: (key, cid, keep 1/0, dup_of) where
+    ``dup_of`` is the smallest offending partner key (NULL when kept).
+
+    This is the standard embedding-dedup recipe for LLM training data:
+    clustering first makes the quadratic pair scan LOCAL — at 100 TB you
+    raise ``k`` so clusters stay small (the paper uses 50k clusters for
+    LAION), and each cluster's pairs are further hash-split into
+    ``n_blocks``² cogroups exactly like :func:`near_dup_pairs`, so no
+    single task ever sees more than ~|cluster|/n_blocks vectors.  The
+    trained centroids are quantized (see :func:`kmeans_fit`), making the
+    WHOLE pipeline — training, assignment, pair verdicts — replayable in
+    SQL; per-pair cosines use one float64 matmul per cogroup.
+
+    The keep rule is keep-lowest-key (deterministic, engine-neutral);
+    the paper's keep-farthest-from-centroid variant is a one-line swap
+    of the ordering and keeps the same scale shape.
+    """
+    from ..model.localdf import local_df
+
+    _assigned, cents = kmeans_fit(
+        df, k=k, iters=iters, vec=vec, key=key, method=method
+    )
+
+    def side(join_key: str) -> DataFrame:
+        # independent assignment pass per side: the cogroup inputs must
+        # not share lineage (see near_dup_pairs); centroids are trained
+        # once and quantized, so both passes are bit-identical.
+        a = kmeans_assign(df, cents, vec=vec, key=key, method=method, keep_vec=True)
+        b = a.select(
+            F.col(key).cast("long").alias("k"),
+            F.col("cid").alias("g"),
+            F.col("_v").alias("v"),
+        ).withColumn("_b", F.pmod(F.hash(F.col("k")), F.lit(n_blocks)).cast("int"))
+        pairs = local_df(
+            df.sparkSession,
+            [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+            "i int, j int",
+        )
+        return b.join(F.broadcast(pairs), b["_b"] == pairs[join_key]).select(
+            "g", "k", "v", "i", "j"
+        )
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        diag = (
+            bool(len(l)) and bool(len(r)) and int(l["i"].iat[0]) == int(l["j"].iat[0])
+        )
+        return _pair_matmul(l, r, threshold, diag)
+
+    dup_pairs = (
+        side("i")
+        .groupby("g", "i", "j")
+        .cogroup(side("j").groupby("g", "i", "j"))
+        .applyInPandas(fn, schema=_PAIR_SCHEMA)
+    )
+    drops = dup_pairs.groupBy(F.col("id_b").alias(key)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        _assigned.join(drops, key, "left")
+        .select(
+            key,
+            "cid",
+            F.when(F.col("dup_of").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+            "dup_of",
+        )
+    )
