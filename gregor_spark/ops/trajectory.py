@@ -110,3 +110,84 @@ def track_stats(
             F.col("_dur_us") > 0, (tot / KM_QUANT) / (dur / 3.6e9)
         ).alias("avg_kmh"),
     )
+
+
+def track_interp(
+    df: DataFrame,
+    interval_s: int,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample each entity's track to a regular time grid: one output
+    row per grid instant k·``interval_s`` inside [first_ts, last_ts],
+    coordinates linearly interpolated between the surrounding fixes.
+    The standard trajectory-alignment primitive (co-location joins,
+    fixed-rate model inputs, map-matching pre-pass).
+
+    Grid ownership is half-open — the segment (tᵢ, tᵢ₊₁) owns instants
+    in [tᵢ, tᵢ₊₁); the final fix additionally owns an instant landing
+    exactly on it — so every grid instant materializes EXACTLY once per
+    entity: duplicate-ts fixes form zero-length segments that own
+    nothing (``tiebreak`` makes their order, hence the interpolation
+    endpoints, deterministic).
+
+    Scale shape: ONE window over (user, ts) — the same single Exchange
+    as :func:`track_stats` — then a map-only sequence/explode per
+    segment; no self-join, no per-entity collect.  Output size is
+    Σ spans/interval, independent of fix density.
+
+    Determinism: all grid arithmetic is INTEGER epoch-micros (ceil by
+    adjusted floor-div; floor-div as (a − a%b)/b, exact in float64
+    because the true quotient is an integer < 2⁵³); the interpolation
+    fraction divides two exact integer-valued doubles, so every output
+    coordinate is a fixed IEEE expression tree replayable in SQL.
+    """
+    if interval_s <= 0:
+        raise ValueError("interval_s must be positive")
+    step = int(interval_s) * 1_000_000
+
+    def idiv(c: Column) -> Column:
+        return ((c - c % F.lit(step)) / F.lit(step)).cast("long")
+
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+
+    seg = df.select(
+        F.col(user),
+        us.alias("_t1"),
+        F.col(lon).alias("_lon1"),
+        F.col(lat).alias("_lat1"),
+        F.lead(us).over(w).alias("_t2"),
+        F.lead(lon).over(w).alias("_lon2"),
+        F.lead(lat).over(w).alias("_lat2"),
+    )
+    lo = idiv(F.col("_t1") + F.lit(step - 1))          # ceil(t1/step)
+    hi = idiv(F.col("_t2") + F.lit(step - 1)) - 1      # last k with k*step < t2
+    ks = (
+        F.when(F.col("_t2").isNotNull() & (lo <= hi), F.sequence(lo, hi))
+        .when(
+            F.col("_t2").isNull() & (F.col("_t1") % F.lit(step) == 0),
+            F.array(idiv(F.col("_t1"))),
+        )
+        .otherwise(F.array().cast("array<long>"))
+    )
+    sampled = seg.select(
+        F.col(user), "_t1", "_t2", "_lon1", "_lat1", "_lon2", "_lat2",
+        F.explode(ks).alias("_k"),
+    )
+    t = F.col("_k") * F.lit(step)
+    frac = F.when(
+        F.col("_t2").isNotNull(),
+        (t - F.col("_t1")).cast("double")
+        / (F.col("_t2") - F.col("_t1")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return sampled.select(
+        F.col(user),
+        t.alias("sample_us"),
+        (F.col("_lon1") + (F.coalesce("_lon2", "_lon1") - F.col("_lon1")) * frac).alias(lon),
+        (F.col("_lat1") + (F.coalesce("_lat2", "_lat1") - F.col("_lat1")) * frac).alias(lat),
+    )

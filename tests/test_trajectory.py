@@ -70,3 +70,95 @@ def test_track_stats_partition_invariance(spark):
     assert a == b  # integer-quantized sums: bit-exact at any parallelism
 
 
+
+def test_track_interp_golden(spark):
+    from gregor_spark.ops.trajectory import track_interp
+
+    # entity 1: fixes at t=0s,100s — grid 30s: samples at 0,30,60,90 owned
+    # by the segment, plus nothing at 100 (not on 30s grid)
+    rows = [
+        (1, "2024-01-01 00:00:00", 0.0, 0.0, 1),
+        (1, "2024-01-01 00:01:40", 10.0, 20.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        track_interp(df, 30, tiebreak="event_id").collect(),
+        key=lambda r: r.sample_us,
+    )
+    base = out[0].sample_us
+    assert [r.sample_us - base for r in out] == [0, 30_000_000, 60_000_000, 90_000_000]
+    for r, f in zip(out, (0.0, 0.3, 0.6, 0.9)):
+        assert abs(r.lon - 10.0 * f) < 1e-12 and abs(r.lat - 20.0 * f) < 1e-12
+
+
+def test_track_interp_endpoint_and_exactly_once(spark):
+    from gregor_spark.ops.trajectory import track_interp
+
+    # fixes at 0s, 60s, 120s with grid 60s: instants 0,60,120 — 60 owned by
+    # the SECOND segment ([60,120)), 120 by the final fix; no duplicates
+    rows = [
+        (1, "2024-01-01 00:00:00", 0.0, 0.0, 1),
+        (1, "2024-01-01 00:01:00", 6.0, 6.0, 2),
+        (1, "2024-01-01 00:02:00", 12.0, 0.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        track_interp(df, 60, tiebreak="event_id").collect(),
+        key=lambda r: r.sample_us,
+    )
+    assert len(out) == 3
+    assert [r.lon for r in out] == [0.0, 6.0, 12.0]
+    assert [r.lat for r in out] == [0.0, 6.0, 0.0]
+
+
+def test_track_interp_dup_ts_and_single_fix(spark):
+    from gregor_spark.ops.trajectory import track_interp
+
+    rows = [
+        # entity 1: duplicate final ts — endpoint coords come from the
+        # higher event_id (deterministic tiebreak)
+        (1, "2024-01-01 00:00:00", 0.0, 0.0, 1),
+        (1, "2024-01-01 00:01:00", 5.0, 5.0, 2),
+        (1, "2024-01-01 00:01:00", 7.0, 7.0, 3),
+        # entity 2: single fix ON the grid -> one sample
+        (2, "2024-01-01 00:05:00", 1.0, 2.0, 4),
+        # entity 3: single fix OFF the grid -> no samples
+        (3, "2024-01-01 00:05:07", 1.0, 2.0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = track_interp(df, 60, tiebreak="event_id").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    end = max(by_user[1], key=lambda r: r.sample_us)
+    assert end.lon == 7.0 and end.lat == 7.0  # the event_id=3 row wins
+    assert len(by_user[2]) == 1 and by_user[2][0].lon == 1.0
+    assert 3 not in by_user
+
+
+def test_track_interp_partition_invariance(spark):
+    from gregor_spark.ops.trajectory import track_interp
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    a = sorted(map(tuple, track_interp(pts, 21600, tiebreak="event_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            track_interp(pts.repartition(17), 21600, tiebreak="event_id").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
