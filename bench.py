@@ -77,6 +77,11 @@ HEADLINE = [
     "doc_pairs_geodesic",  # r5 cont.: great-circle within-distance pair join
     "bloom_semi",          # r5 cont.: bloom-filter semi-join pruning
     "track_stats",         # r5 cont.: trajectory rollup (1-Exchange window+agg)
+    "idw_grid",            # r5 cont.: IDW interpolation (radius block join)
+    "kde_grid",            # r5 cont.: Epanechnikov kernel density surface
+    "focal_stats",         # r5 cont.: k×k focal raster stats (1 Exchange)
+    "semdedup",            # r5 cont.: k-means + within-cluster cosine dedup
+    "track_interp",        # r5 cont.: trajectory time-resample (1 window)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))
