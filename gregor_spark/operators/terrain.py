@@ -1,0 +1,111 @@
+"""Terrain derivatives from a DEM raster: Horn-method surface gradients
+(the core of GDAL ``gdaldem slope``/``hillshade``, Horn 1981, Proc.
+IEEE 69(1)).
+
+Extension surface beyond the reference's §2 list (the reference moves
+values between layers; it has no raster differential operators).
+
+Scale shape: identical to ``operators/focal.py`` — each valid cell
+emits its value to the 8 neighbor targets that use it, tagged with the
+Horn weight pair, and ONE groupBy on the target cell folds both
+gradient sums; a single Exchange at any raster size, no dense-array
+window scan, no join back (identity markers carry cell existence).
+
+Determinism: Horn weights are integers, so with integer-valued DEMs
+(the contract fixture) the weighted sums are exact at any parallelism;
+``tan2_slope`` = (dz/dx)² + (dz/dy)² is pure polynomial arithmetic —
+tan²(slope) instead of atan(√·) keeps libm out so a SQL oracle
+replays every float op exactly (callers wanting degrees apply
+atan(sqrt(tan2))/π·180 at the edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Horn 1981 kernel: (dr, dc, weight_x, weight_y) — contribution of the
+#: neighbor at (row+dr, col+dc) to the CENTER cell's gradient sums.
+#: x: west column −(1,2,1), east +(1,2,1); y: north row −(1,2,1) (row
+#: index DECREASES northward in the grid model), south row +(1,2,1) —
+#: positive dz/dy means the surface rises with increasing row (southward).
+_HORN = [
+    (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+    (0, -1, -2, 0),                   (0, 1, 2, 0),
+    (1, -1, -1, 1),   (1, 0, 0, 2),   (1, 1, 1, 1),
+]
+
+
+def slope_gradients(
+    cells: DataFrame,
+    pixel: float,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """Per-cell Horn gradients over ``cells(row, col, value)``:
+    ``dzdx`` / ``dzdy`` (value units per coordinate unit) and
+    ``tan2_slope`` = dzdx² + dzdy².  Cells whose 3×3 window is
+    incomplete (grid edge, or any neighbor nodata/NULL) get NULL
+    gradients with ``n_nb`` < 8 — GDAL's edge semantics without
+    ``-compute_edges``.  Every input cell gets an output row."""
+    if pixel <= 0:
+        raise ValueError("pixel must be positive")
+    v = F.col(value)
+    valid = v.isNotNull() if nodata is None else v.isNotNull() & (v != F.lit(nodata))
+
+    kern = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dr).alias("dr"),
+                    F.lit(dc).alias("dc"),
+                    F.lit(wx).alias("wx"),
+                    F.lit(wy).alias("wy"),
+                )
+                for dr, dc, wx, wy in _HORN
+            ]
+        )
+    )
+    contrib = (
+        cells.where(valid)
+        .select(F.col("row"), F.col("col"), v.alias("_v"))
+        .withColumn("_k", kern)
+        .select(
+            # the neighbor at (row+dr, col+dc) of target t is THIS cell:
+            # target = (row - dr, col - dc)
+            (F.col("row") - F.col("_k.dr")).alias("row"),
+            (F.col("col") - F.col("_k.dc")).alias("col"),
+            (F.col("_v") * F.col("_k.wx")).alias("_gx"),
+            (F.col("_v") * F.col("_k.wy")).alias("_gy"),
+            F.lit(0).alias("_id"),
+        )
+    )
+    ident = cells.select(
+        "row",
+        "col",
+        F.lit(None).cast("double").alias("_gx"),
+        F.lit(None).cast("double").alias("_gy"),
+        F.lit(1).alias("_id"),
+    )
+    agg = (
+        contrib.unionByName(ident)
+        .groupBy("row", "col")
+        .agg(
+            F.max("_id").alias("_present"),
+            F.count("_gx").alias("n_nb"),
+            F.sum("_gx").alias("_sx"),
+            F.sum("_gy").alias("_sy"),
+        )
+        .where(F.col("_present") == 1)
+    )
+    den = F.lit(8.0 * pixel)
+    dzdx = F.when(F.col("n_nb") == 8, F.col("_sx") / den)
+    dzdy = F.when(F.col("n_nb") == 8, F.col("_sy") / den)
+    return agg.select(
+        "row",
+        "col",
+        "n_nb",
+        dzdx.alias("dzdx"),
+        dzdy.alias("dzdy"),
+        (dzdx * dzdx + dzdy * dzdy).alias("tan2_slope"),
+    )

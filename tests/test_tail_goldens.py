@@ -65,6 +65,7 @@ def _assert_oracle_match(spark, ddb, name):
         "frame_plan",      # rotated late r5 (admitted kde_grid)
         "cust_no_orders",  # rotated late r5 (admitted semdedup)
         "events_sessions", # rotated late r5 (admitted track_interp)
+        "text_quality",    # rotated late r5 (admitted slope_horn)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
