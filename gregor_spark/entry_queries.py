@@ -3177,8 +3177,9 @@ def q_track_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TI_STEP = 21600 * 1_000_000
 
-_TRACK_INTERP_SQL = f"""
-WITH ev AS (
+# shared by _TRACK_INTERP_SQL and _TRACK_CONTACTS_SQL: CTE chain ending
+# in samples(user_id, sample_us, lon, lat)
+_TI_CTES = f"""ev AS (
   SELECT user_id, epoch_us(ts) AS t, event_id,
          -0.25 + 2.0 * (((event_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
          9.75  + 2.0 * (((event_id * 69069 + 54321) % 100003) / 100003.0) AS lat
@@ -3208,10 +3209,15 @@ mid AS (
   WHERE s.lo + i.i <= s.hi),
 fin AS (
   SELECT user_id, t1 AS sample_us, lon1 AS lon, lat1 AS lat
-  FROM seg WHERE t2 IS NULL AND t1 % {_TI_STEP} = 0)
-SELECT user_id, sample_us, lon, lat FROM mid
-UNION ALL
-SELECT user_id, sample_us, lon, lat FROM fin
+  FROM seg WHERE t2 IS NULL AND t1 % {_TI_STEP} = 0),
+samples AS (
+  SELECT user_id, sample_us, lon, lat FROM mid
+  UNION ALL
+  SELECT user_id, sample_us, lon, lat FROM fin)"""
+
+_TRACK_INTERP_SQL = f"""
+WITH {_TI_CTES}
+SELECT user_id, sample_us, lon, lat FROM samples
 """
 
 
@@ -3275,6 +3281,55 @@ FROM (SELECT row, col FROM g) t LEFT JOIN ag a USING (row, col)
 
 
 REGISTRY.update({"slope_horn": (q_slope_horn, _SLOPE_SQL)})
+
+
+# ------------------------------------------------ co-location (contacts)
+
+
+def q_track_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-place-same-time contact pairs: resample every user's track
+    to the 6 h grid (ops/trajectory.py::track_interp), then pair users
+    within 5 km AT THE SAME INSTANT via the geodesic degree-grid block
+    join keyed additionally by the instant
+    (operators/knn.py::within_distance_join_geodesic keys=('sample_us',)
+    — the equi-join partitions on (instant, cell), exact haversine
+    rescore, never a per-instant cartesian).  The proximity-tracing /
+    ride-sharing / convoy-detection primitive."""
+    from .operators.knn import within_distance_join_geodesic
+    from .ops.trajectory import track_interp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    samples = track_interp(pts, 21600, tiebreak="event_id")
+    out = within_distance_join_geodesic(
+        samples, radius_km=5.0, id_col="user_id", keys=("sample_us",)
+    )
+    return out.select(
+        "sample_us", "a_user_id", "b_user_id", F.round("km", 6).alias("km_r")
+    )
+
+
+_TRACK_CONTACTS_SQL = f"""
+WITH {_TI_CTES},
+h AS (
+  SELECT a.sample_us, a.user_id AS a_user_id, b.user_id AS b_user_id,
+         {_HAV_SQL} AS km
+  FROM samples a JOIN samples b
+    ON a.sample_us = b.sample_us AND a.user_id < b.user_id)
+SELECT sample_us, a_user_id, b_user_id, round(km, 6) AS km_r
+FROM h WHERE km <= 5.0
+"""
+
+
+REGISTRY.update({"track_contacts": (q_track_contacts, _TRACK_CONTACTS_SQL)})
 
 
 # -------------------------------------------------- driver window rotation
@@ -3431,6 +3486,13 @@ REGISTRY.update({"slope_horn": (q_slope_horn, _SLOPE_SQL)})
 #     contamination; rotated late r5 to admit slope_horn; goldens in
 #     test_ops::test_text_ops, direct registry-vs-oracle golden in
 #     test_tail_goldens.
+#   near_dup_lsh — hyperplane-LSH-blocked cosine near-dup sweep; the
+#     cosine pair families stay in-window via semdedup (cluster-scoped
+#     matmul pairs) + ann_ivf/ann_ivf_matmul, and the subset relation to
+#     the exact sweep is pytest-proven
+#     (test_ops::test_near_dup_lsh_subset_of_exact); rotated late r5 to
+#     admit track_contacts; direct registry-vs-oracle golden in
+#     test_tail_goldens.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -3469,6 +3531,7 @@ _WINDOW_TAIL = (
     "cust_no_orders",
     "events_sessions",
     "text_quality",
+    "near_dup_lsh",
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -287,6 +287,7 @@ def within_distance_join_geodesic(
     lat: str = "lat",
     id_col: str = "point_id",
     max_abs_lat: float = 66.0,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """All pairs within great-circle ``radius_km``: (a_id, b_id, km)
     with a_id < b_id, each pair exactly once — the geodesic sibling of
@@ -302,6 +303,12 @@ def within_distance_join_geodesic(
     degree box only bounds candidates.  Same exactly-once construction
     as the planar join: left explodes its (2r+1)² neighborhood, right
     keeps one cell.
+
+    ``keys``: extra equi-join columns carried on both sides and
+    prepended to the output — e.g. a time-grid instant for co-location
+    ("same place, same time") joins over resampled tracks; the shuffle
+    then partitions on (keys, cell), so instants spread the hash space
+    instead of concentrating it.
     """
     import math
 
@@ -322,8 +329,10 @@ def within_distance_join_geodesic(
     ]
     cx = F.floor(F.col(lon) / F.lit(wlon)).cast("long")
     cy = F.floor(F.col(lat) / F.lit(wlat)).cast("long")
+    kcols = [F.col(k) for k in keys]
     left = (
         pts.select(
+            *kcols,
             F.col(id_col).alias("_aid"),
             F.col(lon).alias("_alon"),
             F.col(lat).alias("_alat"),
@@ -332,6 +341,7 @@ def within_distance_join_geodesic(
         )
         .withColumn("_o", F.explode(F.array(*offsets)))
         .select(
+            *keys,
             "_aid",
             "_alon",
             "_alat",
@@ -340,6 +350,7 @@ def within_distance_join_geodesic(
         )
     )
     right = pts.select(
+        *kcols,
         F.col(id_col).alias("_bid"),
         F.col(lon).alias("_blon"),
         F.col(lat).alias("_blat"),
@@ -350,11 +361,12 @@ def within_distance_join_geodesic(
         F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat")
     )
     return (
-        left.join(right, ["_cx", "_cy"], "inner")
+        left.join(right, [*keys, "_cx", "_cy"], "inner")
         .filter(F.col("_aid") < F.col("_bid"))
         .withColumn("_km", km)
         .filter(F.col("_km") <= F.lit(float(radius_km)))
         .select(
+            *keys,
             F.col("_aid").alias(f"a_{id_col}"),
             F.col("_bid").alias(f"b_{id_col}"),
             F.col("_km").alias("km"),

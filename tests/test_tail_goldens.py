@@ -66,6 +66,7 @@ def _assert_oracle_match(spark, ddb, name):
         "cust_no_orders",  # rotated late r5 (admitted semdedup)
         "events_sessions", # rotated late r5 (admitted track_interp)
         "text_quality",    # rotated late r5 (admitted slope_horn)
+        "near_dup_lsh",    # rotated late r5 (admitted track_contacts)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
