@@ -67,6 +67,7 @@ def _assert_oracle_match(spark, ddb, name):
         "events_sessions", # rotated late r5 (admitted track_interp)
         "text_quality",    # rotated late r5 (admitted slope_horn)
         "near_dup_lsh",    # rotated late r5 (admitted track_contacts)
+        "dedup_exact",     # rotated late r5 (admitted morans_i)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
