@@ -191,3 +191,92 @@ def track_interp(
         (F.col("_lon1") + (F.coalesce("_lon2", "_lon1") - F.col("_lon1")) * frac).alias(lon),
         (F.col("_lat1") + (F.coalesce("_lat2", "_lat1") - F.col("_lat1")) * frac).alias(lat),
     )
+
+
+def simplify_tracks(
+    df: DataFrame,
+    tolerance_deg: float,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Douglas–Peucker polyline simplification per entity: keep the
+    minimal fix subset whose polyline stays within ``tolerance_deg``
+    (perpendicular planar degree distance) of the original track.  The
+    standard pre-step before storing/rendering/map-matching bulky GPS
+    tracks.
+
+    Not registered with a SQL oracle: RDP is a data-dependent recursion
+    with no bounded SQL unrolling — coverage is the pytest suite
+    (independent numpy reference, analytic goldens, invariances).
+
+    Scale shape: one applyInPandas grouped on the entity key (one
+    shuffle); memory is O(per-entity track length) — the same per-key
+    bound every window over the track already implies.  Inside the
+    kernel the split search is an explicit stack (no Python recursion
+    limit) with numpy-vectorized segment distances.
+
+    Determinism: ordering is (ts, tiebreak); distances compare exact
+    IEEE doubles of a fixed expression; ties at the max deviation split
+    at the FIRST (earliest) farthest point.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if tolerance_deg < 0:
+        raise ValueError("tolerance_deg must be non-negative")
+    tol2 = float(tolerance_deg) * float(tolerance_deg)
+
+    out_schema = T.StructType(
+        [
+            df.schema[user],
+            df.schema[ts],
+            df.schema[lon],
+            df.schema[lat],
+        ]
+    )
+
+    def _keep_mask(xs: "np.ndarray", ys: "np.ndarray") -> "np.ndarray":
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+            px = xs[a + 1 : b]
+            py = ys[a + 1 : b]
+            dx, dy = bx - ax, by - ay
+            seg2 = dx * dx + dy * dy
+            if seg2 == 0.0:
+                d2 = (px - ax) ** 2 + (py - ay) ** 2
+            else:
+                # perpendicular distance to the INFINITE line through a-b
+                # (classic RDP; anchor points a/b are always kept so the
+                # clamped-segment variant differs only on degenerate loops)
+                cross = (px - ax) * dy - (py - ay) * dx
+                d2 = (cross * cross) / seg2
+            i = int(np.argmax(d2))  # first max on ties
+            if d2[i] > tol2:
+                m = a + 1 + i
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        return keep
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = [ts] + ([tiebreak] if tiebreak else [])
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        if len(pdf) <= 2:
+            return pdf[[user, ts, lon, lat]]
+        m = _keep_mask(
+            pdf[lon].to_numpy(np.float64), pdf[lat].to_numpy(np.float64)
+        )
+        return pdf.loc[m, [user, ts, lon, lat]]
+
+    return df.groupBy(user).applyInPandas(fn, schema=out_schema)

@@ -162,3 +162,100 @@ def test_track_interp_partition_invariance(spark):
         )
     )
     assert a == b and len(a) > 0
+
+def _rdp_ref(pts, tol):
+    """Independent recursive reference implementation."""
+    import numpy as np
+
+    if len(pts) <= 2:
+        return list(range(len(pts)))
+    a, b = pts[0], pts[-1]
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    seg2 = dx * dx + dy * dy
+    best_i, best_d2 = None, tol * tol
+    for i in range(1, len(pts) - 1):
+        px, py = pts[i][0] - a[0], pts[i][1] - a[1]
+        if seg2 == 0.0:
+            d2 = px * px + py * py
+        else:
+            cr = px * dy - py * dx
+            d2 = (cr * cr) / seg2
+        if d2 > best_d2:
+            best_i, best_d2 = i, d2
+    if best_i is None:
+        return [0, len(pts) - 1]
+    left = _rdp_ref(pts[: best_i + 1], tol)
+    right = _rdp_ref(pts[best_i:], tol)
+    return left + [best_i + j for j in right[1:]]
+
+
+def test_simplify_straight_line_collapses(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks
+
+    rows = [(1, f"2024-01-01 00:0{i}:00", float(i), 2.0 * i, i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = simplify_tracks(df, 0.01, tiebreak="event_id").collect()
+    assert len(out) == 2
+    assert sorted(r.lon for r in out) == [0.0, 7.0]
+
+
+def test_simplify_keeps_corner(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks
+
+    # an L-shape: the corner deviates far from the chord and must survive
+    rows = [
+        (1, "2024-01-01 00:00:00", 0.0, 0.0, 1),
+        (1, "2024-01-01 00:01:00", 1.0, 0.0, 2),
+        (1, "2024-01-01 00:02:00", 1.0, 1.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = simplify_tracks(df, 0.2, tiebreak="event_id").collect()
+    assert len(out) == 3
+
+
+def test_simplify_matches_reference(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks
+
+    rows = []
+    for u in (1, 2, 3):
+        for i in range(40):
+            x = i / 10.0
+            y = ((i * u * 37) % 17 - 8) / 20.0
+            rows.append((u, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", x, y, i))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for tol in (0.0, 0.05, 0.3):
+        out = simplify_tracks(df, tol, tiebreak="event_id").collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.user_id, []).append((r.lon, r.lat))
+        for u in (1, 2, 3):
+            pts = [(r[2], r[3]) for r in rows if r[0] == u]
+            want = [pts[i] for i in _rdp_ref(pts, tol)]
+            assert sorted(got[u]) == sorted(want), (u, tol)
+
+
+def test_simplify_partition_invariance(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks
+
+    rows = [
+        (u, f"2024-01-01 00:{i:02d}:00", (i * 13 % 29) / 7.0, (i * 7 % 31) / 9.0, i)
+        for u in (1, 2)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, lon double, lat double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    a = sorted(map(tuple, simplify_tracks(df, 0.1, tiebreak="event_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            simplify_tracks(df.repartition(9), 0.1, tiebreak="event_id").collect(),
+        )
+    )
+    assert a == b and len(a) > 4
