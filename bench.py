@@ -82,6 +82,8 @@ HEADLINE = [
     "focal_stats",         # r5 cont.: k×k focal raster stats (1 Exchange)
     "semdedup",            # r5 cont.: k-means + within-cluster cosine dedup
     "track_interp",        # r5 cont.: trajectory time-resample (1 window)
+    "hillshade",           # r5 cont.: Lambertian relief (terrain plan + map)
+    "getis_ord",           # r5 cont.: Gi* hot spots (explode + broadcast moments)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -3395,6 +3395,140 @@ FROM m CROSS JOIN
 REGISTRY.update({"morans_i": (q_morans_i, _MORANS_SQL)})
 
 
+# --------------------------------------------------------- hillshade
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambertian hillshade over the 64x64 synthetic DEM
+    (operators/terrain.py::hillshade — Horn gradients via one neighbor
+    explode + one groupBy, then map-side arithmetic; all sun trig is
+    hoisted into three driver-side constants so the only libm in the
+    distributed expression is the IEEE-exact sqrt)."""
+    from .operators.terrain import hillshade
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return hillshade(cells, pixel=0.125)
+
+
+def _hillshade_sql() -> str:
+    from .operators.terrain import hillshade_constants
+
+    c0, c1, c2 = hillshade_constants(315.0, 45.0)
+    # string-literal casts: a bare 17-digit literal would parse as
+    # DECIMAL(18) in DuckDB; string→double parse is correctly rounded to
+    # the identical bits F.lit carries.
+    k0, k1, k2 = (f"CAST('{c!r}' AS DOUBLE)" for c in (c0, c1, c2))
+    # pixel 0.125 → den = 8·0.125 = 1.0, and x/1.0 == x·1.0 == x exactly
+    # (IEEE identity), so p = sx, q = sy bit-for-bit.
+    return f"""
+WITH g AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST((row * 31 + col * 17) % 97 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))),
+horn(dr, dc, wx, wy) AS (VALUES
+  (-1,-1,-1,-1), (-1,0,0,-2), (-1,1,1,-1),
+  (0,-1,-2,0),               (0,1,2,0),
+  (1,-1,-1,1),   (1,0,0,2),  (1,1,1,1)),
+contrib AS (
+  SELECT g.row - o.dr AS row, g.col - o.dc AS col,
+         g.value * o.wx AS gx, g.value * o.wy AS gy
+  FROM g CROSS JOIN horn o WHERE g.value IS NOT NULL),
+ag AS (
+  SELECT row, col, count(gx) AS n_nb, sum(gx) AS sx, sum(gy) AS sy
+  FROM contrib GROUP BY row, col),
+sh AS (
+  SELECT t.row, t.col, coalesce(a.n_nb, 0) AS n_nb,
+         CASE WHEN a.n_nb = 8 THEN
+           ({k0} - {k1} * a.sx + {k2} * a.sy)
+           / sqrt(CAST(1.0 AS DOUBLE) + a.sx * a.sx + a.sy * a.sy) END AS shade
+  FROM (SELECT row, col FROM g) t LEFT JOIN ag a USING (row, col))
+SELECT row, col, n_nb, shade,
+       CASE WHEN n_nb = 8 THEN
+         CAST(1 + round(254.0 * greatest(shade, CAST(0.0 AS DOUBLE))) AS INT) END
+         AS shade_u8
+FROM sh
+"""
+
+
+REGISTRY.update({"hillshade": (q_hillshade, _hillshade_sql())})
+
+
+# ---------------------------------------------- Getis-Ord Gi* hot spots
+
+
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over the same 64x64 lattice
+    (ops/spatial_stats.py::getis_ord_gstar — queen-plus-self neighbor
+    explode + one groupBy + broadcast global moments; window sums are
+    exact for the integer-valued fixture so the fixed-order z-score
+    chain is bit-identical in both engines)."""
+    from .ops.spatial_stats import getis_ord_gstar
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return getis_ord_gstar(cells)
+
+
+_GETIS_ORD_SQL = """
+WITH g AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST((row * 31 + col * 17) % 97 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))),
+v AS (SELECT row, col, value AS x FROM g WHERE value IS NOT NULL),
+offs(dr, dc) AS (VALUES
+  (-1,-1), (-1,0), (-1,1),
+  (0,-1),  (0,0),  (0,1),
+  (1,-1),  (1,0),  (1,1)),
+contrib AS (
+  SELECT v.row + o.dr AS row, v.col + o.dc AS col, v.x AS nx
+  FROM v CROSS JOIN offs o),
+nb AS (SELECT row, col, count(nx) AS w_i, sum(nx) AS s_nb
+       FROM contrib GROUP BY row, col),
+m AS (SELECT count(x) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM v)
+SELECT v.row, v.col, nb.w_i, nb.s_nb AS sum_nb,
+       CASE WHEN sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n))
+                 * sqrt(CAST(m.n * nb.w_i - nb.w_i * nb.w_i AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) - 1.0)) > 0.0
+            THEN (nb.s_nb - (m.sx / m.n) * nb.w_i)
+                 / (sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n))
+                    * sqrt(CAST(m.n * nb.w_i - nb.w_i * nb.w_i AS DOUBLE)
+                           / (CAST(m.n AS DOUBLE) - 1.0))) END AS gi_z
+FROM v JOIN nb USING (row, col) CROSS JOIN m
+"""
+
+
+REGISTRY.update({"getis_ord": (q_getis_ord, _GETIS_ORD_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -3562,11 +3696,24 @@ REGISTRY.update({"morans_i": (q_morans_i, _MORANS_SQL)})
 #     golden (test_round5::test_dedup_keep_golden); rotated late r5 to
 #     admit morans_i; direct registry-vs-oracle golden in
 #     test_tail_goldens.
+#   focal_stats — k×k neighborhood aggregates; the neighbor-explode +
+#     identity-marker raster family stays richly in-window via
+#     slope_horn, hillshade, morans_i and getis_ord (same plan shape,
+#     same 64x64 fixture); rotated late r5 to admit hillshade; operator
+#     goldens in test_focal, direct registry-vs-oracle golden in
+#     test_tail_goldens.
+#   kde_grid — Epanechnikov kernel surface; the radius block join family
+#     stays in-window via idw_grid (identical join plan, different
+#     kernel polynomial); rotated late r5 to admit getis_ord; operator
+#     goldens in test_interpolate, direct registry-vs-oracle golden in
+#     test_tail_goldens.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
 # by tests/test_round5.py::test_driver_window_membership.
 _WINDOW_TAIL = (
+    "focal_stats",
+    "kde_grid",
     "belongs_overlap",
     "zonal_minmax",
     "coarsen_2x2",

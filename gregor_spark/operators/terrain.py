@@ -21,6 +21,8 @@ atan(sqrt(tan2))/π·180 at the edge).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,3 +111,76 @@ def slope_gradients(
         dzdy.alias("dzdy"),
         (dzdx * dzdx + dzdy * dzdy).alias("tan2_slope"),
     )
+
+
+def hillshade_constants(
+    azimuth_deg: float = 315.0, altitude_deg: float = 45.0
+) -> tuple[float, float, float]:
+    """The three sun constants of the algebraic hillshade form (computed
+    ONCE driver-side so the distributed expression — and any SQL oracle
+    replaying it — contains no data-dependent trig at all):
+
+    ``shade = (c0 − c1·p + c2·q) / sqrt(1 + p² + q²)``
+
+    where p = dz/dx (east-positive), q = dz/dy (row/south-positive) and
+
+    * ``c0 = sin(altitude)``,
+    * ``c1 = cos(altitude)·sin(azimuth)``,
+    * ``c2 = cos(altitude)·cos(azimuth)``.
+
+    Derivation: Lambertian shade = n̂·l̂.  In this grid model the row
+    axis points SOUTH, so the north-positive gradient is −q and the
+    unit surface normal is (−p, q, 1)/√(1+p²+q²) in (east, north, up)
+    axes; the light vector for
+    azimuth az (clockwise from north) and altitude al is
+    (cos al·sin az, cos al·cos az, sin al).  The dot product expands to
+    exactly the form above — the same algebra GDAL's ``gdaldem
+    hillshade`` evaluates per pixel (Horn gradients, ZevenbergenThorne
+    optional), just with the constants hoisted."""
+    az = math.radians(azimuth_deg)
+    al = math.radians(altitude_deg)
+    return (math.sin(al), math.cos(al) * math.sin(az), math.cos(al) * math.cos(az))
+
+
+def hillshade(
+    cells: DataFrame,
+    pixel: float,
+    value: str = "value",
+    nodata: float | None = None,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """Per-cell Lambertian hillshade over ``cells(row, col, value)`` —
+    the classic cartographic relief layer (GDAL ``gdaldem hillshade``
+    semantics: Horn gradients, sun at ``azimuth_deg``/``altitude_deg``,
+    edge/nodata-adjacent cells NULL).
+
+    Scale shape: the gradients come from :func:`slope_gradients` (one
+    neighbor explode + ONE groupBy = a single Exchange); everything
+    after is map-side column arithmetic.  Cross-engine determinism: the
+    only libm call in the distributed expression is ``sqrt`` (IEEE
+    correctly-rounded in both Spark and any SQL oracle) — all trig is
+    folded into three driver-side constants (:func:`hillshade_constants`)
+    inlined as literals, so with integer-valued DEMs the result is
+    bit-identical at any parallelism.
+
+    Output: ``row, col, n_nb, shade`` (cosine of incidence, NULL when
+    the 3×3 window is incomplete — may be negative for self-shadowed
+    slopes) and ``shade_u8`` = GDAL's byte scaling
+    ``1 + round(254 · max(shade, 0))``.
+    """
+    c0, c1, c2 = hillshade_constants(azimuth_deg, altitude_deg)
+    g = slope_gradients(cells, pixel, value=value, nodata=nodata)
+    p = F.col("dzdx") * F.lit(float(z_factor))
+    q = F.col("dzdy") * F.lit(float(z_factor))
+    shade = (F.lit(c0) - F.lit(c1) * p + F.lit(c2) * q) / F.sqrt(
+        F.lit(1.0) + p * p + q * q
+    )
+    # NB: gate on the window explicitly — F.greatest SKIPS nulls, so an
+    # ungated byte path would map edge cells (shade NULL) to 1.
+    u8 = F.when(
+        F.col("n_nb") == 8,
+        (F.lit(1) + F.round(F.lit(254.0) * F.greatest(shade, F.lit(0.0)))).cast("int"),
+    )
+    return g.select("row", "col", "n_nb", shade.alias("shade"), u8.alias("shade_u8"))

@@ -104,3 +104,94 @@ def morans_i(
             / (F.col("w_sum").cast("double") * F.col("_den").cast("double")),
         ).alias("morans_i"),
     )
+
+
+_QUEEN_SELF = (
+    (-1, -1), (-1, 0), (-1, 1),
+    (0, -1),  (0, 0),  (0, 1),
+    (1, -1),  (1, 0),  (1, 1),
+)
+
+
+def getis_ord_gstar(
+    cells: DataFrame,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """Getis–Ord Gi* hot-spot statistic per cell (Getis & Ord 1992/1995,
+    the ArcGIS "Hot Spot Analysis" semantics) with binary queen
+    contiguity INCLUDING self — the local complement of the global
+    :func:`morans_i`:
+
+    ``gi_z = (Σⱼ∈w(i) xⱼ − x̄·Wᵢ) / (S·sqrt((n·Wᵢ − Wᵢ²)/(n−1)))``
+
+    where w(i) is the valid 3×3 window around i (self included),
+    Wᵢ = |w(i)|, x̄ = Σx/n and S = sqrt(Σx²/n − x̄²).  Positive z = hot
+    spot (high values clustered), negative = cold spot.
+
+    Scale shape: the SAME two-Exchange plan as Moran's I — one ×9
+    neighbor explode + ONE groupBy on the cell key (identity rows carry
+    presence), a broadcast 1-row global-moments table, then pure map-side
+    arithmetic.  No pair join, nothing O(cells²).
+
+    Determinism: with integer-valued cells the window sums Σxⱼ and the
+    global moments are exact at any parallelism (each partial sum is an
+    exact double), and the z-score is a fixed-order chain of IEEE
+    ``/ − × sqrt`` — bit-identical across engines.  NULL ``gi_z`` when
+    the denominator is 0 (constant surface, or Wᵢ = n).  Nodata/NULL
+    cells are excluded from the lattice (no row, no contribution)."""
+    v = F.col(value)
+    valid_pred = (
+        v.isNotNull() if nodata is None else v.isNotNull() & (v != F.lit(nodata))
+    )
+    valid = cells.where(valid_pred).select("row", "col", v.alias("_x"))
+
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                for dr, dc in _QUEEN_SELF
+            ]
+        )
+    )
+    contrib = valid.withColumn("_o", off).select(
+        (F.col("row") + F.col("_o.dr")).alias("row"),
+        (F.col("col") + F.col("_o.dc")).alias("col"),
+        F.col("_x").alias("_nx"),
+        F.lit(None).cast("double").alias("_self"),
+    )
+    ident = valid.select(
+        "row", "col", F.lit(None).cast("double").alias("_nx"), F.col("_x").alias("_self")
+    )
+    per_cell = (
+        contrib.unionByName(ident)
+        .groupBy("row", "col")
+        .agg(
+            F.max("_self").alias("_xv"),
+            F.count("_nx").alias("w_i"),
+            F.sum("_nx").alias("sum_nb"),
+        )
+        .where(F.col("_xv").isNotNull())
+    )
+    glob = F.broadcast(
+        valid.agg(
+            F.count("_x").alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+    )
+    joined = per_cell.crossJoin(glob)
+    xbar = F.col("_sx") / F.col("_n")
+    s = F.sqrt(F.col("_sxx") / F.col("_n") - xbar * xbar)
+    tt = (
+        F.col("_n") * F.col("w_i") - F.col("w_i") * F.col("w_i")
+    ).cast("double") / (F.col("_n").cast("double") - F.lit(1.0))
+    den = s * F.sqrt(tt)
+    num = F.col("sum_nb") - xbar * F.col("w_i")
+    return joined.select(
+        "row",
+        "col",
+        "w_i",
+        "sum_nb",
+        F.when(den > F.lit(0.0), num / den).alias("gi_z"),
+    )

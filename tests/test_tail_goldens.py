@@ -68,6 +68,8 @@ def _assert_oracle_match(spark, ddb, name):
         "text_quality",    # rotated late r5 (admitted slope_horn)
         "near_dup_lsh",    # rotated late r5 (admitted track_contacts)
         "dedup_exact",     # rotated late r5 (admitted morans_i)
+        "focal_stats",     # rotated late r5 (admitted hillshade)
+        "kde_grid",        # rotated late r5 (admitted getis_ord)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -88,3 +88,73 @@ def test_slope_partition_invariance(spark):
     a = sorted(map(tuple, slope_gradients(df, pixel=1.0).collect()))
     b = sorted(map(tuple, slope_gradients(df.repartition(11), pixel=1.0).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------- hillshade
+
+
+def test_hillshade_flat_golden(spark):
+    """Flat DEM: every interior cell's shade is exactly sin(altitude);
+    the byte layer is 1 + round(254·sin45°) = 181; edges NULL."""
+    from gregor_spark.operators.terrain import hillshade
+
+    vals = np.full((6, 6), 7.0)
+    df = raster_df(spark, _meta(6, 6), vals)
+    rows = {(r.row, r.col): r for r in hillshade(df, pixel=1.0).collect()}
+    c0 = np.sin(np.radians(45.0))
+    for (r, c), row in rows.items():
+        if 1 <= r <= 4 and 1 <= c <= 4:
+            assert row.shade == c0 and row.shade_u8 == 181
+        else:
+            assert row.shade is None and row.shade_u8 is None
+
+
+def test_hillshade_matches_trig_form(spark):
+    """The algebraic constant-folded expression must equal the textbook
+    trig form cos(incidence) = cos alt·sin slope·cos(az − aspect)
+    + sin alt·cos slope (aspect from atan2 of the NORTH-positive
+    gradient) to float tolerance — an independent derivation check."""
+    from gregor_spark.operators.terrain import hillshade
+
+    vals = np.array(
+        [[float((r * 31 + c * 17) % 13) for c in range(9)] for r in range(9)]
+    )
+    df = raster_df(spark, _meta(9, 9), vals)
+    px = 2.0
+    got = {(r.row, r.col): r.shade for r in hillshade(df, pixel=px).collect()}
+    grads = _brute(vals, px)
+    az, al = np.radians(315.0), np.radians(45.0)
+    for (r, c), (n, dzdx, dzdy) in grads.items():
+        if n < 8:
+            assert got[(r, c)] is None
+            continue
+        p, qn = dzdx, -dzdy  # north-positive gradient
+        # unit-vector dot-product form (equivalent to the slope/aspect
+        # trig form but free of aspect-convention pitfalls):
+        lx, ly, lz = np.cos(al) * np.sin(az), np.cos(al) * np.cos(az), np.sin(al)
+        nx, ny, nz = -p, -qn, 1.0
+        want = (nx * lx + ny * ly + nz * lz) / np.sqrt(nx * nx + ny * ny + nz * nz)
+        assert got[(r, c)] == pytest.approx(want, abs=1e-12), (r, c)
+
+
+def test_hillshade_self_shadow_clamps_byte(spark):
+    """A steep slope facing away from the 315° sun goes negative in
+    `shade` (self-shadow) but clamps to 1 in the byte layer."""
+    from gregor_spark.operators.terrain import hillshade
+
+    # z rises steeply to the north-west → surface faces south-east,
+    # directly away from the default 315° sun
+    vals = np.array([[-10.0 * c - 10.0 * r for c in range(6)] for r in range(6)])
+    rows = hillshade(raster_df(spark, _meta(6, 6), vals), pixel=1.0).collect()
+    interior = [r for r in rows if r.n_nb == 8]
+    assert interior and all(r.shade < 0 and r.shade_u8 == 1 for r in interior)
+
+
+def test_hillshade_partition_invariance(spark):
+    from gregor_spark.operators.terrain import hillshade
+
+    vals = np.arange(64, dtype=float).reshape(8, 8) % 9
+    df = raster_df(spark, _meta(8, 8), vals)
+    a = sorted(map(tuple, hillshade(df, pixel=1.0).collect()))
+    b = sorted(map(tuple, hillshade(df.repartition(13), pixel=1.0).collect()))
+    assert a == b
