@@ -84,6 +84,8 @@ HEADLINE = [
     "track_interp",        # r5 cont.: trajectory time-resample (1 window)
     "hillshade",           # r5 cont.: Lambertian relief (terrain plan + map)
     "getis_ord",           # r5 cont.: Gi* hot spots (explode + broadcast moments)
+    "od_matrix",           # r5 cont.: origin-destination flows (2 Exchanges)
+    "staypoints",          # r5 cont.: dwell detection (1-Exchange islands)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -3529,6 +3529,138 @@ FROM v JOIN nb USING (row, col) CROSS JOIN m
 REGISTRY.update({"getis_ord": (q_getis_ord, _GETIS_ORD_SQL)})
 
 
+# ------------------------------------------------------------- OD matrix
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flows between 8x8 tiles over the LCG event
+    tracks (ops/trajectory.py::od_matrix — one window on the entity key,
+    a groupBy the window's partitioning already satisfies, then a
+    groupBy on the tiny tile-pair key: 2 Exchanges total)."""
+    from .ops.trajectory import od_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    return od_matrix(pts, -0.25, 9.75, 2.0, 8, tiebreak="event_id")
+
+
+_OD_MATRIX_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         -0.25 + 2.0 * (((event_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         9.75  + 2.0 * (((event_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM events),
+st AS (
+  SELECT user_id,
+         first_value(lon) OVER wa AS lon0, first_value(lat) OVER wa AS lat0,
+         last_value(lon) OVER wa AS lon1,  last_value(lat) OVER wa AS lat1
+  FROM ev
+  WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+pu AS (
+  SELECT user_id, min(lon0) AS lon0, min(lat0) AS lat0,
+         min(lon1) AS lon1, min(lat1) AS lat1
+  FROM st GROUP BY user_id),
+od AS (
+  SELECT
+    least(greatest(CAST(floor((lon0 - (-0.25)) / 2.0 * 8) AS BIGINT), 0), 7) AS o_tx,
+    least(greatest(CAST(floor((lat0 - 9.75) / 2.0 * 8) AS BIGINT), 0), 7) AS o_ty,
+    least(greatest(CAST(floor((lon1 - (-0.25)) / 2.0 * 8) AS BIGINT), 0), 7) AS d_tx,
+    least(greatest(CAST(floor((lat1 - 9.75) / 2.0 * 8) AS BIGINT), 0), 7) AS d_ty
+  FROM pu)
+SELECT o_tx, o_ty, d_tx, d_ty,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN o_tx = d_tx AND o_ty = d_ty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stationary
+FROM od GROUP BY 1, 2, 3, 4
+"""
+
+
+REGISTRY.update({"od_matrix": (q_od_matrix, _OD_MATRIX_SQL)})
+
+
+# ------------------------------------------------------------ staypoints
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection over the LCG tracks: speed-threshold
+    segmentation at 5 km/h, staypoint = anchor + consecutive dwell fixes
+    spanning >= 6 h (ops/trajectory.py::staypoints — gaps-and-islands in
+    one window Exchange; the (user, island) groupBy reuses the window's
+    hash partitioning, so ONE Exchange total; centroid sums are integer
+    micro-degrees → order-independent)."""
+    from .ops.trajectory import staypoints
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    out = staypoints(
+        pts, max_speed_kmh=5.0, min_duration_s=21600.0, tiebreak="event_id"
+    )
+    return out.withColumnRenamed("user", "user_id")
+
+
+_STAYPOINTS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         -0.25 + 2.0 * (((event_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         9.75  + 2.0 * (((event_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM events),
+st AS (
+  SELECT user_id, ts, event_id, lon, lat, epoch_us(ts) AS us,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+mk AS (
+  SELECT user_id, ts, event_id, us,
+         CAST(round(lon * 1000000.0) AS BIGINT) AS lon_ud,
+         CAST(round(lat * 1000000.0) AS BIGINT) AS lat_ud,
+         CASE WHEN plon IS NOT NULL AND dt_us > 0
+               AND {_hav4('plon', 'plat', 'lon', 'lat')}
+                   / (CAST(dt_us AS DOUBLE) / CAST(3600000000.0 AS DOUBLE)) <= 5.0
+              THEN 1 ELSE 0 END AS dwell
+  FROM st),
+isl AS (
+  SELECT user_id, ts, us, lon_ud, lat_ud,
+         sum(1 - dwell) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS stay_id
+  FROM mk),
+g AS (
+  SELECT user_id, stay_id,
+         min(ts) AS start_ts, max(ts) AS end_ts,
+         max(us) - min(us) AS dur_us,
+         count(*) AS n_fixes, sum(lon_ud) AS slon, sum(lat_ud) AS slat
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(stay_id AS BIGINT) AS stay_id, start_ts, end_ts,
+       CAST(dur_us AS DOUBLE) / 1000000.0 AS duration_s,
+       CAST(n_fixes AS BIGINT) AS n_fixes,
+       CAST(slon AS DOUBLE) / n_fixes / 1000000.0 AS lon_c,
+       CAST(slat AS DOUBLE) / n_fixes / 1000000.0 AS lat_c
+FROM g
+WHERE n_fixes >= 2 AND CAST(dur_us AS DOUBLE) / 1000000.0 >= 21600.0
+"""
+
+
+REGISTRY.update({"staypoints": (q_staypoints, _STAYPOINTS_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -3707,6 +3839,18 @@ REGISTRY.update({"getis_ord": (q_getis_ord, _GETIS_ORD_SQL)})
 #     kernel polynomial); rotated late r5 to admit getis_ord; operator
 #     goldens in test_interpolate, direct registry-vs-oracle golden in
 #     test_tail_goldens.
+#   track_stats — per-entity movement rollup; the one-Exchange
+#     window+agg trajectory family stays richly in-window via
+#     track_interp, track_contacts, staypoints and od_matrix (same LCG
+#     fixture, same window machinery); rotated late r5 to admit
+#     od_matrix; operator goldens in test_trajectory, direct
+#     registry-vs-oracle golden in test_tail_goldens.
+#   sample_stratified — deterministic hash-bucket sampling; the
+#     sampling family stays in-window via sample_weighted (A-ES
+#     weighted reservoir, the harder variant) and the deterministic-
+#     hash-predicate shape via dedup_exact-family md5 paths; rotated
+#     late r5 to admit staypoints; operator goldens in test_round5,
+#     direct registry-vs-oracle golden in test_tail_goldens.
 # Rotation protocol (COVERAGE.md §"Driver verification window"): when a
 # NEW query is added, pick a new tail candidate by the two rules above —
 # never let a family's only oracle row slip past position 50.  Enforced
@@ -3714,6 +3858,8 @@ REGISTRY.update({"getis_ord": (q_getis_ord, _GETIS_ORD_SQL)})
 _WINDOW_TAIL = (
     "focal_stats",
     "kde_grid",
+    "track_stats",
+    "sample_stratified",
     "belongs_overlap",
     "zonal_minmax",
     "coarsen_2x2",

@@ -280,3 +280,162 @@ def simplify_tracks(
         return pdf.loc[m, [user, ts, lon, lat]]
 
     return df.groupBy(user).applyInPandas(fn, schema=out_schema)
+
+
+def od_matrix(
+    df: DataFrame,
+    x0: float,
+    y0: float,
+    extent: float,
+    n_tiles: int,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Origin–destination flow matrix: each entity's FIRST and LAST fix
+    (by ``ts``, ``tiebreak``-disambiguated) is snapped to an
+    ``n_tiles × n_tiles`` grid over the square ``[x0, x0+extent) ×
+    [y0, y0+extent)``, and flows are counted per (origin, destination)
+    tile pair — the transport-planning / migration-analysis primitive.
+
+    Output: ``o_tx, o_ty, d_tx, d_ty, n_users``, plus ``n_stationary``
+    (entities whose origin tile == destination tile, a subtotal of
+    ``n_users``).
+
+    Scale shape: one window on the entity key (first/last fix), a
+    groupBy on the SAME key (no second shuffle of the big table under
+    AQE exchange reuse — every row of an entity carries identical
+    first/last values, so ``min`` collapses them deterministically),
+    then a groupBy on the tile pair — whose cardinality is at most
+    n_tiles⁴, tiny.  Entirely column arithmetic; floor-snap is exact in
+    float64 for grid-aligned bounds."""
+    if n_tiles <= 0 or extent <= 0:
+        raise ValueError("n_tiles and extent must be positive")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(user)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+    def tile(c: Column, origin: float) -> Column:
+        t = F.floor((c - F.lit(origin)) / F.lit(extent) * F.lit(n_tiles))
+        return F.least(F.greatest(t, F.lit(0)), F.lit(n_tiles - 1)).cast("long")
+
+    # group on the ORIGINAL key column (the track_stats lesson: renaming
+    # between Window and HashAggregate costs a second Exchange)
+    ends = df.select(
+        F.col(user),
+        F.first(lon).over(w).alias("_lon0"),
+        F.first(lat).over(w).alias("_lat0"),
+        F.last(lon).over(w).alias("_lon1"),
+        F.last(lat).over(w).alias("_lat1"),
+    )
+    per_user = ends.groupBy(user).agg(
+        F.min("_lon0").alias("_lon0"),
+        F.min("_lat0").alias("_lat0"),
+        F.min("_lon1").alias("_lon1"),
+        F.min("_lat1").alias("_lat1"),
+    )
+    od = per_user.select(
+        tile(F.col("_lon0"), x0).alias("o_tx"),
+        tile(F.col("_lat0"), y0).alias("o_ty"),
+        tile(F.col("_lon1"), x0).alias("d_tx"),
+        tile(F.col("_lat1"), y0).alias("d_ty"),
+    )
+    return od.groupBy("o_tx", "o_ty", "d_tx", "d_ty").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("o_tx") == F.col("d_tx")) & (F.col("o_ty") == F.col("d_ty")), 1
+            ).otherwise(0)
+        ).alias("n_stationary"),
+    )
+
+
+def staypoints(
+    df: DataFrame,
+    max_speed_kmh: float,
+    min_duration_s: float,
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Stop / stay-point detection over a (user, ts, lon, lat) fix table
+    — the dwell-extraction primitive behind visit mining (Li et al. 2008
+    semantics, re-expressed as a speed-threshold segmentation so it
+    distributes as pure windows instead of a sequential anchor scan):
+
+    * a fix is DWELLING if the great-circle speed of the step into it is
+      ≤ ``max_speed_kmh`` (the first fix of an entity never is);
+    * a stay group = one non-dwelling anchor fix plus the maximal run of
+      consecutive dwelling fixes after it (gaps-and-islands: the island
+      id is the running count of non-dwelling fixes in ts order);
+    * a group is a STAYPOINT if it spans ≥ 2 fixes and its
+      first→last duration ≥ ``min_duration_s``.
+
+    Output per staypoint: ``user, stay_id`` (the island ordinal within
+    the user), ``start_ts, end_ts, duration_s`` (exact integer
+    micro-second diff / 1e6), ``n_fixes``, and the centroid
+    ``lon_c / lat_c`` — means of integer micro-degree fixes, so the sums
+    are order-independent and the result bit-matches any SQL replay.
+
+    Scale shape: ONE window Exchange on the entity key (lag + running
+    sum share the same ordering) and one groupBy on (user, island) —
+    O(active fixes) state, no self-join, no applyInPandas."""
+    if max_speed_kmh <= 0 or min_duration_s <= 0:
+        raise ValueError("max_speed_kmh and min_duration_s must be positive")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(user).orderBy(*order)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    plon = F.lag(lon).over(w)
+    # mask the null lag explicitly — Spark's least() inside haversine_km
+    # SKIPS nulls, so an unmasked first row would clamp to asin(1.0)
+    step_km = F.when(
+        plon.isNotNull(), haversine_km(plon, F.lag(lat).over(w), F.col(lon), F.col(lat))
+    )
+    dt_us = us - F.lag(us).over(w)
+    speed = step_km / (dt_us.cast("double") / F.lit(3600000000.0))
+    dwell = F.when(
+        speed.isNotNull() & (dt_us > 0) & (speed <= F.lit(max_speed_kmh)), 1
+    ).otherwise(0)
+    marked = df.select(
+        F.col(user),
+        F.col(ts).alias("_ts"),
+        us.alias("_us"),
+        F.round(F.col(lon) * F.lit(1000000.0)).cast("long").alias("_lon_ud"),
+        F.round(F.col(lat) * F.lit(1000000.0)).cast("long").alias("_lat_ud"),
+        F.sum(F.lit(1) - dwell)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("stay_id"),
+    )
+    grp = marked.groupBy(F.col(user).alias("user"), F.col("stay_id")).agg(
+        F.min("_ts").alias("start_ts"),
+        F.max("_ts").alias("end_ts"),
+        (F.max("_us") - F.min("_us")).alias("_dur_us"),
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.sum("_lon_ud").alias("_slon"),
+        F.sum("_lat_ud").alias("_slat"),
+    )
+    dur_us = F.col("_dur_us")
+    out = grp.select(
+        "user",
+        "stay_id",
+        "start_ts",
+        "end_ts",
+        (dur_us.cast("double") / F.lit(1000000.0)).alias("duration_s"),
+        "n_fixes",
+        (F.col("_slon").cast("double") / F.col("n_fixes") / F.lit(1000000.0)).alias(
+            "lon_c"
+        ),
+        (F.col("_slat").cast("double") / F.col("n_fixes") / F.lit(1000000.0)).alias(
+            "lat_c"
+        ),
+    )
+    return out.where(
+        (F.col("n_fixes") >= 2) & (F.col("duration_s") >= F.lit(float(min_duration_s)))
+    )

@@ -70,6 +70,8 @@ def _assert_oracle_match(spark, ddb, name):
         "dedup_exact",     # rotated late r5 (admitted morans_i)
         "focal_stats",     # rotated late r5 (admitted hillshade)
         "kde_grid",        # rotated late r5 (admitted getis_ord)
+        "track_stats",     # rotated late r5 (admitted od_matrix)
+        "sample_stratified",  # rotated late r5 (admitted staypoints)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -259,3 +259,113 @@ def test_simplify_partition_invariance(spark):
         )
     )
     assert a == b and len(a) > 4
+
+
+# ------------------------------------------------------------- OD matrix
+
+
+def test_od_matrix_golden(spark):
+    from gregor_spark.ops.trajectory import od_matrix
+
+    # grid: 4 tiles over [0, 4) in each axis (tile width 1.0)
+    df = _ev(spark, [
+        (1, 0, 0.5, 0.5), (1, 60, 2.5, 0.5), (1, 120, 3.5, 3.5),  # (0,0)->(3,3)
+        (2, 0, 0.6, 0.4), (2, 60, 0.7, 0.3),                      # stays in (0,0)
+        (3, 0, 3.2, 0.1),                                         # single fix
+    ])
+    rows = {(r.o_tx, r.o_ty, r.d_tx, r.d_ty): r
+            for r in od_matrix(df, 0.0, 0.0, 4.0, 4, tiebreak="event_id").collect()}
+    assert rows[(0, 0, 3, 3)].n_users == 1 and rows[(0, 0, 3, 3)].n_stationary == 0
+    assert rows[(0, 0, 0, 0)].n_users == 1 and rows[(0, 0, 0, 0)].n_stationary == 1
+    assert rows[(3, 0, 3, 0)].n_users == 1 and rows[(3, 0, 3, 0)].n_stationary == 1
+    assert len(rows) == 3
+
+
+def test_od_matrix_clamps_out_of_bounds(spark):
+    from gregor_spark.ops.trajectory import od_matrix
+
+    df = _ev(spark, [(1, 0, -5.0, 9.0), (1, 60, 1.0, 1.0)])
+    (r,) = od_matrix(df, 0.0, 0.0, 4.0, 4, tiebreak="event_id").collect()
+    assert (r.o_tx, r.o_ty, r.d_tx, r.d_ty) == (0, 3, 1, 1)
+
+
+def test_od_matrix_tiebreak_on_duplicate_ts(spark):
+    from gregor_spark.ops.trajectory import od_matrix
+
+    # two fixes at the same ts: event_id orders them deterministically
+    df = _ev(spark, [(1, 0, 0.5, 0.5), (1, 0, 2.5, 2.5), (1, 60, 3.5, 3.5)])
+    (r,) = od_matrix(df, 0.0, 0.0, 4.0, 4, tiebreak="event_id").collect()
+    assert (r.o_tx, r.o_ty) == (0, 0)  # lowest event_id wins the origin
+
+
+def test_od_matrix_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from gregor_spark.ops.trajectory import od_matrix
+
+    df = _ev(spark, [(1, 0, 0.5, 0.5)])
+    with _pytest.raises(ValueError):
+        od_matrix(df, 0.0, 0.0, 4.0, 0)
+    with _pytest.raises(ValueError):
+        od_matrix(df, 0.0, 0.0, -1.0, 4)
+
+
+# ------------------------------------------------------------ staypoints
+
+
+def test_staypoints_golden(spark):
+    from gregor_spark.ops.trajectory import staypoints
+
+    # user 1: dwell near (0, 0) for 3 fixes spanning 2 h (~55 m hops,
+    # 0.055 km/h), then a 100+ km teleport, then a second 1-fix anchor.
+    df = _ev(spark, [
+        (1, 0, 0.0000, 0.0),
+        (1, 3600, 0.0005, 0.0),
+        (1, 7200, 0.0010, 0.0),
+        (1, 10800, 1.0, 1.0),      # fast step -> breaks the island
+        (2, 0, 5.0, 5.0),          # single fix, never a staypoint
+    ])
+    out = staypoints(df, max_speed_kmh=1.0, min_duration_s=3600.0,
+                     tiebreak="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user == 1 and r.n_fixes == 3 and r.duration_s == 7200.0
+    assert r.start_ts == dt.datetime(2024, 1, 1)
+    assert r.end_ts == dt.datetime(2024, 1, 1, 2, 0)
+    # centroid of integer micro-degree fixes: (0 + 500 + 1000)/3 µdeg
+    assert r.lon_c == (0 + 500 + 1000) / 3 / 1e6 and r.lat_c == 0.0
+
+
+def test_staypoints_duration_filter(spark):
+    from gregor_spark.ops.trajectory import staypoints
+
+    df = _ev(spark, [(1, 0, 0.0, 0.0), (1, 600, 0.0001, 0.0)])  # 10-minute dwell
+    assert staypoints(df, 1.0, 3600.0, tiebreak="event_id").count() == 0
+    assert staypoints(df, 1.0, 600.0, tiebreak="event_id").count() == 1
+
+
+def test_staypoints_two_islands(spark):
+    from gregor_spark.ops.trajectory import staypoints
+
+    rows = [(1, 0, 0.0, 0.0), (1, 3600, 0.0001, 0.0),       # island A
+            (1, 7200, 2.0, 2.0), (1, 10800, 2.0001, 2.0)]   # teleport, island B
+    out = sorted(staypoints(_ev(spark, rows), 1.0, 1800.0,
+                            tiebreak="event_id").collect(),
+                 key=lambda r: r.stay_id)
+    assert len(out) == 2
+    assert out[0].n_fixes == 2 and abs(out[0].lon_c) < 1e-3
+    assert out[1].n_fixes == 2 and abs(out[1].lon_c - 2.0) < 1e-3
+    assert out[0].stay_id < out[1].stay_id
+
+
+def test_staypoints_partition_invariance(spark):
+    from gregor_spark.ops.trajectory import staypoints
+
+    rows = [(u, s * 600, (u * 7 + s) % 5 * 0.0001, (u * 3 + s) % 7 * 0.0001)
+            for u in range(4) for s in range(12)]
+    df = _ev(spark, rows)
+    a = sorted(map(tuple, staypoints(df, 1.0, 600.0, tiebreak="event_id").collect()))
+    b = sorted(map(tuple,
+                   staypoints(df.repartition(13), 1.0, 600.0,
+                              tiebreak="event_id").collect()))
+    assert a == b and len(a) > 0
