@@ -86,6 +86,7 @@ HEADLINE = [
     "getis_ord",           # r5 cont.: Gi* hot spots (explode + broadcast moments)
     "od_matrix",           # r5 cont.: origin-destination flows (2 Exchanges)
     "staypoints",          # r5 cont.: dwell detection (1-Exchange islands)
+    "dbscan",              # r5 cont.: density clustering (grid edges + CC)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -72,6 +72,7 @@ def _assert_oracle_match(spark, ddb, name):
         "kde_grid",        # rotated late r5 (admitted getis_ord)
         "track_stats",     # rotated late r5 (admitted od_matrix)
         "sample_stratified",  # rotated late r5 (admitted staypoints)
+        "doc_pairs_geodesic",  # rotated late r5 (admitted dbscan)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
