@@ -87,6 +87,7 @@ HEADLINE = [
     "od_matrix",           # r5 cont.: origin-destination flows (2 Exchanges)
     "staypoints",          # r5 cont.: dwell detection (1-Exchange islands)
     "dbscan",              # r5 cont.: density clustering (grid edges + CC)
+    "pq_adc",              # r5 cont.: product-quantization ADC top-k
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

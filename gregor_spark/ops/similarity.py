@@ -868,3 +868,142 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+# ------------------------------------------------- product quantization
+
+
+def _pq_sub(vec: str, m_idx: int, sub_dim: int):
+    """1-indexed slice of subspace ``m_idx`` as array<double>."""
+    return F.slice(
+        F.col(vec).cast("array<double>"), m_idx * sub_dim + 1, sub_dim
+    )
+
+
+def _pq_argmin(sub, codebook: list[list[float]]):
+    """struct(d2, code) of the nearest codeword — the same fold-expression
+    argmin as kmeans_assign's expr path (ties to the smaller code)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in codebook
+    ]
+    return F.array_min(
+        F.array(
+            *[F.struct(d.alias("d"), F.lit(i).alias("c")) for i, d in enumerate(dists)]
+        )
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    round_to: int = 6,
+    method: str = "expr",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split the
+    ``dim``-wide vector into ``m`` contiguous subspaces and train an
+    independent k-means codebook per subspace with
+    :func:`kmeans_fit` — inheriting its QUANTIZED-CENTROID determinism
+    (bit-identical at any parallelism, exactly replayable in SQL) and
+    its seeded md5 init (every subspace slices the SAME k seed vectors,
+    so one hash ordering drives all ``m`` codebooks).
+
+    Returns ``codebooks[m_idx][code][coord]``.  Memory: m·k·(dim/m) =
+    k·dim floats — driver-trivial.  Each subspace training is the
+    kmeans_fit loop: ONE corpus pass per iteration + a k×sub_dim
+    driver-bounded mean collect; m subspaces are m such loops over
+    sliced columns (map-side slices — no extra shuffles vs plain
+    k-means)."""
+    dim = len(df.select(F.col(vec)).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books = []
+    for i in range(m):
+        sliced = df.select(
+            F.col(key), _pq_sub(vec, i, sub_dim).alias("_sub")
+        )
+        _, cents = kmeans_fit(
+            sliced, k=k, iters=iters, vec="_sub", key=key,
+            round_to=round_to, method=method,
+        )
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """(key, code_0..code_{m-1}) — each vector compressed to m codeword
+    ids (m bytes at k ≤ 256: a 64-dim float64 vector becomes 4 bytes at
+    the contract settings, a 128× compression).  ONE map-only projection:
+    every argmin is a codegen fold expression, zero Exchanges, zero
+    Python — the plan is a bare scan + project at any corpus size."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cols = [F.col(key)]
+    for i in range(m):
+        best = _pq_argmin(_pq_sub(vec, i, sub_dim), codebooks[i])
+        cols.append(best["c"].cast("long").alias(f"code_{i}"))
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    n: int = 10,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-n scan (the paper's ADC): the query stays
+    un-quantized; per subspace a k-entry lookup table
+    ``lut[m][c] = d²(query_m, codebook[m][c])`` is computed DRIVER-SIDE
+    in plain Python (m·k doubles, left-to-right sums so any SQL replay
+    folds identically), and every corpus vector's approximate distance
+    is ``Σ_m lut[m][code_m]`` — a fixed-order chain of m array lookups
+    and adds, no per-row float math beyond m−1 additions.
+
+    Plan: encode projection (map-only) → TakeOrderedAndProject on
+    (ad2, key) — no shuffle; each partition ships only its local top-n.
+    Output: (key, code_0.., ad2), deterministic total order."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    if len(query) != m * sub_dim:
+        raise ValueError("query dim mismatch")
+    luts = []
+    for i, book in enumerate(codebooks):
+        qs = query[i * sub_dim : (i + 1) * sub_dim]
+        lut = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(qs, c):
+                acc = acc + (a - b) * (a - b)
+            lut.append(acc)
+        luts.append(lut)
+    enc = pq_encode(df, codebooks, vec=vec, key=key)
+    ad2 = None
+    for i in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in luts[i]]),
+            (F.col(f"code_{i}") + F.lit(1)).cast("int"),
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    scored = enc.withColumn("ad2", ad2)
+    return scored.orderBy("ad2", key).limit(n)

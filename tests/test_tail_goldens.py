@@ -73,6 +73,7 @@ def _assert_oracle_match(spark, ddb, name):
         "track_stats",     # rotated late r5 (admitted od_matrix)
         "sample_stratified",  # rotated late r5 (admitted staypoints)
         "doc_pairs_geodesic",  # rotated late r5 (admitted dbscan)
+        "bloom_semi",      # rotated late r5 (admitted pq_adc)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
