@@ -88,6 +88,7 @@ HEADLINE = [
     "staypoints",          # r5 cont.: dwell detection (1-Exchange islands)
     "dbscan",              # r5 cont.: density clustering (grid edges + CC)
     "pq_adc",              # r5 cont.: product-quantization ADC top-k
+    "theta_sets",          # r5 cont.: KMV bottom-k set-op estimates
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

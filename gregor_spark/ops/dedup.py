@@ -614,6 +614,41 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFrame:
 _AUTO_JUMP_AFTER = 2
 
 
+def _materialize_truncated(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager)`` + STATS rebase — the iterative-loop
+    materialization primitive.
+
+    Plain ``Dataset.localCheckpoint`` truncates lineage but NOT stats:
+    ``LogicalRDD.fromDataset`` calls ``rewriteStatsAndConstraints``,
+    copying the parent plan's ESTIMATED ``sizeInBytes`` (for joins, the
+    PRODUCT over the children's estimates) into the new leaf.  In a
+    loop that joins the previous round's checkpoint with itself, those
+    estimates compound multiplicatively: with the path-halving round's
+    three self-references the leaf's BigInteger bit length grows ~3^r,
+    and by round ~15 the driver burns minutes PER ROUND inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` multiplying hundred-megabit
+    integers (observed live on dbscan at sf0.1: round times 0.5 s →
+    13.5 s doubling each round; jstack = BigInteger.multiplyToomCook3
+    under Dataset.checkpoint → rewriteStatsAndConstraints).
+
+    Fix: after the checkpoint materializes, rewrap its InternalRow RDD
+    in a FRESH LogicalRDD via ``internalCreateDataFrame`` — the new
+    leaf reports the default sizeInBytes, so every round's stats walk
+    is constant-size arithmetic forever.  Cost: the rewrapped leaf
+    loses the checkpoint's output-partitioning metadata (one extra
+    small-table Exchange per round) and is never auto-broadcast —
+    irrelevant inside the label loop, and infinitely cheaper than the
+    geometric driver stall.  Rows are served from the checkpoint's
+    cache either way."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = ck.sparkSession
+    clean = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(clean, spark)
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -676,15 +711,13 @@ def dedup_clusters(
     """
     import time as _time
 
-    edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint(eager=True)
+    edges = _materialize_truncated(
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
     )
-    labels = (
-        docs.select(F.col(key).alias("id"))
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+    labels = _materialize_truncated(
+        docs.select(F.col(key).alias("id")).withColumn("label", F.col("id"))
     )
     converged = False
     for i in range(max_iters):
@@ -713,14 +746,13 @@ def dedup_clusters(
             )
         else:
             best = F.least(F.col("label"), F.coalesce("_nl", "label"))
-        new_labels = (
+        new_labels = _materialize_truncated(
             stepped.select(
                 "id",
                 best.alias("label"),
                 (best < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)  # truncates lineage: one round deep
-        )
+        )  # truncates lineage AND stats: one round deep, constant-size plan
         # cheap scan of the block just materialized above — no recompute
         changed = bool(new_labels.filter(F.col("_changed")).take(1))
         labels = new_labels.drop("_changed")

@@ -36,7 +36,7 @@ rollup.  Sketch merge between shards is the same max-by-bucket groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 H_BITS = 60  # md5-prefix portable hash width
@@ -271,4 +271,105 @@ def bloom_contains(
         ex.join(F.broadcast(sketch), ["word"], "left")
         .groupBy(col)
         .agg(F.expr("bool_and(bits IS NOT NULL AND (bits & mask) = mask)").alias("maybe_present"))
+    )
+
+
+# ------------------------------------------------ theta (KMV bottom-k)
+
+#: hash-space size for the 60-bit portable hash (theta normalization).
+H_SPACE = float(1 << 60)
+
+
+def theta_sketch(
+    df: DataFrame, col: str, k: int = 64, by: list[str] | None = None
+) -> DataFrame:
+    """KMV / theta sketch (Bar-Yossef et al. 2002; the DataSketches
+    theta family): the ``k`` SMALLEST distinct 60-bit portable hashes of
+    ``col`` — (``*by``, ``hs`` sorted array<long>, ``nd`` = |hs|).
+
+    Unlike HLL this sketch supports INTERSECTION (and difference)
+    estimates, because it is a uniform sample of the distinct hash
+    space below a known threshold.  Fully deterministic: bottom-k of a
+    set is order- and partition-independent, so the sketch (and every
+    estimate derived from it) is bit-identical at any parallelism and
+    exactly replayable in SQL — no engine-private hash, no bias table
+    (the HLL lesson at the top of this module).
+
+    Scale shape: one distinct (the same Exchange any distinct-count
+    pays); then bottom-k.  Ungrouped: ``orderBy(h).limit(k)`` is
+    TakeOrderedAndProject — each partition ships only its local k, no
+    global sort.  Grouped: one row_number window per group key.
+    Merging shards is union → distinct → bottom-k of the arrays
+    (:func:`theta_union_estimate` does exactly this with array ops)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = _hash60(F.col(col).cast("string"))
+    if by:
+        d = df.select(*by, h.alias("h")).distinct()
+        w = Window.partitionBy(*by).orderBy("h")
+        top = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+        return top.groupBy(*by).agg(
+            F.array_sort(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    d = df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    return d.agg(
+        F.array_sort(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+
+
+def theta_estimate(hs, k: int):
+    """Distinct-count estimate column from a bottom-k hash array: exact
+    |hs| when the set never filled the sketch, else the KMV estimator
+    (k−1) / (h_k / 2^60) — one fixed-order float division chain."""
+    nd = F.size(hs)
+    u = F.element_at(hs, k).cast("double") / F.lit(H_SPACE)
+    return F.when(nd < k, nd.cast("double")).otherwise(F.lit(float(k - 1)) / u)
+
+
+def _theta_threshold(hs, k: int):
+    """θ as an INTEGER hash bound: h_k when the sketch is full, else
+    2^60 (every hash was kept)."""
+    return F.when(F.size(hs) == k, F.element_at(hs, k)).otherwise(
+        F.lit(1 << 60)
+    )
+
+
+def theta_set_estimates(
+    a: DataFrame, b: DataFrame, col: str, k: int = 64
+) -> DataFrame:
+    """One row of set-expression cardinality estimates between two
+    frames' ``col`` value sets: ``n_a_est, n_b_est, union_est,
+    inter_est`` (+ ``ka, kb, rho`` diagnostics).
+
+    Union = bottom-k of the merged hash arrays (the mergeability
+    property).  Intersection = the theta rule: θ = min(θ_a, θ_b) as an
+    integer bound, ρ = |common hashes below θ|, estimate ρ/θ̂.  All set
+    algebra is integer array ops on ≤ k elements; floats appear only in
+    the final fixed-order divisions — SQL-replayable bit-for-bit."""
+    sa = theta_sketch(a, col, k).select(
+        F.col("hs").alias("a_hs"), F.col("nd").alias("ka")
+    )
+    sb = theta_sketch(b, col, k).select(
+        F.col("hs").alias("b_hs"), F.col("nd").alias("kb")
+    )
+    both = sa.crossJoin(sb)
+    u_hs = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("a_hs"), F.col("b_hs")))), 1, k
+    )
+    theta = F.least(
+        _theta_threshold(F.col("a_hs"), k), _theta_threshold(F.col("b_hs"), k)
+    )
+    below = lambda arr: F.filter(arr, lambda x: x < theta)  # noqa: E731
+    rho = F.size(F.array_intersect(below(F.col("a_hs")), below(F.col("b_hs"))))
+    inter = rho.cast("double") / (theta.cast("double") / F.lit(H_SPACE))
+    return both.select(
+        "ka",
+        "kb",
+        rho.alias("rho"),
+        F.round(theta_estimate(F.col("a_hs"), k), 6).alias("n_a_est"),
+        F.round(theta_estimate(F.col("b_hs"), k), 6).alias("n_b_est"),
+        F.round(theta_estimate(u_hs, k), 6).alias("union_est"),
+        F.round(inter, 6).alias("inter_est"),
     )

@@ -209,3 +209,90 @@ def test_minhash_sig_golden(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()}
     assert again == {tuple(r) for r in rows}
+
+
+# ------------------------------------------------- theta (KMV bottom-k)
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "uid long")
+
+
+def test_theta_exact_below_k(spark):
+    from gregor_spark.ops.sketch import theta_set_estimates
+
+    a = _ids(spark, range(10))
+    b = _ids(spark, range(5, 15))
+    r = theta_set_estimates(a, b, "uid", k=32).collect()[0]
+    # sketches never filled: every estimate is EXACT set cardinality
+    assert (r.ka, r.kb) == (10, 10)
+    assert r.n_a_est == 10.0 and r.n_b_est == 10.0
+    assert r.union_est == 15.0 and r.inter_est == 5.0 and r.rho == 5
+
+
+def test_theta_disjoint_and_identical(spark):
+    from gregor_spark.ops.sketch import theta_set_estimates
+
+    a = _ids(spark, range(0, 400))
+    dis = theta_set_estimates(a, _ids(spark, range(1000, 1400)), "uid", k=32)
+    assert dis.collect()[0].inter_est == 0.0
+    same = theta_set_estimates(a, _ids(spark, range(0, 400)), "uid", k=32).collect()[0]
+    assert same.n_a_est == same.n_b_est == same.union_est == same.inter_est
+
+
+def test_theta_estimator_error_bounds(spark):
+    from gregor_spark.ops.sketch import theta_set_estimates
+
+    # 600 vs 600 with 300 shared; KMV stderr ~ n/sqrt(k-2) => be generous
+    a = _ids(spark, range(0, 600))
+    b = _ids(spark, range(300, 900))
+    r = theta_set_estimates(a, b, "uid", k=64).collect()[0]
+    assert abs(r.n_a_est - 600) / 600 < 0.5
+    assert abs(r.union_est - 900) / 900 < 0.5
+    assert abs(r.inter_est - 300) / 300 < 0.7  # intersection is noisier
+
+
+def test_theta_union_matches_sketch_of_union(spark):
+    """Mergeability, exactly: the bottom-k merge of two sketches must
+    equal the sketch built from the unioned data — same hashes, so the
+    union ESTIMATE is bit-identical, not just close."""
+    from gregor_spark.ops.sketch import theta_set_estimates, theta_sketch, theta_estimate
+    from pyspark.sql import functions as F
+
+    a, b = _ids(spark, range(0, 500)), _ids(spark, range(250, 750))
+    est_merged = theta_set_estimates(a, b, "uid", k=32).collect()[0].union_est
+    direct = theta_sketch(a.unionByName(b), "uid", k=32).select(
+        F.round(theta_estimate(F.col("hs"), 32), 6).alias("e")
+    ).collect()[0].e
+    assert est_merged == direct
+
+
+def test_theta_partition_invariance(spark):
+    from gregor_spark.ops.sketch import theta_sketch
+
+    df = _ids(spark, range(0, 777))
+    h1 = theta_sketch(df, "uid", k=48).collect()[0]
+    h2 = theta_sketch(df.repartition(17), "uid", k=48).collect()[0]
+    assert h1.hs == h2.hs and h1.nd == h2.nd
+
+
+def test_theta_grouped(spark):
+    from gregor_spark.ops.sketch import theta_sketch
+
+    df = spark.createDataFrame(
+        [(g, v) for g in (0, 1) for v in range(g * 3, g * 3 + 40)],
+        "g int, uid long",
+    )
+    rows = {r.g: r for r in theta_sketch(df, "uid", k=16, by=["g"]).collect()}
+    assert set(rows) == {0, 1}
+    assert all(r.nd == 16 and len(r.hs) == 16 for r in rows.values())
+    assert rows[0].hs != rows[1].hs
+
+
+def test_theta_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from gregor_spark.ops.sketch import theta_sketch
+
+    with _pytest.raises(ValueError):
+        theta_sketch(_ids(spark, [1]), "uid", k=1)

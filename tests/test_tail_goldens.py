@@ -74,6 +74,7 @@ def _assert_oracle_match(spark, ddb, name):
         "sample_stratified",  # rotated late r5 (admitted staypoints)
         "doc_pairs_geodesic",  # rotated late r5 (admitted dbscan)
         "bloom_semi",      # rotated late r5 (admitted pq_adc)
+        "cms_counts",      # rotated late r5 (admitted theta_sets)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
