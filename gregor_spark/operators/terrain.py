@@ -184,3 +184,114 @@ def hillshade(
         (F.lit(1) + F.round(F.lit(254.0) * F.greatest(shade, F.lit(0.0)))).cast("int"),
     )
     return g.select("row", "col", "n_nb", shade.alias("shade"), u8.alias("shade_u8"))
+
+
+#: D8 neighbor table: (dr, dc, ESRI code, cardinal?) — code 1=E, 2=SE,
+#: 4=S, 8=SW, 16=W, 32=NW, 64=N, 128=NE (row grows southward).
+_D8 = [
+    (0, 1, 1, True), (1, 1, 2, False), (1, 0, 4, True), (1, -1, 8, False),
+    (0, -1, 16, True), (-1, -1, 32, False), (-1, 0, 64, True), (-1, 1, 128, False),
+]
+
+
+def flow_direction_d8(
+    cells: DataFrame,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """D8 steepest-descent flow direction per cell (O'Callaghan & Mark
+    1984; the ESRI/GDAL ``FlowDirection`` primitive): each valid cell
+    drains toward the neighbor with the largest positive drop
+    ``(z_c − z_n) / dist`` (dist 1 cardinal, √2 diagonal); ``code`` uses
+    the ESRI power-of-two encoding, ``0`` = sink/flat (no positive
+    drop).  Edge cells use their available neighbors; nodata neighbors
+    are skipped; nodata cells get no row.
+
+    Determinism without irrationals: the drop comparison
+    ``dz_c/1 ≷ dz_d/√2`` is evaluated as ``2·dz_c² ≷ dz_d²`` over the
+    POSITIVE candidates — exact integer arithmetic on integer DEMs, so
+    the winner (ties → smallest code, the GDAL convention) is
+    bit-identical in any engine.  The reported ``drop`` is the winner's
+    raw dz (no √2 division — callers needing slope units divide at the
+    edge; keeping sqrt out makes the whole row hash-exact).
+
+    Scale shape: the focal explode (each valid cell ships its value to
+    8 targets) + per-target identity rows, then TWO window functions
+    over ONE (row, col) partition spec — a max to broadcast the center
+    value to its candidate rows and a row_number to pick the winner —
+    a single Exchange at any raster size, no join back."""
+    from pyspark.sql import Window
+
+    v = F.col(value)
+    valid = v.isNotNull() if nodata is None else v.isNotNull() & (v != F.lit(nodata))
+    src = cells.where(valid).select("row", "col", v.alias("_v"))
+
+    kern = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dr).alias("dr"),
+                    F.lit(dc).alias("dc"),
+                    F.lit(code).alias("code"),
+                    F.lit(1 if card else 0).alias("card"),
+                )
+                for dr, dc, code, card in _D8
+            ]
+        )
+    )
+    # the neighbor at offset (dr,dc) FROM target t is this cell: the
+    # contribution lands at t = (row - dr, col - dc) tagged with the
+    # direction code t would use to reach it
+    contrib = src.withColumn("_k", kern).select(
+        (F.col("row") - F.col("_k.dr")).alias("row"),
+        (F.col("col") - F.col("_k.dc")).alias("col"),
+        F.col("_v").alias("_nv"),
+        F.col("_k.code").alias("_code"),
+        F.col("_k.card").alias("_card"),
+        F.lit(None).cast("double").alias("_self"),
+    )
+    ident = src.select(
+        "row",
+        "col",
+        F.lit(None).cast("double").alias("_nv"),
+        F.lit(0).alias("_code"),
+        F.lit(0).alias("_card"),
+        F.col("_v").alias("_self"),
+    )
+    w = Window.partitionBy("row", "col")
+    rows = (
+        contrib.unionByName(ident)
+        .withColumn("_z", F.max("_self").over(w))
+        .where(F.col("_z").isNotNull())
+    )
+    dz = F.col("_z") - F.col("_nv")
+    # integer-exact steepest-descent metric over positive drops only:
+    # cardinal dz/1 vs diagonal dz/sqrt(2)  ==  2*dz_c^2 vs dz_d^2
+    metric = F.when(
+        F.col("_nv").isNotNull() & (dz > 0),
+        (dz * dz * F.when(F.col("_card") == 1, F.lit(2.0)).otherwise(F.lit(1.0)))
+        .cast("long"),
+    ).otherwise(F.lit(-1))
+    scored = rows.select(
+        "row",
+        "col",
+        F.col("_nv"),
+        F.col("_code"),
+        dz.alias("_dz"),
+        metric.alias("_m"),
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("_m").desc(), F.col("_code").asc()))
+        .alias("_rn"),
+        F.count("_nv").over(w).alias("n_nb"),
+    )
+    best = ranked.where(F.col("_rn") == 1)
+    return best.select(
+        "row",
+        "col",
+        "n_nb",
+        F.when(F.col("_m") >= 0, F.col("_code")).otherwise(F.lit(0)).alias("code"),
+        F.when(F.col("_m") >= 0, F.col("_dz")).alias("drop"),
+    )

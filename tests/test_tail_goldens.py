@@ -75,6 +75,7 @@ def _assert_oracle_match(spark, ddb, name):
         "doc_pairs_geodesic",  # rotated late r5 (admitted dbscan)
         "bloom_semi",      # rotated late r5 (admitted pq_adc)
         "cms_counts",      # rotated late r5 (admitted theta_sets)
+        "repetition_filter",  # rotated late r5 (admitted flow_d8)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

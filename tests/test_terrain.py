@@ -158,3 +158,102 @@ def test_hillshade_partition_invariance(spark):
     a = sorted(map(tuple, hillshade(df, pixel=1.0).collect()))
     b = sorted(map(tuple, hillshade(df.repartition(13), pixel=1.0).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------- D8 flow
+
+
+def _d8_brute(vals, nodata=None):
+    from gregor_spark.operators.terrain import _D8
+
+    h, w = vals.shape
+    pts = {
+        (r, c): vals[r, c]
+        for r in range(h)
+        for c in range(w)
+        if not np.isnan(vals[r, c]) and (nodata is None or vals[r, c] != nodata)
+    }
+    out = {}
+    for (r, c), z in pts.items():
+        cands = []
+        n_nb = 0
+        for dr, dc, code, card in _D8:
+            if (r + dr, c + dc) in pts:
+                n_nb += 1
+                dz = z - pts[(r + dr, c + dc)]
+                if dz > 0:
+                    cands.append((int(dz * dz * (2 if card else 1)), -code, code, dz))
+        if cands:
+            m, _, code, dz = max(cands)
+            out[(r, c)] = (n_nb, code, dz)
+        else:
+            out[(r, c)] = (n_nb, 0, None)
+    return out
+
+
+def test_flow_d8_tilted_plane(spark):
+    from gregor_spark.operators.terrain import flow_direction_d8
+
+    # z = col: interior cells drain due WEST (code 16, cardinal beats
+    # the equal-dz diagonals); the col-0 wall has no downhill at all
+    vals = np.array([[float(c) for c in range(6)] for _ in range(6)])
+    got = {(r.row, r.col): (r.code, r.drop)
+           for r in flow_direction_d8(raster_df(spark, _meta(6, 6), vals)).collect()}
+    for r in range(6):
+        for c in range(1, 6):
+            assert got[(r, c)] == (16, 1.0), (r, c)
+        assert got[(r, 0)] == (0, None)
+
+
+def test_flow_d8_pit_and_inflow(spark):
+    from gregor_spark.operators.terrain import flow_direction_d8
+
+    vals = np.full((5, 5), 9.0)
+    vals[2, 2] = 1.0
+    got = {(r.row, r.col): r.code
+           for r in flow_direction_d8(raster_df(spark, _meta(5, 5), vals)).collect()}
+    assert got[(2, 2)] == 0            # the pit is a sink
+    assert got[(2, 1)] == 1            # E into the pit
+    assert got[(2, 3)] == 16           # W into the pit
+    assert got[(1, 2)] == 4            # S into the pit
+    assert got[(1, 1)] == 2            # SE diagonal into the pit
+    assert got[(0, 0)] == 0            # far corner: all flat
+
+
+def test_flow_d8_cardinal_diagonal_rule(spark):
+    from gregor_spark.operators.terrain import flow_direction_d8
+
+    # center 10; E neighbor 9 (dz 1), SE neighbor 8 (dz 2):
+    # 2*1 < 4 -> SE wins (2/sqrt2 > 1)
+    vals = np.array([[10.0, 10.0, 10.0], [10.0, 10.0, 9.0], [10.0, 10.0, 8.0]])
+    got = {(r.row, r.col): (r.code, r.drop)
+           for r in flow_direction_d8(raster_df(spark, _meta(3, 3), vals)).collect()}
+    assert got[(1, 1)] == (2, 2.0)
+    # now E dz 3, SE dz 4: 2*9=18 > 16 -> the cardinal wins (3 > 4/sqrt2)
+    vals2 = np.array([[10.0, 10.0, 10.0], [10.0, 10.0, 7.0], [10.0, 10.0, 6.0]])
+    got2 = {(r.row, r.col): (r.code, r.drop)
+            for r in flow_direction_d8(raster_df(spark, _meta(3, 3), vals2)).collect()}
+    assert got2[(1, 1)] == (1, 3.0)
+
+
+def test_flow_d8_brute_parity(spark):
+    from gregor_spark.operators.terrain import flow_direction_d8
+
+    vals = np.array(
+        [[float((r * 31 + c * 17) % 13) for c in range(9)] for r in range(9)]
+    )
+    vals[4, 4] = 7.0
+    got = {(r.row, r.col): (r.n_nb, r.code, r.drop)
+           for r in flow_direction_d8(
+               raster_df(spark, _meta(9, 9), vals), nodata=7.0).collect()}
+    assert got == _d8_brute(vals, nodata=7.0)
+
+
+def test_flow_d8_partition_invariance(spark):
+    from gregor_spark.operators.terrain import flow_direction_d8
+
+    vals = np.arange(64, dtype=float).reshape(8, 8) % 11
+    df = raster_df(spark, _meta(8, 8), vals)
+    a = sorted(map(tuple, flow_direction_d8(df).collect()))
+    b = sorted(map(tuple, flow_direction_d8(df.repartition(13)).collect()))
+    assert a == b
