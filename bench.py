@@ -90,6 +90,7 @@ HEADLINE = [
     "pq_adc",              # r5 cont.: product-quantization ADC top-k
     "theta_sets",          # r5 cont.: KMV bottom-k set-op estimates
     "flow_d8",             # r5 cont.: D8 flow direction (1-Exchange windows)
+    "watershed",           # r5 cont.: basin labels (D8 forest + components)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -76,6 +76,7 @@ def _assert_oracle_match(spark, ddb, name):
         "bloom_semi",      # rotated late r5 (admitted pq_adc)
         "cms_counts",      # rotated late r5 (admitted theta_sets)
         "repetition_filter",  # rotated late r5 (admitted flow_d8)
+        "pii_scrub",       # rotated late r5 (admitted watershed)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

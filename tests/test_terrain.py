@@ -257,3 +257,82 @@ def test_flow_d8_partition_invariance(spark):
     a = sorted(map(tuple, flow_direction_d8(df).collect()))
     b = sorted(map(tuple, flow_direction_d8(df.repartition(13)).collect()))
     assert a == b
+
+
+# -------------------------------------------------------------- watershed
+
+
+def _ws_brute(vals, nodata=None):
+    """Union-find over the brute D8 pointers; label = min packed key."""
+    d8 = _d8_brute(vals, nodata)
+    from gregor_spark.operators.terrain import _D8
+
+    off = {code: (dr, dc) for dr, dc, code, _ in _D8}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    keys = {rc: rc[0] * 2**32 + rc[1] for rc in d8}
+    for k in keys.values():
+        parent[k] = k
+    for (r, c), (_, code, _drop) in d8.items():
+        if code:
+            dr, dc = off[code]
+            a, b = find(keys[(r, c)]), find(keys[(r + dr, c + dc)])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    return {rc: find(k) for rc, k in keys.items()}
+
+
+def test_watershed_cone_single_basin(spark):
+    from gregor_spark.operators.terrain import watershed_basins
+
+    # inverted cone: every cell strictly downhill toward the center pit
+    vals = np.array([[float(max(abs(r - 2), abs(c - 2))) for c in range(5)]
+                     for r in range(5)])
+    rows = watershed_basins(raster_df(spark, _meta(5, 5), vals)).collect()
+    assert len(rows) == 25
+    assert len({r.basin for r in rows}) == 1
+    assert all((r.basin_row, r.basin_col) == (0, 0) for r in rows)
+    center = [r for r in rows if (r.row, r.col) == (2, 2)]
+    assert center[0].code == 0  # the pit is the sink
+
+
+def test_watershed_tilted_plane_one_basin_per_row(spark):
+    from gregor_spark.operators.terrain import watershed_basins
+
+    vals = np.array([[float(c) for c in range(6)] for _ in range(6)])
+    rows = watershed_basins(raster_df(spark, _meta(6, 6), vals)).collect()
+    by_basin = {}
+    for r in rows:
+        by_basin.setdefault((r.basin_row, r.basin_col), set()).add((r.row, r.col))
+    # z = col: W-flowing chains — one basin per grid row, rooted at col 0
+    assert set(by_basin) == {(r, 0) for r in range(6)}
+    assert all(len(v) == 6 for v in by_basin.values())
+
+
+def test_watershed_brute_parity(spark):
+    from gregor_spark.operators.terrain import watershed_basins
+
+    vals = np.array(
+        [[float((r * 31 + c * 17) % 13) for c in range(9)] for r in range(9)]
+    )
+    vals[4, 4] = 7.0
+    got = {(r.row, r.col): r.basin
+           for r in watershed_basins(
+               raster_df(spark, _meta(9, 9), vals), nodata=7.0).collect()}
+    assert got == _ws_brute(vals, nodata=7.0)
+
+
+def test_watershed_partition_invariance(spark):
+    from gregor_spark.operators.terrain import watershed_basins
+
+    vals = np.arange(64, dtype=float).reshape(8, 8) % 11
+    df = raster_df(spark, _meta(8, 8), vals)
+    a = sorted(map(tuple, watershed_basins(df).collect()))
+    b = sorted(map(tuple, watershed_basins(df.repartition(13)).collect()))
+    assert a == b
