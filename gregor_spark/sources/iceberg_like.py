@@ -492,3 +492,163 @@ def read_cell_partitioned(
         & (F.col(xc) >= minx) & (F.col(xc) <= maxx)
         & (F.col(yc) >= miny) & (F.col(yc) <= maxy)
     )
+
+
+def zorder_table(
+    df: DataFrame,
+    path: str,
+    res: int,
+    bounds: tuple[float, float, float, float],
+    x: str = "x",
+    y: str = "y",
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> dict:
+    """Z-ORDER file clustering — the Delta ``OPTIMIZE ... ZORDER BY``
+    analog for spatial keys (Morton IS the z-curve, so one range sort
+    does it): range-repartition + sort the table by ``cell_id`` so each
+    data file covers a TIGHT contiguous z-interval, then record every
+    file's ``[min_cell, max_cell]`` from its parquet FOOTER statistics
+    into the manifest.  :func:`read_zordered` turns a bbox into a small
+    set of z-intervals and opens ONLY the files whose interval
+    intersects — file-level skipping on top of (or instead of)
+    partition pruning.
+
+    Scale shape: one range Exchange (sampled bounds) + a within-
+    partition sort; stats collection reads footers, never data pages.
+    ``n_files`` sizes the layout — at cluster scale pick
+    ``total_bytes / 128 MiB``."""
+    from ..operators.spatial_join import with_cell_id
+
+    keyed = with_cell_id(df, res, bounds, x=x, y=y, out="cell_id")
+    (
+        keyed.repartitionByRange(n_files, "cell_id")
+        .sortWithinPartitions("cell_id")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    import pyarrow.parquet as pq
+
+    files = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["cell_id"]
+        lo, hi, rows = None, None, 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            rows += md.row_group(rg).num_rows
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        files.append(
+            {"file": fname, "rows": rows, "min_cell": lo, "max_cell": hi}
+        )
+    manifest = {
+        "format": "gregor-iceberg-like/1",
+        "snapshot_id": int(time.time() * 1000),
+        "schema": df.sparkSession.read.parquet(path).schema.jsonValue(),
+        "layout": {
+            "kind": "zorder",
+            "res": res,
+            "bounds": list(bounds),
+            "x": x,
+            "y": y,
+        },
+        "files": files,
+        "total_rows": sum(f["rows"] for f in files),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _bbox_z_intervals(
+    bbox: tuple[float, float, float, float],
+    res: int,
+    bounds: tuple[float, float, float, float],
+    max_tiles: int = 64,
+) -> list[tuple[int, int]]:
+    """Decompose a bbox into ≤ ``max_tiles`` contiguous ``cell_id``
+    intervals: cover the box with tiles at the COARSEST resolution that
+    stays under the cap — each coarse tile's fine cells share a Morton
+    prefix, i.e. form ONE contiguous z-interval
+    ``[(mp << 2d), ((mp+1) << 2d) − 1]`` (d = res − parent_res).  The
+    prefix trick gives exact interval covers without the BigMin
+    z-range-splitting machinery (Tropf & Herzog 1981) — the intervals
+    are coarser but never wrong, and the exact coordinate predicate
+    filters the remainder."""
+    minx, miny, maxx, maxy = bbox
+    for parent_res in range(res, -1, -1):
+        tiles = _rect_cells(minx, miny, maxx, maxy, parent_res, bounds)
+        if len(tiles) <= max_tiles:
+            break
+    d = res - parent_res
+    res_tag = res << 56
+    out = []
+    for t in tiles:
+        mp = t & ((1 << 56) - 1)  # strip the parent's res tag
+        out.append((res_tag | (mp << (2 * d)), res_tag | (((mp + 1) << (2 * d)) - 1)))
+    return sorted(out)
+
+
+def read_zordered(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Read a z-ordered table; with ``bbox``, manifest file stats prune
+    the file list BEFORE Spark plans the scan (only intersecting files
+    are passed to the reader), and the exact coordinate predicate
+    handles the rest.  Returns the same rows as a full scan + filter —
+    asserted in tests — while opening a fraction of the files."""
+    m = read_manifest(path)
+    if bbox is None:
+        return spark.read.parquet(path)
+    lay = m["layout"]
+    ivs = _bbox_z_intervals(bbox, lay["res"], tuple(lay["bounds"]))
+    keep = [
+        os.path.join(path, f["file"])
+        for f in m["files"]
+        if f["min_cell"] is not None
+        and any(f["min_cell"] <= hi and f["max_cell"] >= lo for lo, hi in ivs)
+    ]
+    minx, miny, maxx, maxy = bbox
+    xc, yc = lay["x"], lay["y"]
+    base = (
+        spark.read.schema(spark.read.parquet(path).schema).parquet(*keep)
+        if keep
+        else spark.read.parquet(path).limit(0)
+    )
+    return base.filter(
+        (F.col(xc) >= minx) & (F.col(xc) <= maxx)
+        & (F.col(yc) >= miny) & (F.col(yc) <= maxy)
+    )
+
+
+def zorder_skip_report(
+    path: str, bbox: tuple[float, float, float, float]
+) -> dict:
+    """Pruning evidence for a bbox: how many files/rows the manifest
+    skips without opening anything — the number a lakehouse OPTIMIZE
+    report shows."""
+    m = read_manifest(path)
+    lay = m["layout"]
+    ivs = _bbox_z_intervals(bbox, lay["res"], tuple(lay["bounds"]))
+    tot_f, tot_r, keep_f, keep_r = 0, 0, 0, 0
+    for f in m["files"]:
+        tot_f += 1
+        tot_r += f["rows"]
+        if f["min_cell"] is not None and any(
+            f["min_cell"] <= hi and f["max_cell"] >= lo for lo, hi in ivs
+        ):
+            keep_f += 1
+            keep_r += f["rows"]
+    return {
+        "files_total": tot_f,
+        "files_read": keep_f,
+        "rows_total": tot_r,
+        "rows_in_read_files": keep_r,
+        "intervals": len(ivs),
+    }
