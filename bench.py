@@ -91,6 +91,7 @@ HEADLINE = [
     "theta_sets",          # r5 cont.: KMV bottom-k set-op estimates
     "flow_d8",             # r5 cont.: D8 flow direction (1-Exchange windows)
     "watershed",           # r5 cont.: basin labels (D8 forest + components)
+    "geohash_docs",        # r5 cont.: geohash codec (codegen bit ladders)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

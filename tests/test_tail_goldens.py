@@ -77,6 +77,7 @@ def _assert_oracle_match(spark, ddb, name):
         "cms_counts",      # rotated late r5 (admitted theta_sets)
         "repetition_filter",  # rotated late r5 (admitted flow_d8)
         "pii_scrub",       # rotated late r5 (admitted watershed)
+        "events_asof_dups",  # rotated late r5 (admitted geohash_docs)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
