@@ -62,16 +62,31 @@ def dbscan(
     cores' clusters; NULL for noise.  Input ids must be unique."""
     if eps_km <= 0:
         raise ValueError("eps_km must be positive")
-    if min_pts < 1:
-        raise ValueError("min_pts must be >= 1")
     a, b = f"a_{id_col}", f"b_{id_col}"
     edges = within_distance_join_geodesic(
         pts, eps_km, lon=lon, lat=lat, id_col=id_col, max_abs_lat=max_abs_lat
     ).select(a, b)
+    return cluster_from_edges(pts, edges, min_pts, id_col=id_col)
+
+
+def cluster_from_edges(
+    pts: DataFrame,
+    pair_edges: DataFrame,
+    min_pts: int,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """The density-clustering back half shared by :func:`dbscan` and
+    :func:`st_dbscan` (and any caller with its own neighborhood
+    predicate): given exactly-once (a_id < b_id) neighbor pairs, compute
+    degrees → cores → components → min-rule borders.  ``pair_edges``
+    must use columns ``a_{id_col}`` / ``b_{id_col}``."""
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    a, b = f"a_{id_col}", f"b_{id_col}"
     # materialize once: degree count, core-core filter and border
     # assignment all reuse the edge set (the dedup_clusters lineage
     # lesson — never recompute the candidate join per consumer)
-    edges = edges.localCheckpoint(eager=True)
+    edges = pair_edges.select(a, b).localCheckpoint(eager=True)
 
     deg = (
         edges.select(F.col(a).alias("id"))
@@ -115,3 +130,128 @@ def dbscan(
         )
     )
     return out
+
+
+def st_edges(
+    pts: DataFrame,
+    eps_km: float,
+    eps_t_s: float,
+    id_col: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Exactly-once spatio-TEMPORAL neighbor pairs: (a_id, b_id, km,
+    dt_s) for pairs within great-circle ``eps_km`` AND within
+    ``eps_t_s`` seconds — the neighborhood predicate of ST-DBSCAN.
+
+    Same blocking construction as
+    :func:`~gregor_spark.operators.knn.within_distance_join_geodesic`
+    with TIME as a third grid axis: the key is (cell_x, cell_y,
+    t_bucket) with the bucket width = ``eps_t_s``, the left side
+    explodes its 3×3×3 neighborhood (27 candidates bound everything —
+    a pair within both radii can differ by at most one bucket per
+    axis), the right keeps one cell, and exact haversine + |Δt| rescore
+    guard the result.  Shuffle partitions on (t_bucket, cell), so time
+    spreads the hash space — a day with a hot city block does not
+    concentrate a key."""
+    import math
+
+    if eps_km <= 0 or eps_t_s <= 0:
+        raise ValueError("eps_km and eps_t_s must be positive")
+    if not 0 <= max_abs_lat < 90:
+        raise ValueError("max_abs_lat must be in [0, 90)")
+    from ..functions.geometry import haversine_km
+    from ..operators.knn import KM_PER_DEG_LAT, KM_PER_DEG_LON_EQ
+
+    wlat = eps_km / KM_PER_DEG_LAT
+    wlon = eps_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
+    eps_t_us = int(eps_t_s * 1_000_000)
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    cx = F.floor(F.col(lon) / F.lit(wlon)).cast("long")
+    cy = F.floor(F.col(lat) / F.lit(wlat)).cast("long")
+    cz = F.floor(us / F.lit(eps_t_us)).cast("long")
+
+    offsets = [
+        F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz")
+        )
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ]
+    left = (
+        pts.select(
+            F.col(id_col).alias("_aid"),
+            F.col(lon).alias("_alon"),
+            F.col(lat).alias("_alat"),
+            us.alias("_aus"),
+            cx.alias("_cx0"),
+            cy.alias("_cy0"),
+            cz.alias("_cz0"),
+        )
+        .withColumn("_o", F.explode(F.array(*offsets)))
+        .select(
+            "_aid",
+            "_alon",
+            "_alat",
+            "_aus",
+            (F.col("_cx0") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_o.dy")).alias("_cy"),
+            (F.col("_cz0") + F.col("_o.dz")).alias("_cz"),
+        )
+    )
+    right = pts.select(
+        F.col(id_col).alias("_bid"),
+        F.col(lon).alias("_blon"),
+        F.col(lat).alias("_blat"),
+        us.alias("_bus"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+        cz.alias("_cz"),
+    )
+    km = haversine_km(
+        F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat")
+    )
+    return (
+        left.join(right, ["_cx", "_cy", "_cz"], "inner")
+        .filter(F.col("_aid") < F.col("_bid"))
+        .withColumn("_km", km)
+        .withColumn("_dt_us", F.abs(F.col("_aus") - F.col("_bus")))
+        .filter(
+            (F.col("_km") <= F.lit(float(eps_km)))
+            & (F.col("_dt_us") <= F.lit(eps_t_us))
+        )
+        .select(
+            F.col("_aid").alias(f"a_{id_col}"),
+            F.col("_bid").alias(f"b_{id_col}"),
+            F.col("_km").alias("km"),
+            (F.col("_dt_us").cast("double") / F.lit(1000000.0)).alias("dt_s"),
+        )
+    )
+
+
+def st_dbscan(
+    pts: DataFrame,
+    eps_km: float,
+    eps_t_s: float,
+    min_pts: int,
+    id_col: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007, simplified to the symmetric
+    two-radius neighborhood): density clustering where a neighbor must
+    be close in SPACE and TIME — outbreak detection, convoy/meeting
+    discovery, flash-event mining.  Same outputs and determinism rules
+    as :func:`dbscan` (min-id cluster labels, min-rule borders); the
+    pipeline is :func:`st_edges` → :func:`cluster_from_edges`."""
+    edges = st_edges(
+        pts, eps_km, eps_t_s, id_col=id_col, lon=lon, lat=lat, ts=ts,
+        max_abs_lat=max_abs_lat,
+    )
+    return cluster_from_edges(pts, edges, min_pts, id_col=id_col)

@@ -149,3 +149,95 @@ def test_dbscan_rejects_bad_args(spark):
         dbscan(df, eps_km=0.0, min_pts=3)
     with pytest.raises(ValueError):
         dbscan(df, eps_km=1.0, min_pts=0)
+
+
+# -------------------------------------------------------------- ST-DBSCAN
+
+
+def _st_pts(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(i, lon, lat, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+         for i, lon, lat, s in rows],
+        "point_id long, lon double, lat double, ts timestamp",
+    )
+
+
+def test_st_dbscan_time_separates_same_place(spark):
+    """Two dense bursts at the SAME location, 10 days apart: plain
+    DBSCAN merges them; ST-DBSCAN with a 1-day temporal radius keeps
+    them distinct clusters — the operator's reason to exist."""
+    from gregor_spark.ops.dbscan import dbscan, st_dbscan
+
+    km = 0.0090437
+    burst1 = [(i, 0.0, i * 0.2 * km, i * 600) for i in range(4)]
+    burst2 = [(10 + i, 0.0, i * 0.2 * km, 10 * 86400 + i * 600) for i in range(4)]
+    df = _st_pts(spark, burst1 + burst2)
+    st = {r.point_id: r.cluster_id
+          for r in st_dbscan(df, eps_km=2.0, eps_t_s=86400.0, min_pts=3).collect()}
+    assert st[0] == st[3] == 0 and st[10] == st[13] == 10
+    assert st[0] != st[10]
+    plain = {r.point_id: r.cluster_id
+             for r in dbscan(df.select("point_id", "lon", "lat"),
+                             eps_km=2.0, min_pts=3).collect()}
+    assert plain[0] == plain[10] == 0  # space-only view merges them
+
+
+def test_st_edges_brute_parity(spark):
+    import datetime as dt
+    import math
+
+    from gregor_spark.ops.dbscan import st_edges
+
+    rows = [
+        (i,
+         -0.25 + 2.0 * (((i * 48271) % 997) / 997.0) * 0.03,
+         9.75 + 2.0 * (((i * 16807) % 997) / 997.0) * 0.03,
+         ((i * 69621) % 97) * 600)
+        for i in range(80)
+    ]
+    df = _st_pts(spark, rows)
+    got = {(r.a_point_id, r.b_point_id) for r in
+           st_edges(df, eps_km=1.5, eps_t_s=7200.0).collect()}
+
+    def hav(lo1, la1, lo2, la2):
+        dphi = math.radians(la2 - la1)
+        dl = math.radians(lo2 - lo1)
+        h = (math.sin(dphi / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(dl / 2) ** 2)
+        return 12742.0176 * math.asin(min(1.0, math.sqrt(h)))
+
+    want = set()
+    for i, loi, lai, si in rows:
+        for j, loj, laj, sj in rows:
+            if i < j and abs(si - sj) <= 7200 and hav(loi, lai, loj, laj) <= 1.5:
+                want.add((i, j))
+    assert got == want and len(want) > 10
+
+
+def test_st_dbscan_partition_invariance(spark):
+    from gregor_spark.ops.dbscan import st_dbscan
+
+    rows = [
+        (i,
+         -0.25 + 2.0 * (((i * 48271) % 997) / 997.0) * 0.03,
+         9.75 + 2.0 * (((i * 16807) % 997) / 997.0) * 0.03,
+         ((i * 69621) % 97) * 600)
+        for i in range(60)
+    ]
+    df = _st_pts(spark, rows)
+    a = sorted(map(tuple, st_dbscan(df, 1.5, 7200.0, 3).collect()))
+    b = sorted(map(tuple, st_dbscan(df.repartition(11), 1.5, 7200.0, 3).collect()))
+    assert a == b
+
+
+def test_st_dbscan_rejects_bad_args(spark):
+    from gregor_spark.ops.dbscan import st_edges
+
+    df = _st_pts(spark, [(1, 0.0, 0.0, 0)])
+    with pytest.raises(ValueError):
+        st_edges(df, eps_km=0.0, eps_t_s=60.0)
+    with pytest.raises(ValueError):
+        st_edges(df, eps_km=1.0, eps_t_s=0.0)

@@ -78,6 +78,7 @@ def _assert_oracle_match(spark, ddb, name):
         "repetition_filter",  # rotated late r5 (admitted flow_d8)
         "pii_scrub",       # rotated late r5 (admitted watershed)
         "events_asof_dups",  # rotated late r5 (admitted geohash_docs)
+        "tpch_q3ish",      # rotated late r5 (admitted st_dbscan)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
