@@ -92,7 +92,7 @@ HEADLINE = [
     "flow_d8",             # r5 cont.: D8 flow direction (1-Exchange windows)
     "watershed",           # r5 cont.: basin labels (D8 forest + components)
     "geohash_docs",        # r5 cont.: geohash codec (codegen bit ladders)
-    "st_dbscan",           # r5 cont.: spatio-temporal density clustering
+    "st_dbscan",           # r5 cont.: ST density clustering (two-star CC)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -311,9 +311,10 @@ def watershed_basins(
     one downstream edge, elevation strictly decreases along it, so no
     cycles and exactly one sink (code 0) per tree.  Basins are therefore
     the connected components of the undirected pointer graph, computed
-    with :func:`~gregor_spark.ops.dedup.dedup_clusters` — the same
-    checkpointed O(log d) pointer-jumping label propagation the dedup
-    family uses (d = the longest flow path).  ``basin`` = the MINIMUM
+    with :func:`~gregor_spark.ops.dedup.connected_components_twostar`
+    — the alternating star algorithm, O(log² n) rounds on any flow-path
+    length (long rivers make min-label propagation O(path)).  ``basin``
+    = the MINIMUM
     packed cell key in the component — a deterministic canonical label
     (not necessarily the sink's key; join on code=0 rows for sink
     coordinates).
@@ -324,7 +325,7 @@ def watershed_basins(
     is one Exchange; the component loop is one join + groupBy per round
     over materialized inputs (constant-size plans per the
     `_materialize_truncated` stats fix)."""
-    from ..ops.dedup import dedup_clusters
+    from ..ops.dedup import connected_components_twostar
 
     d8 = flow_direction_d8(cells, value=value, nodata=nodata)
     key = (F.col("row").cast("long") * F.lit(4294967296)) + F.col("col").cast("long")
@@ -347,7 +348,7 @@ def watershed_basins(
             + (F.col("col") + dc).cast("long")
         ).alias("dst"),
     )
-    comp = dedup_clusters(
+    comp = connected_components_twostar(
         base.select(F.col("_k").alias("cell")), edges, key="cell", a="src", b="dst"
     )
     out = base.join(

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.knn import within_distance_join_geodesic
-from .dedup import dedup_clusters
+from .dedup import connected_components_twostar, dedup_clusters
 
 
 def dbscan(
@@ -74,12 +74,21 @@ def cluster_from_edges(
     pair_edges: DataFrame,
     min_pts: int,
     id_col: str = "point_id",
+    method: str = "twostar",
 ) -> DataFrame:
     """The density-clustering back half shared by :func:`dbscan` and
     :func:`st_dbscan` (and any caller with its own neighborhood
     predicate): given exactly-once (a_id < b_id) neighbor pairs, compute
     degrees → cores → components → min-rule borders.  ``pair_edges``
-    must use columns ``a_{id_col}`` / ``b_{id_col}``."""
+    must use columns ``a_{id_col}`` / ``b_{id_col}``.
+
+    ``method``: ``"twostar"`` (default) labels components with the
+    alternating large-star/small-star algorithm — O(log² n) rounds on
+    ANY graph shape, the right choice for geometric ε-graphs whose
+    diameter grows with extent (measured: the sf0.1 spatio-temporal
+    graph, 88k cores, took 62 min-label rounds vs a handful of star
+    rounds).  ``"propagate"`` uses dedup_clusters' min-label loop —
+    marginally cheaper per round on clique-ish low-diameter graphs."""
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
     a, b = f"a_{id_col}", f"b_{id_col}"
@@ -106,7 +115,8 @@ def cluster_from_edges(
         .join(core.select(F.col("id").alias(b)), b)
         .select(a, b)
     )
-    comp = dedup_clusters(
+    cc = connected_components_twostar if method == "twostar" else dedup_clusters
+    comp = cc(
         core.select(F.col("id").alias(id_col)), core_edges, key=id_col, a=a, b=b
     ).select(F.col(id_col).alias("id"), "cluster_id")
 

@@ -854,3 +854,112 @@ def simhash_fast(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFra
         .join(sums.select("doc_id", out.alias("_sh")), "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("_sh"), F.lit(0).cast("long")).alias("simhash"))
     )
+
+
+def connected_components_twostar(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 60,
+    round_hook=None,
+) -> DataFrame:
+    """(key, cluster_id) — connected components via the ALTERNATING
+    large-star/small-star algorithm (Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014): provably O(log² n) rounds on ANY graph, and a
+    handful in practice — the high-diameter complement to
+    :func:`dedup_clusters`'s min-label propagation.
+
+    Why both exist: propagation moves the component minimum ONE hop per
+    round (path halving helps only when the local argmin lies toward
+    the minimum — on random-id GEOMETRIC graphs it mostly doesn't:
+    measured 62 rounds on the sf0.1 ST-DBSCAN graph, 88k cores /
+    diameter ≈ 10²).  The star operations instead REWRITE the graph —
+    large-star hangs every larger neighbor under the neighborhood min,
+    small-star re-parents the smaller ones — which contracts arbitrary
+    trees toward star forests geometrically.  Same output contract as
+    dedup_clusters: cluster_id = component minimum; edge-less ids map
+    to themselves.
+
+    Each round is two groupBy-min passes + an anti-join convergence
+    probe over materialized inputs (`_materialize_truncated` — constant
+    plan size and constant stats arithmetic at any round count)."""
+    import time as _time
+
+    # canonical undirected edge set, self-loops dropped
+    e0 = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    edges = _materialize_truncated(e0)
+
+    def _large_star(E: DataFrame) -> DataFrame:
+        # neighborhoods over BOTH directions; m(x) = min(Γ(x) ∪ {x});
+        # emit (y, m) for strictly larger neighbors y of x
+        nbrs = E.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+            E.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        m = nbrs.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("m"))
+        out = (
+            nbrs.join(m, "x")
+            .where(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    def _small_star(E: DataFrame) -> DataFrame:
+        # orient each edge larger→smaller; for each larger endpoint x,
+        # m = min of its smaller neighbors (≤ x by construction); emit
+        # (y, m) for the other smaller neighbors AND (x, m)
+        dn = E.select(F.col("u").alias("x"), F.col("v").alias("y"))  # u > v
+        m = dn.groupBy("x").agg(F.min("y").alias("m"))
+        re_small = (
+            dn.join(m, "x")
+            .where(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+        )
+        re_self = m.select(F.col("x").alias("u"), F.col("m").alias("v"))
+        return (
+            re_small.unionByName(re_self)
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    converged = False
+    for i in range(max_iters):
+        t0 = _time.monotonic()
+        new_edges = _materialize_truncated(_small_star(_large_star(edges)))
+        changed = bool(
+            new_edges.join(edges, ["u", "v"], "left_anti").take(1)
+        ) or bool(edges.join(new_edges, ["u", "v"], "left_anti").take(1))
+        if round_hook is not None:
+            round_hook(i, _time.monotonic() - t0, changed)
+        edges = new_edges
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twostar did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
+    # fixpoint edge set is a star forest oriented u(child) > v(root)
+    ids = docs.select(F.col(key).alias("id"))
+    lab = ids.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("_root")), "id", "left"
+    )
+    return lab.select(
+        F.col("id").alias(key),
+        F.coalesce("_root", "id").alias("cluster_id"),
+    )

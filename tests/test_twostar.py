@@ -1,0 +1,103 @@
+"""Alternating large-star/small-star connected components: parity with
+the min-label propagation on adversarial graph shapes, star-forest
+fixpoint property, and round counts that beat propagation on chains."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gregor_spark.ops.dedup import connected_components_twostar, dedup_clusters
+
+
+def _ids(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def _both(spark, n, pairs, **kw):
+    ids, e = _ids(spark, n), _edges(spark, pairs)
+    ts = {r.doc_id: r.cluster_id
+          for r in connected_components_twostar(ids, e, **kw).collect()}
+    pr = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, e).collect()}
+    return ts, pr
+
+
+def test_twostar_chain_clique_singletons(spark):
+    # chain 0-1-...-19, clique 30..34, singletons elsewhere
+    pairs = [(i, i + 1) for i in range(19)]
+    pairs += [(i, j) for i in range(30, 35) for j in range(i + 1, 35)]
+    ts, pr = _both(spark, 40, pairs)
+    assert ts == pr
+    assert ts[19] == 0 and ts[34] == 30 and ts[25] == 25
+
+
+def test_twostar_random_graphs_parity(spark):
+    for seed in (1, 2, 3):
+        n = 120
+        pairs = {(min(a, b), max(a, b))
+                 for k in range(170)
+                 for a, b in [(((k * 48271 + seed) % n), ((k * 16807 + 7 * seed) % n))]
+                 if a != b}
+        ts, pr = _both(spark, n, sorted(pairs))
+        assert ts == pr, f"seed {seed}"
+
+
+def test_twostar_adversarial_id_order(spark):
+    # a path whose ids ALTERNATE high/low — the layout where min-label
+    # propagation's path halving degrades to one hop per round
+    order = []
+    lo, hi = 0, 59
+    while lo <= hi:
+        order.append(lo)
+        if lo != hi:
+            order.append(hi)
+        lo, hi = lo + 1, hi - 1
+    pairs = list(zip(order, order[1:]))
+    rounds = []
+    ids, e = _ids(spark, 60), _edges(spark, pairs)
+    out = connected_components_twostar(
+        ids, e, round_hook=lambda i, s, c: rounds.append(i)
+    )
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(got.values()) == {0} and len(got) == 60
+    assert len(rounds) <= 8  # log-ish, not O(n)
+
+
+def test_twostar_empty_edges(spark):
+    ids = _ids(spark, 5)
+    e = _edges(spark, [])
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_twostar(ids, e).collect()}
+    assert got == {i: i for i in range(5)}
+
+
+def test_twostar_st_fixture_parity(spark):
+    # the 80-point spatio-temporal edge graph from test_dbscan
+    import datetime as dt
+
+    from gregor_spark.ops.dbscan import st_edges
+
+    rows = [
+        (i,
+         -0.25 + 2.0 * (((i * 48271) % 997) / 997.0) * 0.03,
+         9.75 + 2.0 * (((i * 16807) % 997) / 997.0) * 0.03,
+         ((i * 69621) % 97) * 600)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, lon, lat, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+         for i, lon, lat, s in rows],
+        "point_id long, lon double, lat double, ts timestamp",
+    )
+    e = st_edges(df, 1.5, 7200.0).select(
+        F.col("a_point_id").alias("doc_a"), F.col("b_point_id").alias("doc_b")
+    )
+    ids = df.select(F.col("point_id").alias("doc_id"))
+    ts = {r.doc_id: r.cluster_id
+          for r in connected_components_twostar(ids, e).collect()}
+    pr = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, e).collect()}
+    assert ts == pr
