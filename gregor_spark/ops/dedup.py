@@ -658,6 +658,7 @@ def dedup_clusters(
     max_iters: int = 50,
     round_hook=None,
     pointer_jumping: bool | str = "auto",
+    escalate_after: int | None = 16,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over a near-dup pair
     graph (canonical-keep clustering: cluster_id = the minimum doc id
@@ -700,6 +701,11 @@ def dedup_clusters(
     node in v's own component, so correctness is unchanged — parity
     asserted in tests).  ``True`` = every round, ``False`` = never.
 
+    ``escalate_after`` (late r5): if the loop is STILL moving after
+    that many rounds, the graph is not clique-ish — restart on
+    :func:`connected_components_twostar` (O(log² n) on any shape)
+    instead of grinding O(diameter) rounds; ``None`` disables.
+
     Default ``"auto"`` (r5): plain propagation for the first
     ``_AUTO_JUMP_AFTER`` rounds, then path halving kicks in if labels are
     still moving.  Near-dup graphs are clique-ish (2–3 rounds either way,
@@ -721,6 +727,18 @@ def dedup_clusters(
     )
     converged = False
     for i in range(max_iters):
+        if escalate_after is not None and i >= escalate_after:
+            # high-diameter safety valve (the sf0.1 ST-DBSCAN lesson: a
+            # geometric graph took 62 propagation rounds — path halving
+            # only pays when the local argmin points toward the
+            # component minimum).  Propagation past `escalate_after`
+            # rounds means the graph is not the clique-ish shape this
+            # loop is tuned for: hand the ORIGINAL pair set to the
+            # O(log² n) alternating star algorithm and return its
+            # labels (identical contract: component minima).
+            return connected_components_twostar(
+                docs, pairs, key=key, a=a, b=b, round_hook=round_hook
+            )
         t0 = _time.monotonic()
         jump = (
             (i >= _AUTO_JUMP_AFTER) if pointer_jumping == "auto" else bool(pointer_jumping)

@@ -101,3 +101,37 @@ def test_twostar_st_fixture_parity(spark):
           for r in connected_components_twostar(ids, e).collect()}
     pr = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, e).collect()}
     assert ts == pr
+
+
+def test_dedup_clusters_escalates_on_high_diameter(spark):
+    """A 200-node path with adversarial id order: propagation alone
+    needs ~dozens of rounds; with the default escalate_after the loop
+    hands off to two-star and still returns exact component minima."""
+    n = 200
+    order = []
+    lo, hi = 0, n - 1
+    while lo <= hi:
+        order.append(lo)
+        if lo != hi:
+            order.append(hi)
+        lo, hi = lo + 1, hi - 1
+    pairs = list(zip(order, order[1:]))
+    ids, e = _ids(spark, n), _edges(spark, pairs)
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, e).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+
+
+def test_dedup_clusters_escalation_disabled_raises(spark):
+    n = 200
+    order = []
+    lo, hi = 0, n - 1
+    while lo <= hi:
+        order.append(lo)
+        if lo != hi:
+            order.append(hi)
+        lo, hi = lo + 1, hi - 1
+    pairs = list(zip(order, order[1:]))
+    ids, e = _ids(spark, n), _edges(spark, pairs)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(ids, e, max_iters=10, escalate_after=None,
+                       pointer_jumping=False)
