@@ -1,5 +1,6 @@
-"""Distributed DBSCAN — density-based spatial clustering (Ester,
-Kriegel, Sander & Xu 1996) over a geodesic point table.
+"""Distributed DBSCAN and ST-DBSCAN — density-based (spatio-temporal)
+clustering (Ester, Kriegel, Sander & Xu 1996; Birant & Kut 2007) over a
+geodesic point table.
 
 Extension surface beyond the reference's §2 list: the reference assigns
 points to GIVEN polygons; a geospatial pipeline also needs to DISCOVER

@@ -122,12 +122,14 @@ def test_dedup_clusters_flat_rounds_deep_chain(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     times = []
-    # pointer_jumping=False pins the PLAIN one-hop-per-round path — this
-    # test's subject is per-round lineage flatness over many rounds (the
-    # r5 "auto" default would converge in ~6 rounds and starve the
-    # measurement; auto behavior is pinned in test_round5.py)
+    # pointer_jumping=False + escalate_after=None pin the PLAIN
+    # one-hop-per-round path — this test's subject is per-round lineage
+    # flatness over many rounds (the r5 "auto" default would converge in
+    # ~6 rounds, and the late-r5 two-star escalation would hand off at
+    # round 16, both starving the measurement; those behaviors are
+    # pinned in test_round5.py / test_twostar.py)
     out = dedup_clusters(
-        docs, pairs, max_iters=40, pointer_jumping=False,
+        docs, pairs, max_iters=40, pointer_jumping=False, escalate_after=None,
         round_hook=lambda i, s, c: times.append(s),
     )
     # label propagation walks one hop per round: 16 hops + 1 quiescent round
