@@ -93,6 +93,8 @@ HEADLINE = [
     "watershed",           # r5 cont.: basin labels (D8 forest + components)
     "geohash_docs",        # r5 cont.: geohash codec (codegen bit ladders)
     "st_dbscan",           # r5 cont.: ST density clustering (two-star CC)
+    "triangles",           # r5 cont.: degree-ordered wedge triangle counts
+    "pagerank",            # r5 cont.: quantized integer-mass PageRank
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

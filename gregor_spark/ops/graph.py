@@ -1,0 +1,183 @@
+"""Graph analytics over pair-edge tables: exact triangle counting and
+local clustering coefficients, plus a deterministic quantized PageRank.
+
+Extension surface — every similarity/proximity operator in this engine
+emits a pair graph (LSH candidates, ε-neighborhoods, co-location
+contacts); these are the standard structure metrics computed over them.
+
+Scale shapes:
+
+* Triangles use the DEGREE-ORDERED wedge method (Cohen 2009 "Graph
+  twiddling in a MapReduce world"; Suri & Vassilvitskii 2011): orient
+  every edge from its lower-(degree, id) endpoint to the higher one,
+  enumerate wedges at each ORIENTED source (out-degree is O(√E) on any
+  graph under this orientation — a 10⁶-degree hub generates wedges at
+  its NEIGHBORS, never deg² at itself), and close them with one
+  semi-join back to the oriented edges.  Every triangle is produced
+  exactly once.  Pure integer counting → bit-exact anywhere.
+* PageRank runs in the INTEGER domain: per-round mass is micro-units
+  (long), each node splits its mass by exact integer division among
+  out-neighbors (remainder stays on the node — mass is conserved
+  exactly), damping is an exact integer scale.  Partial sums of longs
+  are order-independent, so a fixed number of rounds is bit-identical
+  at any parallelism and replayable in SQL CTE unrollings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _materialize_truncated
+
+
+def triangle_counts(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """(id, degree, n_tri, lcc) per node of an undirected pair graph —
+    ``n_tri`` = triangles through the node (exact), ``lcc`` = local
+    clustering coefficient 2·n_tri / (degree·(degree−1)), NULL when
+    degree < 2.  Input pairs must be unique with ``a < b`` per row (the
+    engine's pair-join contract); self-loops are ignored."""
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = e.select(F.col("u").alias("id")).unionByName(
+        e.select(F.col("v").alias("id"))
+    )
+    deg = both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    # rank = (degree, id): orient each edge low-rank -> high-rank
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("_dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dd"),
+    )
+    # wedges at the oriented source, out-neighbor pair ordered by rank
+    w1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("_dd").alias("_dx")
+    )
+    w2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("_dd").alias("_dy")
+    )
+    x_first = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y"))
+    )
+    wedges = (
+        w1.join(w2, "src")
+        .where((F.col("x") != F.col("y")) & x_first)
+        .select("src", "x", "y")
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    per_node = (
+        tris.select(F.explode(F.array("src", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(per_node, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            F.lit(2.0)
+            * F.coalesce("n_tri", F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        ).alias("lcc"),
+    )
+    return out
+
+
+#: integer mass units per unit of rank (micro-rank).
+PR_SCALE = 1_000_000
+
+
+def pagerank_quantized(
+    ids: DataFrame,
+    pairs: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """(key, rank_q, rank) — PageRank over the UNDIRECTED pair graph
+    after ``iters`` synchronous rounds, computed entirely in integer
+    micro-units so the result is bit-identical at any parallelism and
+    in any SQL replay:
+
+    * every node starts with ``PR_SCALE`` units;
+    * a round sends each node ``damping_pct%`` of its mass (integer
+      division), split by exact integer division among its neighbors —
+      BOTH remainders (the damping cut and the split slack) stay on the
+      node, so total mass is conserved EXACTLY every round;
+    * isolated nodes keep their mass.
+
+    This is the classic power iteration with a fixed-point arithmetic
+    twist replacing IEEE sums (whose order varies across partitionings).
+    ``rank`` = rank_q / PR_SCALE / n — the probability-normalized view.
+    A handful of rounds is the operational regime for link-quality
+    features at corpus scale; callers wanting convergence run more
+    rounds, cost is one join + groupBy each."""
+    if iters < 0 or not 0 <= damping_pct <= 100:
+        raise ValueError("iters >= 0 and damping_pct in [0, 100] required")
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    dir_e = _materialize_truncated(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    deg = dir_e.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = ids.select(F.col(key).alias("id"))
+    state = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("rank_q"))
+    for _ in range(iters):
+        with_deg = state.join(
+            deg.select(F.col("u").alias("id"), "_deg"), "id", "left"
+        )
+        send_total = (F.col("rank_q") * F.lit(int(damping_pct))) / F.lit(100)
+        send_total = send_total.cast("long")  # floor for nonneg
+        per_edge = F.when(
+            F.col("_deg").isNotNull(), (send_total / F.col("_deg")).cast("long")
+        ).otherwise(F.lit(0))
+        carried = with_deg.select(
+            "id",
+            (
+                F.col("rank_q")
+                - F.coalesce(F.col("_deg"), F.lit(0)) * per_edge
+            ).alias("_keep"),
+            per_edge.alias("_per_edge"),
+        )
+        inflow = (
+            dir_e.join(
+                carried.select(F.col("id").alias("u"), "_per_edge"), "u"
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("_per_edge").alias("_in"))
+        )
+        state = _materialize_truncated(
+            carried.join(inflow, "id", "left").select(
+                "id",
+                (F.col("_keep") + F.coalesce("_in", F.lit(0))).alias("rank_q"),
+            )
+        )
+    n = nodes.count()
+    return state.select(
+        F.col("id").alias(key),
+        "rank_q",
+        (F.col("rank_q").cast("double") / F.lit(float(PR_SCALE)) / F.lit(float(n))).alias(
+            "rank"
+        ),
+    )

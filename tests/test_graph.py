@@ -1,0 +1,108 @@
+"""Graph analytics: triangle counts vs brute force, clustering
+coefficients, quantized PageRank mass conservation and invariances."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from gregor_spark.ops.graph import PR_SCALE, pagerank_quantized, triangle_counts
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def _ids(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+
+def test_triangles_k4_and_star(spark):
+    k4 = list(itertools.combinations(range(4), 2))
+    got = {r.id: (r.degree, r.n_tri, r.lcc)
+           for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert got == {i: (3, 3, 1.0) for i in range(4)}  # K4: 3 triangles/node
+    star = [(0, i) for i in range(1, 6)]
+    got = {r.id: (r.n_tri, r.lcc)
+           for r in triangle_counts(_edges(spark, star)).collect()}
+    assert got[0] == (0, 0.0)
+    assert all(got[i] == (0, None) for i in range(1, 6))  # leaves: deg 1
+
+
+def test_triangles_brute_parity(spark):
+    import hashlib
+
+    def h(k, salt):
+        return int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:8], 16)
+
+    pairs = sorted({(min(a, b), max(a, b))
+                    for k in range(300)
+                    for a, b in [(h(k, "a") % 40, h(k, "b") % 40)]
+                    if a != b})
+    got = {r.id: r.n_tri for r in triangle_counts(_edges(spark, pairs)).collect()}
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {
+        v: sum(1 for x, y in itertools.combinations(sorted(nbr[v]), 2)
+               if y in nbr[x])
+        for v in nbr
+    }
+    assert got == want and sum(want.values()) > 0
+
+
+def test_triangles_hub_graph_exact(spark):
+    """A 40-leaf hub plus one closing edge: the degree-ordered wedge
+    method must count exactly 1 triangle (and never enumerate the
+    hub's deg^2 wedges — shape property, asserted by correctness)."""
+    pairs = [(0, i) for i in range(1, 41)] + [(1, 2)]
+    got = {r.id: r.n_tri for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert all(got[i] == 0 for i in range(3, 41))
+
+
+def test_pagerank_conserves_mass_exactly(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)]
+    out = pagerank_quantized(_ids(spark, 6), _edges(spark, pairs), iters=4)
+    rows = out.collect()
+    assert sum(r.rank_q for r in rows) == 6 * PR_SCALE  # exact, every round
+    got = {r.doc_id: r.rank_q for r in rows}
+    assert got[4] == PR_SCALE and got[5] == PR_SCALE  # isolated keep all
+    # node 1 and 3 have degree 3; 0 and 2 degree 2 — rank follows degree
+    assert got[3] > got[0] and got[1] > got[2]
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    # a 6-cycle: perfectly regular, so every node's rank stays identical
+    pairs = [(i, (i + 1) % 6) for i in range(5)] + [(0, 5)]
+    out = pagerank_quantized(_ids(spark, 6), _edges(spark, pairs), iters=3)
+    ranks = {r.rank_q for r in out.collect()}
+    assert len(ranks) == 1
+
+
+def test_pagerank_partition_invariance(spark):
+    pairs = sorted({(min(a, b), max(a, b))
+                    for k in range(120)
+                    for a, b in [((k * 48271) % 40, (k * 16807 + 3) % 40)]
+                    if a != b})
+    ids, e = _ids(spark, 40), _edges(spark, pairs)
+    a1 = sorted(map(tuple, pagerank_quantized(ids, e, iters=3).collect()))
+    a2 = sorted(
+        map(
+            tuple,
+            pagerank_quantized(
+                ids.repartition(7), e.repartition(11), iters=3
+            ).collect(),
+        )
+    )
+    assert a1 == a2
+
+
+def test_pagerank_rejects_bad_args(spark):
+    with pytest.raises(ValueError):
+        pagerank_quantized(_ids(spark, 2), _edges(spark, []), iters=-1)
+    with pytest.raises(ValueError):
+        pagerank_quantized(_ids(spark, 2), _edges(spark, []), damping_pct=101)
