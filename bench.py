@@ -95,6 +95,7 @@ HEADLINE = [
     "st_dbscan",           # r5 cont.: ST density clustering (two-star CC)
     "triangles",           # r5 cont.: degree-ordered wedge triangle counts
     "pagerank",            # r5 cont.: quantized integer-mass PageRank
+    "link_pred",           # r5 cont.: common-neighbor link prediction
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -181,3 +181,63 @@ def pagerank_quantized(
             "rank"
         ),
     )
+
+
+def link_prediction(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", min_common: int = 1
+) -> DataFrame:
+    """Common-neighbor link-prediction features for NON-edges: every
+    2-hop pair (x, y) with x < y that is NOT already an edge, scored by
+
+    * ``common`` — |Γ(x) ∩ Γ(y)| (exact integer),
+    * ``jaccard`` — common / (deg(x) + deg(y) − common), an exact
+      rational evaluated in one fixed-order double division.
+
+    The classic missing-link ranking (Liben-Nowell & Kleinberg 2003) —
+    candidate generation for entity resolution / recommendation over
+    any of the engine's pair graphs.
+
+    Scale shape: one wedge self-join on the center node (each common
+    neighbor contributes exactly one wedge row — the join key is the
+    CENTER, so a node of degree d emits d·(d−1)/2 candidate rows;
+    for hub-heavy graphs, cap degrees upstream the way jaccard_capped
+    caps document frequency), one groupBy on the (x, y) pair, one
+    anti-join to drop existing edges, plus two broadcast-size degree
+    joins.  ``min_common`` prunes the long tail before the joins."""
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    dir_e = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = dir_e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    w1 = dir_e.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    w2 = dir_e.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    cand = (
+        w1.join(w2, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= F.lit(int(min_common)))
+    )
+    non_edges = cand.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("degree").alias("deg_x"))
+    dy = deg.select(F.col("u").alias("y"), F.col("degree").alias("deg_y"))
+    out = non_edges.join(dx, "x").join(dy, "y")
+    return out.select(
+        "x",
+        "y",
+        "common",
+        "deg_x",
+        "deg_y",
+        (
+            F.col("common").cast("double")
+            / (F.col("deg_x") + F.col("deg_y") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -106,3 +106,56 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank_quantized(_ids(spark, 2), _edges(spark, []), iters=-1)
     with pytest.raises(ValueError):
         pagerank_quantized(_ids(spark, 2), _edges(spark, []), damping_pct=101)
+
+
+def test_link_prediction_golden(spark):
+    from gregor_spark.ops.graph import link_prediction
+
+    # square 0-1-2-3-0: diagonals (0,2) and (1,3) are the non-edges,
+    # each with 2 common neighbors and jaccard 2/(2+2-2) = 1.0
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    got = {(r.x, r.y): (r.common, r.jaccard)
+           for r in link_prediction(_edges(spark, pairs)).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from gregor_spark.ops.graph import link_prediction
+
+    # triangle + pendant: (0,1),(1,2),(0,2),(2,3) — candidate 2-hop
+    # pairs through shared neighbors: (0,3),(1,3) via 2; every pair
+    # among {0,1,2} is an EDGE and must not appear
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = {(r.x, r.y): r.common
+           for r in link_prediction(_edges(spark, pairs)).collect()}
+    assert got == {(0, 3): 1, (1, 3): 1}
+
+
+def test_link_prediction_brute_parity(spark):
+    import hashlib
+    import itertools
+
+    from gregor_spark.ops.graph import link_prediction
+
+    def h(k, salt):
+        return int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:8], 16)
+
+    pairs = sorted({(min(a, b), max(a, b))
+                    for k in range(200)
+                    for a, b in [(h(k, "p") % 30, h(k, "q") % 30)]
+                    if a != b})
+    got = {(r.x, r.y): (r.common, round(r.jaccard, 9))
+           for r in link_prediction(_edges(spark, pairs), min_common=1).collect()}
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    es = set(pairs)
+    for x, y in itertools.combinations(sorted(nbr), 2):
+        if (x, y) in es:
+            continue
+        c = len(nbr[x] & nbr[y])
+        if c >= 1:
+            want[(x, y)] = (c, round(c / (len(nbr[x]) + len(nbr[y]) - c), 9))
+    assert got == want and len(want) > 5

@@ -84,6 +84,7 @@ def _assert_oracle_match(spark, ddb, name):
         "tpch_q3ish",      # rotated late r5 (admitted st_dbscan)
         "resample_bilinear",  # rotated late r5 (admitted triangles)
         "track_contacts",  # rotated late r5 (admitted pagerank)
+        "hll_distinct",    # rotated late r5 (admitted link_pred)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
