@@ -96,6 +96,7 @@ HEADLINE = [
     "triangles",           # r5 cont.: degree-ordered wedge triangle counts
     "pagerank",            # r5 cont.: quantized integer-mass PageRank
     "link_pred",           # r5 cont.: common-neighbor link prediction
+    "graph_summary",       # r5 cont.: one-row graph structure report
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

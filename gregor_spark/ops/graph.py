@@ -241,3 +241,43 @@ def link_prediction(
             / (F.col("deg_x") + F.col("deg_y") - F.col("common")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def graph_summary(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """One row of whole-graph structure metrics: ``n_nodes, n_edges,
+    max_degree, avg_degree, n_wedges`` (= Σ d(d−1)/2, exact),
+    ``n_triangles`` (exact, via the degree-ordered wedge method) and
+    ``global_cc`` = 3·triangles / wedges (the transitivity ratio,
+    NULL on wedge-free graphs) — the summary line any graph pipeline
+    reports before deeper work.
+
+    Scale shape: the triangle pass (see :func:`triangle_counts`) plus
+    two scalar aggregates; every count is an exact integer, and the two
+    final ratios are single fixed-order double divisions."""
+    tc = triangle_counts(pairs, a=a, b=b)
+    agg = tc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").alias("_deg_sum"),
+        F.max("degree").alias("max_degree"),
+        F.sum(
+            (F.col("degree") * (F.col("degree") - 1) / F.lit(2)).cast("long")
+        ).alias("n_wedges"),
+        (F.sum("n_tri") / F.lit(3)).cast("long").alias("n_triangles"),
+    )
+    return agg.select(
+        "n_nodes",
+        (F.col("_deg_sum") / F.lit(2)).cast("long").alias("n_edges"),
+        "max_degree",
+        (F.col("_deg_sum").cast("double") / F.col("n_nodes").cast("double")).alias(
+            "avg_degree"
+        ),
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.lit(3.0) * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+        ).alias("global_cc"),
+    )

@@ -159,3 +159,24 @@ def test_link_prediction_brute_parity(spark):
         if c >= 1:
             want[(x, y)] = (c, round(c / (len(nbr[x]) + len(nbr[y]) - c), 9))
     assert got == want and len(want) > 5
+
+
+def test_graph_summary_k4(spark):
+    import itertools
+
+    from gregor_spark.ops.graph import graph_summary
+
+    k4 = list(itertools.combinations(range(4), 2))
+    r = graph_summary(_edges(spark, k4)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (4, 6, 3)
+    assert r.avg_degree == 3.0
+    assert (r.n_wedges, r.n_triangles) == (12, 4)
+    assert r.global_cc == 1.0  # complete graph: perfectly transitive
+
+
+def test_graph_summary_star_zero_cc(spark):
+    from gregor_spark.ops.graph import graph_summary
+
+    r = graph_summary(_edges(spark, [(0, i) for i in range(1, 5)])).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (5, 4, 6, 0)
+    assert r.global_cc == 0.0

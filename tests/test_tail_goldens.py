@@ -85,6 +85,7 @@ def _assert_oracle_match(spark, ddb, name):
         "resample_bilinear",  # rotated late r5 (admitted triangles)
         "track_contacts",  # rotated late r5 (admitted pagerank)
         "hll_distinct",    # rotated late r5 (admitted link_pred)
+        "zone_metrics",    # rotated late r5 (admitted graph_summary)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
