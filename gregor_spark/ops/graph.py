@@ -39,7 +39,11 @@ def triangle_counts(
     clustering coefficient 2·n_tri / (degree·(degree−1)), NULL when
     degree < 2.  Input pairs must be unique with ``a < b`` per row (the
     engine's pair-join contract); self-loops are ignored."""
-    e = (
+    # materialize once — degree, orientation, wedges and the closing
+    # semi-join all reuse the edge set (the dbscan lesson: never
+    # recompute an upstream candidate join per consumer; measured 53
+    # Exchanges in graph_summary's plan before this line)
+    e = _materialize_truncated(
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
@@ -204,7 +208,7 @@ def link_prediction(
     caps document frequency), one groupBy on the (x, y) pair, one
     anti-join to drop existing edges, plus two broadcast-size degree
     joins.  ``min_common`` prunes the long tail before the joins."""
-    e = (
+    e = _materialize_truncated(
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
