@@ -97,6 +97,7 @@ HEADLINE = [
     "pagerank",            # r5 cont.: quantized integer-mass PageRank
     "link_pred",           # r5 cont.: common-neighbor link prediction
     "graph_summary",       # r5 cont.: one-row graph structure report
+    "bfs_hops",            # r5 cont.: bounded-hop BFS from a seed set
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -285,3 +285,67 @@ def graph_summary(
             / F.col("n_wedges").cast("double"),
         ).alias("global_cc"),
     )
+
+
+def bfs_hops(
+    ids: DataFrame,
+    pairs: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """(key, hops) — breadth-first hop distance from a SOURCE SET over
+    the undirected pair graph, capped at ``max_hops`` (NULL beyond the
+    cap / unreachable).  The reach/contagion primitive: "everything
+    within k hops of the flagged seeds" (spam neighborhoods, outbreak
+    rings, blast-radius queries).
+
+    Pure integer iteration — ``hops`` only ever decreases to the true
+    BFS level, one synchronized frontier expansion per round (min over
+    neighbors + 1), so ``max_hops`` rounds are exact for every node
+    within the cap at any parallelism, and an oracle unrolls the same
+    rounds as CTEs.  Each round is one join + groupBy over
+    stats-truncated checkpoints; the frontier never re-reads history."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    dir_e = _materialize_truncated(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    nodes = ids.select(F.col(key).alias("id"))
+    src = sources.select(F.col(key).alias("id")).distinct()
+    state = _materialize_truncated(
+        nodes.join(src.withColumn("_s", F.lit(0)), "id", "left").select(
+            "id", F.col("_s").alias("hops")
+        )
+    )
+    for _ in range(max_hops):
+        reach = (
+            dir_e.join(
+                state.where(F.col("hops").isNotNull()).select(
+                    F.col("id").alias("u"), "hops"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg((F.min("hops") + F.lit(1)).alias("_nh"))
+        )
+        state = _materialize_truncated(
+            state.join(reach, "id", "left").select(
+                "id",
+                F.least(
+                    F.coalesce("hops", F.lit(1 << 30)),
+                    F.coalesce("_nh", F.lit(1 << 30)),
+                ).alias("_h"),
+            ).select(
+                "id",
+                F.when(F.col("_h") < F.lit(1 << 30), F.col("_h")).alias("hops"),
+            )
+        )
+    return state.select(F.col("id").alias(key), "hops")

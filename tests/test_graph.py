@@ -180,3 +180,47 @@ def test_graph_summary_star_zero_cc(spark):
     r = graph_summary(_edges(spark, [(0, i) for i in range(1, 5)])).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (5, 4, 6, 0)
     assert r.global_cc == 0.0
+
+
+def test_bfs_hops_chain_and_cap(spark):
+    from gregor_spark.ops.graph import bfs_hops
+
+    # a 0-1-2-...-7 path seeded at 0, capped at 3 hops
+    pairs = [(i, i + 1) for i in range(7)]
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    got = {r.doc_id: r.hops
+           for r in bfs_hops(_ids(spark, 8), _edges(spark, pairs), seeds,
+                             max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: None, 5: None, 6: None, 7: None}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    from gregor_spark.ops.graph import bfs_hops
+
+    pairs = [(i, i + 1) for i in range(9)]
+    seeds = spark.createDataFrame([(0,), (9,)], "doc_id long")
+    got = {r.doc_id: r.hops
+           for r in bfs_hops(_ids(spark, 10), _edges(spark, pairs), seeds,
+                             max_hops=9).collect()}
+    # distance to the NEARER seed
+    assert got == {i: min(i, 9 - i) for i in range(10)}
+
+
+def test_bfs_hops_partition_invariance(spark):
+    import hashlib
+
+    from gregor_spark.ops.graph import bfs_hops
+
+    def h(k, salt):
+        return int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:8], 16)
+
+    pairs = sorted({(min(a, b), max(a, b))
+                    for k in range(150)
+                    for a, b in [(h(k, "p") % 35, h(k, "q") % 35)]
+                    if a != b})
+    ids, e = _ids(spark, 35), _edges(spark, pairs)
+    seeds = spark.createDataFrame([(0,), (7,)], "doc_id long")
+    a1 = sorted(map(tuple, bfs_hops(ids, e, seeds, 3).collect()))
+    a2 = sorted(map(tuple, bfs_hops(ids.repartition(5), e.repartition(9),
+                                    seeds, 3).collect()))
+    assert a1 == a2

@@ -86,6 +86,7 @@ def _assert_oracle_match(spark, ddb, name):
         "track_contacts",  # rotated late r5 (admitted pagerank)
         "hll_distinct",    # rotated late r5 (admitted link_pred)
         "zone_metrics",    # rotated late r5 (admitted graph_summary)
+        "contamination",   # rotated late r5 (admitted bfs_hops)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
