@@ -46,7 +46,8 @@ BOUNDS = (-0.25, 9.75, 1.75, 11.75)
 
 def _cells_cte() -> str:
     rows = ",".join(
-        f"({r},{c},{x!r},{y!r},{v!r})" for r, c, x, y, v in FX.raster_long_form()
+        f"({r},{c},CAST({x!r} AS DOUBLE),CAST({y!r} AS DOUBLE),CAST({v!r} AS DOUBLE))"
+        for r, c, x, y, v in FX.raster_long_form()
     )
     return f"cells(r, c, x, y, value) AS (SELECT * FROM (VALUES {rows}))"
 
@@ -170,7 +171,7 @@ WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_3X3)}, asg AS (
   SELECT zid, sum(value) AS s, count(*) AS n, avg(value) AS m
   FROM asg WHERE value != 0.0 GROUP BY zid
 )
-SELECT CAST(z.zone_id AS BIGINT) AS zone_id, agg.s AS sum_value,
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, CAST(agg.s AS DOUBLE) AS sum_value,
        CAST(agg.n AS BIGINT) AS cnt_value, agg.m AS mean_value
 FROM zones z LEFT JOIN agg ON z.zone_id = agg.zid
 """
@@ -188,7 +189,7 @@ WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_2X2)}, asg AS (
   FROM cells p JOIN zones z ON {_RECT}
   GROUP BY p.r, p.c, p.value
 ), agg AS (SELECT zid, sum(value) AS s FROM asg GROUP BY zid)
-SELECT CAST(z.zone_id AS BIGINT) AS zone_id, agg.s AS sum_value
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, CAST(agg.s AS DOUBLE) AS sum_value
 FROM zones z LEFT JOIN agg ON z.zone_id = agg.zid
 """
 
@@ -264,7 +265,7 @@ WITH {_points_cte()}, {_boxes_cte('zones', FX.SEG_2X2)}, asg AS (
   SELECT p.point_id, p.w, z.zone_id FROM pts p JOIN zones z ON {_WITHIN}
 ), agg AS (SELECT zone_id, count(*) AS n, sum(w) AS s FROM asg GROUP BY zone_id)
 SELECT CAST(z.zone_id AS BIGINT) AS zone_id, CAST(agg.n AS BIGINT) AS cnt,
-       round(agg.s, 6) AS sum_w_r
+       CAST(round(agg.s, 6) AS DOUBLE) AS sum_w_r
 FROM zones z LEFT JOIN agg ON z.zone_id = agg.zone_id
 """
 
@@ -304,9 +305,9 @@ def q_uniform_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UNIFORM_PROXY_SQL = """
 SELECT r.g AS row, c.g AS col,
-       -0.25 + (c.g + 0.5) * 0.25 AS x,
-       11.75 - (r.g + 0.5) * 0.25 AS y,
-       1.0 AS value
+       CAST(-0.25 AS DOUBLE) + (c.g + 0.5) * CAST(0.25 AS DOUBLE) AS x,
+       CAST(11.75 AS DOUBLE) - (r.g + 0.5) * CAST(0.25 AS DOUBLE) AS y,
+       CAST(1.0 AS DOUBLE) AS value
 FROM generate_series(0, 7) r(g) CROSS JOIN generate_series(0, 7) c(g)
 """
 
@@ -1113,7 +1114,7 @@ def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COARSEN_SQL = f"""
 WITH {_cells_cte()}
 SELECT CAST(floor(r / 2) AS INT) AS row, CAST(floor(c / 2) AS INT) AS col,
-       sum(value) AS sum_value
+       CAST(sum(value) AS DOUBLE) AS sum_value
 FROM cells GROUP BY 1, 2
 """
 
@@ -1135,7 +1136,7 @@ WITH {_cells_cte()}, {_boxes_cte('zones', FX.SEG_2X2)}, asg AS (
   SELECT zid, min(value) AS lo, max(value) AS hi
   FROM asg WHERE value != 0.0 GROUP BY zid
 )
-SELECT CAST(z.zone_id AS BIGINT) AS zone_id, agg.lo AS min_value, agg.hi AS max_value
+SELECT CAST(z.zone_id AS BIGINT) AS zone_id, CAST(agg.lo AS DOUBLE) AS min_value, CAST(agg.hi AS DOUBLE) AS max_value
 FROM zones z LEFT JOIN agg ON z.zone_id = agg.zid
 """
 
@@ -1435,7 +1436,7 @@ def q_zonal_sum_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZONAL_HOLED_SQL = f"""
 WITH base AS ({_BELONGS_HOLED_SQL}), {_cells_cte()}
-SELECT CAST(0 AS BIGINT) AS zone_id, sum(cells.value) AS sum_value
+SELECT CAST(0 AS BIGINT) AS zone_id, CAST(sum(cells.value) AS DOUBLE) AS sum_value
 FROM base JOIN cells ON base.row = cells.r AND base.col = cells.c
 WHERE base.zone_id IS NOT NULL
 """
@@ -1474,7 +1475,7 @@ WITH {_points_cte()}, asg AS (
   SELECT zone_id, count(*) AS n, sum(w) AS s FROM asg GROUP BY zone_id
 ), zl(zone_id) AS (SELECT * FROM (VALUES (0),(1)))
 SELECT CAST(zl.zone_id AS BIGINT) AS zone_id, CAST(agg.n AS BIGINT) AS cnt,
-       round(agg.s, 6) AS sum_w_r
+       CAST(round(agg.s, 6) AS DOUBLE) AS sum_w_r
 FROM zl LEFT JOIN agg ON zl.zone_id = agg.zone_id
 """
 
@@ -2325,8 +2326,8 @@ def _tgt_cte(m: dict) -> str:
     return f"""tgt AS (
   SELECT CAST(floor(range / {float(w)!r}) AS INT) AS row,
          CAST(range % {w} AS INT) AS col,
-         {m['origin_x']!r} + (CAST(range % {w} AS INT) + 0.5) * {m['pixel']!r} AS x,
-         {m['origin_y']!r} - (CAST(floor(range / {float(w)!r}) AS INT) + 0.5) * {m['pixel']!r} AS y
+         CAST({m['origin_x']!r} AS DOUBLE) + (CAST(range % {w} AS INT) + 0.5) * CAST({m['pixel']!r} AS DOUBLE) AS x,
+         CAST({m['origin_y']!r} AS DOUBLE) - (CAST(floor(range / {float(w)!r}) AS INT) + 0.5) * CAST({m['pixel']!r} AS DOUBLE) AS y
   FROM range({n}))"""
 
 
@@ -2348,7 +2349,7 @@ idx AS (
          CAST(floor((x - {META.origin_x!r}) / {META.pixel!r}) AS INT) AS sc,
          CAST(floor(({META.origin_y!r} - y) / {META.pixel!r}) AS INT) AS sr
   FROM tgt)
-SELECT i.row, i.col, i.x, i.y, coalesce(c.value, {_RS_NEAR['nodata']!r}) AS value
+SELECT i.row, i.col, i.x, i.y, coalesce(c.value, CAST({_RS_NEAR['nodata']!r} AS DOUBLE)) AS value
 FROM idx i LEFT JOIN cells c ON c.r = i.sr AND c.c = i.sc
 """.format(cells=_cells_cte())
 
@@ -2501,7 +2502,7 @@ idx AS (
          CAST(floor((lon - {META.origin_x!r}) / {META.pixel!r}) AS INT) AS sc,
          CAST(floor(({META.origin_y!r} - lat) / {META.pixel!r}) AS INT) AS sr
   FROM lkp)
-SELECT i.row, i.col, i.x, i.y, coalesce(c.value, {_WARP_3857['nodata']!r}) AS value
+SELECT i.row, i.col, i.x, i.y, coalesce(c.value, CAST({_WARP_3857['nodata']!r} AS DOUBLE)) AS value
 FROM idx i LEFT JOIN cells c ON c.r = i.sr AND c.c = i.sc
 """.format(cells=_cells_cte())
 
@@ -4291,7 +4292,7 @@ r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_q FROM documents),
 {_pr_round('r0', 'r1')},
 {_pr_round('r1', 'r2')},
 {_pr_round('r2', 'r3')}
-SELECT id AS doc_id, rank_q,
+SELECT id AS doc_id, CAST(rank_q AS BIGINT) AS rank_q,
        CAST(rank_q AS DOUBLE) / 1000000.0 / 500.0 AS rank
 FROM r3
 """
