@@ -224,3 +224,137 @@ def test_bfs_hops_partition_invariance(spark):
     a2 = sorted(map(tuple, bfs_hops(ids.repartition(5), e.repartition(9),
                                     seeds, 3).collect()))
     assert a1 == a2
+
+
+# ------------------------------------------------ k-core / coreness (r6)
+
+
+def _brute_kcore(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        kill = [n for n, s in adj.items() if len(s) < k]
+        if not kill:
+            return {n: len(s) for n, s in adj.items()}
+        for n in kill:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+
+
+def _brute_coreness(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    core, seen = {}, set()
+    cur = 0
+    while len(seen) < len(adj):
+        n = min((x for x in adj if x not in seen), key=lambda x: (deg[x], x))
+        cur = max(cur, deg[n])
+        core[n] = cur
+        seen.add(n)
+        for m in adj[n]:
+            if m not in seen:
+                deg[m] -= 1
+        adj = {x: {y for y in s if y not in seen} for x, s in adj.items()}
+    return core
+
+
+def _md5_graph(n_nodes, n_draws, salt=""):
+    import hashlib
+
+    def h(k, s):
+        return int(hashlib.md5(f"{salt}{s}:{k}".encode()).hexdigest()[:8], 16)
+
+    return sorted({(min(a, b), max(a, b))
+                   for k in range(n_draws)
+                   for a, b in [(h(k, "a") % n_nodes, h(k, "b") % n_nodes)]
+                   if a != b})
+
+
+def test_kcore_k4_minus_edge(spark):
+    """K4 is a 3-core; remove one edge and the 3-core collapses to the
+    2-core (every node keeps degree >= 2)."""
+    from gregor_spark.ops.graph import kcore_nodes
+
+    k4 = list(itertools.combinations(range(4), 2))
+    got = {r.id: r.core_deg for r in kcore_nodes(_edges(spark, k4), 3).collect()}
+    assert got == {i: 3 for i in range(4)}
+    broken = [p for p in k4 if p != (0, 1)]
+    assert kcore_nodes(_edges(spark, broken), 3).count() == 0
+    got2 = {r.id: r.core_deg
+            for r in kcore_nodes(_edges(spark, broken), 2).collect()}
+    assert got2 == {0: 2, 1: 2, 2: 3, 3: 3}
+
+
+def test_kcore_peels_tendrils(spark):
+    """A triangle with a pendant path: k=2 drops the whole tail (needs
+    one peel round per path vertex — exercises the multi-round loop)."""
+    from gregor_spark.ops.graph import kcore_nodes
+
+    tri = [(0, 1), (0, 2), (1, 2)]
+    tail = [(2, 10), (10, 11), (11, 12), (12, 13)]
+    got = {r.id for r in kcore_nodes(_edges(spark, tri + tail), 2).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_kcore_brute_parity(spark):
+    from gregor_spark.ops.graph import kcore_nodes
+
+    pairs = _md5_graph(40, 300)
+    for k in (2, 3, 4):
+        got = {r.id: r.core_deg
+               for r in kcore_nodes(_edges(spark, pairs), k).collect()}
+        assert got == _brute_kcore(pairs, k), f"k={k}"
+
+
+def test_kcore_rejects_bad_k_and_caps_rounds(spark):
+    from gregor_spark.ops.graph import kcore_nodes
+
+    with pytest.raises(ValueError):
+        kcore_nodes(_edges(spark, [(0, 1)]), 0)
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError):
+        kcore_nodes(_edges(spark, chain), 2, max_rounds=2)
+
+
+def test_coreness_brute_parity(spark):
+    from gregor_spark.ops.graph import coreness
+
+    for salt, n, d in (("", 40, 300), ("x", 30, 120)):
+        pairs = _md5_graph(n, d, salt)
+        got = {r.id: r.coreness
+               for r in coreness(_edges(spark, pairs)).collect()}
+        assert got == _brute_coreness(pairs), salt
+
+
+def test_coreness_matches_kcore_membership(spark):
+    """coreness(v) >= k  <=>  v in k-core (definitional cross-check
+    between the two implementations on a nontrivial graph)."""
+    from gregor_spark.ops.graph import coreness, kcore_nodes
+
+    pairs = _md5_graph(40, 300, "y")
+    c = {r.id: r.coreness for r in coreness(_edges(spark, pairs)).collect()}
+    for k in (2, 3):
+        members = {r.id for r in kcore_nodes(_edges(spark, pairs), k).collect()}
+        assert members == {v for v, cv in c.items() if cv >= k}
+
+
+def test_kcore_partition_invariance(spark):
+    from gregor_spark.ops.graph import coreness, kcore_nodes
+
+    pairs = _md5_graph(35, 200, "z")
+    base_k = sorted((r.id, r.core_deg)
+                    for r in kcore_nodes(_edges(spark, pairs), 2).collect())
+    base_c = sorted((r.id, r.coreness)
+                    for r in coreness(_edges(spark, pairs)).collect())
+    for parts in (1, 7):
+        e = _edges(spark, pairs).repartition(parts)
+        assert sorted((r.id, r.core_deg)
+                      for r in kcore_nodes(e, 2).collect()) == base_k
+        assert sorted((r.id, r.coreness)
+                      for r in coreness(e).collect()) == base_c

@@ -87,6 +87,8 @@ def _assert_oracle_match(spark, ddb, name):
         "hll_distinct",    # rotated late r5 (admitted link_pred)
         "zone_metrics",    # rotated late r5 (admitted graph_summary)
         "contamination",   # rotated late r5 (admitted bfs_hops)
+        "hillshade",       # rotated r6 (admitted kcore3)
+        "coreness",        # born-tail r6 (graph-dependent round count)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
