@@ -4032,6 +4032,62 @@ FROM k JOIN comp ON k.kk = comp.id
 REGISTRY.update({"watershed": (q_watershed, _watershed_sql())})
 
 
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation over the same 64x64 DEM
+    (operators/terrain.py::flow_accumulation — Euler tour of the D8
+    pointer forest + Wyllie list ranking with partial-sum carry:
+    ceil(log2(2n)) self-join rounds, integer-exact at any parallelism;
+    n_up = upstream cell count, sources 0).  The oracle is a different
+    shape: a recursive CTE walks every cell's full downstream path and
+    counts path visits per cell."""
+    from .operators.terrain import flow_accumulation
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return flow_accumulation(cells)
+
+
+def _flow_accum_sql() -> str:
+    flow_body = _FLOW_D8_SQL.split("WITH", 1)[1].rsplit("SELECT", 1)[0].rstrip().rstrip(",")
+    return f"""
+WITH RECURSIVE {flow_body},
+w AS (
+  SELECT row, col, CASE WHEN metric >= 0 THEN code ELSE 0 END AS code
+  FROM r WHERE rn = 1),
+k AS (SELECT row, col, code, row * 4294967296 + col AS kk FROM w),
+e AS (
+  SELECT kk AS src,
+         (row + CASE WHEN code IN (2, 4, 8) THEN 1
+                     WHEN code IN (32, 64, 128) THEN -1 ELSE 0 END)
+           * 4294967296
+         + (col + CASE WHEN code IN (128, 1, 2) THEN 1
+                       WHEN code IN (8, 16, 32) THEN -1 ELSE 0 END) AS dst
+  FROM k WHERE code > 0),
+reach(src, cur) AS (
+  SELECT src, dst AS cur FROM e
+  UNION
+  SELECT rh.src, e.dst AS cur FROM reach rh JOIN e ON e.src = rh.cur),
+acc AS (SELECT cur AS kk, count(*) AS n_up FROM reach GROUP BY cur)
+SELECT k.row, k.col, k.code,
+       CAST(coalesce(acc.n_up, 0) AS BIGINT) AS n_up
+FROM k LEFT JOIN acc ON k.kk = acc.kk
+"""
+
+
+REGISTRY.update({"flow_accum": (q_flow_accum, _flow_accum_sql())})
+
+
 # ----------------------------------------------------------- geohash
 
 
@@ -4847,6 +4903,8 @@ _WINDOW_TAIL = (
     "dedup_exact",
     "hillshade",   # rotated r6 (admitted kcore3); slope_horn anchors the
                    # Horn-kernel terrain family in-window
+    "getis_ord",   # rotated r6 (admitted flow_accum); morans_i anchors the
+                   # queen-weights spatial-stats family in-window
     "coreness",    # born-tail r6: exact h-index decomposition, rounds are
                    # graph-dependent (25 here) — kcore3 is the family's
                    # fixed-round in-window row

@@ -89,6 +89,7 @@ def _assert_oracle_match(spark, ddb, name):
         "contamination",   # rotated late r5 (admitted bfs_hops)
         "hillshade",       # rotated r6 (admitted kcore3)
         "coreness",        # born-tail r6 (graph-dependent round count)
+        "getis_ord",       # rotated r6 (admitted flow_accum)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -336,3 +336,87 @@ def test_watershed_partition_invariance(spark):
     a = sorted(map(tuple, watershed_basins(df).collect()))
     b = sorted(map(tuple, watershed_basins(df.repartition(13)).collect()))
     assert a == b
+
+
+# ------------------------------------------------------ flow accumulation
+
+
+def _fa_brute(vals, nodata=None):
+    """Follow every cell's brute D8 path, counting visits per cell."""
+    from gregor_spark.operators.terrain import _D8
+
+    d8 = _d8_brute(vals, nodata)
+    off = {code: (dr, dc) for dr, dc, code, _ in _D8}
+    n_up = {rc: 0 for rc in d8}
+    for rc, (_, code, _drop) in d8.items():
+        cur, ccode = rc, code
+        while ccode:
+            dr, dc = off[ccode]
+            cur = (cur[0] + dr, cur[1] + dc)
+            n_up[cur] += 1
+            ccode = d8[cur][1]
+    return n_up
+
+
+def test_flow_accum_chain_and_sources(spark):
+    """A monotone 1-row ramp is a single chain: n_up counts every cell
+    upstream; the head is a source (0)."""
+    from gregor_spark.operators.terrain import flow_accumulation
+
+    cells = spark.createDataFrame(
+        [(0, c, float(9 - c)) for c in range(6)],
+        "row int, col int, value double",
+    )
+    got = {(r.row, r.col): r.n_up for r in flow_accumulation(cells).collect()}
+    assert got == {(0, c): c for c in range(6)}
+
+
+def test_flow_accum_confluence(spark):
+    """Two tributaries joining a trunk: counts add at the confluence."""
+    from gregor_spark.operators.terrain import flow_accumulation
+
+    # 3x3 bowl draining to the center-south outlet
+    vals = np.array([
+        [5.0, 4.0, 5.0],
+        [3.0, 2.0, 3.0],
+        [9.0, 0.0, 9.0],
+    ])
+    got = {(r.row, r.col): r.n_up
+           for r in flow_accumulation(raster_df(spark, _meta(3, 3), vals)).collect()}
+    assert got == _fa_brute(vals)
+    assert got[(2, 1)] == 8  # the outlet drains everything else
+
+
+def test_flow_accum_brute_parity_with_nodata(spark):
+    from gregor_spark.operators.terrain import flow_accumulation
+
+    vals = np.array(
+        [[float((r * 31 + c * 17) % 13) for c in range(11)] for r in range(11)]
+    )
+    vals[4, 4] = 7.0
+    got = {(r.row, r.col): r.n_up
+           for r in flow_accumulation(
+               raster_df(spark, _meta(11, 11), vals), nodata=7.0).collect()}
+    assert got == _fa_brute(vals, nodata=7.0)
+    assert sum(got.values()) > 0
+
+
+def test_flow_accum_partition_invariance(spark):
+    from gregor_spark.operators.terrain import flow_accumulation
+
+    vals = np.arange(64, dtype=float).reshape(8, 8) % 11
+    df = raster_df(spark, _meta(8, 8), vals)
+    a = sorted(map(tuple, flow_accumulation(df).collect()))
+    b = sorted(map(tuple, flow_accumulation(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_flow_accum_round_cap_raises(spark):
+    from gregor_spark.operators.terrain import flow_accumulation
+
+    cells = spark.createDataFrame(
+        [(0, c, float(99 - c)) for c in range(9)],
+        "row int, col int, value double",
+    )
+    with pytest.raises(RuntimeError):
+        flow_accumulation(cells, max_rounds=1)
