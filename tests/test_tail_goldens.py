@@ -90,6 +90,7 @@ def _assert_oracle_match(spark, ddb, name):
         "hillshade",       # rotated r6 (admitted kcore3)
         "coreness",        # born-tail r6 (graph-dependent round count)
         "getis_ord",       # rotated r6 (admitted flow_accum)
+        "od_matrix",       # rotated r6 (admitted frechet_sim)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -5,6 +5,8 @@ window-tail rotation."""
 import datetime as dt
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gregor_spark.ops.trajectory import track_stats
@@ -369,3 +371,133 @@ def test_staypoints_partition_invariance(spark):
                    staypoints(df.repartition(13), 1.0, 600.0,
                               tiebreak="event_id").collect()))
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------ track similarity
+
+
+def _hav_np(lon1, lat1, lon2, lat2):
+    import numpy as np
+
+    dphi = np.radians(lat2 - lat1)
+    dlmb = np.radians(lon2 - lon1)
+    h = (np.sin(dphi / 2) ** 2
+         + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2))
+         * np.sin(dlmb / 2) ** 2)
+    return 12742.0176 * np.arcsin(min(1.0, np.sqrt(h)))
+
+
+def _brute_frechet(ta, tb):
+    """Independent plain-recursive Eiter-Mannila reference."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def c(i, j):
+        d = _hav_np(ta[i][0], ta[i][1], tb[j][0], tb[j][1])
+        if i == 0 and j == 0:
+            return d
+        if i == 0:
+            return max(c(0, j - 1), d)
+        if j == 0:
+            return max(c(i - 1, 0), d)
+        return max(min(c(i - 1, j), c(i - 1, j - 1), c(i, j - 1)), d)
+
+    return c(len(ta) - 1, len(tb) - 1)
+
+
+def _brute_dtw(ta, tb):
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def c(i, j):
+        d = _hav_np(ta[i][0], ta[i][1], tb[j][0], tb[j][1])
+        if i == 0 and j == 0:
+            return d
+        if i == 0:
+            return c(0, j - 1) + d
+        if j == 0:
+            return c(i - 1, 0) + d
+        return min(c(i - 1, j), c(i - 1, j - 1), c(i, j - 1)) + d
+
+    return c(len(ta) - 1, len(tb) - 1)
+
+
+def _md5_track(uid, n, scale=1.0):
+    import hashlib
+
+    def h(k, s):
+        v = int(hashlib.md5(f"{uid}:{s}:{k}".encode()).hexdigest()[:8], 16)
+        return v / 0xFFFFFFFF
+
+    return [(h(k, "x") * scale, 9.0 + h(k, "y") * scale) for k in range(n)]
+
+
+def _sim_fixture(spark, tracks):
+    rows = [
+        (uid, k, float(x), float(y))
+        for uid, trk in tracks.items()
+        for k, (x, y) in enumerate(trk)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts long, lon double, lat double"
+    )
+
+
+def _pairs(spark, ps):
+    return spark.createDataFrame(ps, "user_a long, user_b long")
+
+
+def test_track_similarity_identical_and_shifted(spark):
+    """Identical tracks: Fréchet 0, DTW 0.  A constant 1-degree-east
+    shift of a straight track: Fréchet = the pointwise offset, DTW >=
+    n * small-step matches."""
+    from gregor_spark.ops.trajectory import track_similarity
+
+    base = [(float(k) / 10.0, 10.0) for k in range(8)]
+    shifted = [(x + 1.0, y) for x, y in base]
+    df = _sim_fixture(spark, {1: base, 2: list(base), 3: shifted})
+    got = {(r.user_a, r.user_b): r.dist_km
+           for r in track_similarity(df, _pairs(spark, [(1, 2), (1, 3)])).collect()}
+    assert got[(1, 2)] == 0.0
+    assert abs(got[(1, 3)] - _hav_np(0.0, 10.0, 1.0, 10.0)) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "na,nb,scale",
+    [(7, 7, 1.0), (13, 5, 0.1), (20, 20, 5.0)],  # equal/ragged/wide regimes
+)
+def test_track_similarity_brute_parity(spark, na, nb, scale):
+    from gregor_spark.ops.trajectory import track_similarity
+
+    ta, tb = _md5_track(1, na, scale), _md5_track(2, nb, scale)
+    df = _sim_fixture(spark, {1: ta, 2: tb})
+    p = _pairs(spark, [(1, 2)])
+    fr = track_similarity(df, p, metric="frechet").collect()[0]
+    dt = track_similarity(df, p, metric="dtw").collect()[0]
+    assert (fr.n_a, fr.n_b) == (na, nb)
+    assert abs(fr.dist_km - _brute_frechet(tuple(ta), tuple(tb))) < 1e-9
+    assert abs(dt.dist_km - _brute_dtw(tuple(ta), tuple(tb))) < 1e-9
+    assert fr.dist_km <= dt.dist_km  # max-leash <= summed alignment
+
+
+def test_track_similarity_partition_invariance(spark):
+    from gregor_spark.ops.trajectory import track_similarity
+
+    tracks = {u: _md5_track(u, 9 + u) for u in range(6)}
+    df = _sim_fixture(spark, tracks)
+    ps = [(u, u + 1) for u in range(5)]
+    base = sorted(map(tuple, track_similarity(df, _pairs(spark, ps)).collect()))
+    rep = sorted(map(tuple, track_similarity(
+        df.repartition(11), _pairs(spark, ps).repartition(3)).collect()))
+    assert base == rep
+
+
+def test_track_similarity_guards(spark):
+    from gregor_spark.ops.trajectory import track_similarity
+
+    df = _sim_fixture(spark, {1: _md5_track(1, 4), 2: _md5_track(2, 4)})
+    p = _pairs(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        track_similarity(df, p, metric="euclid")
+    with pytest.raises(Exception, match="max_len"):
+        track_similarity(df, p, max_len=1).collect()
