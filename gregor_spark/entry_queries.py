@@ -1797,6 +1797,79 @@ FROM b
 """
 
 
+def q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS-registry widening toward the reference's any-EPSG surface
+    (reference disaggregate.py:44 accepts arbitrary pyproj CRSs):
+    per-doc lon/lat in a CONUS box reprojected EPSG:4326 -> EPSG:5070
+    (NAD83 / Conus Albers, the US federal equal-area analysis grid) by
+    the Snyder eqs. 14-1..14-21 numpy kernel behind the same
+    Arrow-batched pandas UDF as reproject_laea.  The oracle replays the
+    closed-form forward equations in plain SQL; both sides floor to
+    decimeters."""
+    from .geo.crs import reproject_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("doc_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = docs.select(
+        "doc_id",
+        (F.lit(-120.0) + F.lit(50.0) * (m1 / F.lit(100003.0))).alias("x"),
+        (F.lit(25.0) + F.lit(24.0) * (m2 / F.lit(100003.0))).alias("y"),
+    )
+    out = reproject_df(pts, "EPSG:4326", "EPSG:5070")
+    return out.select(
+        "doc_id",
+        F.floor(F.col("x") * 10).cast("long").alias("e_dm"),
+        F.floor(F.col("y") * 10).cast("long").alias("n_dm"),
+    )
+
+
+_REPROJECT_ALBERS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -120.0 + 50.0 * (((doc_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         25.0  + 24.0 * (((doc_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM documents
+),
+ell AS (  -- GRS80
+  SELECT 6378137.0 AS a,
+         sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e
+),
+-- q (Snyder 3-12) and m (14-15) at the two standard parallels and lat0=23N
+k0 AS (
+  SELECT a, e,
+    (1.0 - e*e) * (sin(radians(29.5))/(1.0 - e*e*sin(radians(29.5))*sin(radians(29.5)))
+       - (1.0/(2.0*e)) * ln((1.0 - e*sin(radians(29.5)))/(1.0 + e*sin(radians(29.5))))) AS q1,
+    (1.0 - e*e) * (sin(radians(45.5))/(1.0 - e*e*sin(radians(45.5))*sin(radians(45.5)))
+       - (1.0/(2.0*e)) * ln((1.0 - e*sin(radians(45.5)))/(1.0 + e*sin(radians(45.5))))) AS q2,
+    (1.0 - e*e) * (sin(radians(23.0))/(1.0 - e*e*sin(radians(23.0))*sin(radians(23.0)))
+       - (1.0/(2.0*e)) * ln((1.0 - e*sin(radians(23.0)))/(1.0 + e*sin(radians(23.0))))) AS q0,
+    cos(radians(29.5))/sqrt(1.0 - e*e*sin(radians(29.5))*sin(radians(29.5))) AS m1,
+    cos(radians(45.5))/sqrt(1.0 - e*e*sin(radians(45.5))*sin(radians(45.5))) AS m2
+  FROM ell
+),
+k AS (SELECT a, e, q0, (m1*m1 - m2*m2)/(q2 - q1) AS n, m1*m1 + ((m1*m1 - m2*m2)/(q2 - q1))*q1 AS c FROM k0),
+kk AS (SELECT a, e, n, c, a * sqrt(c - n*q0)/n AS rho0 FROM k),
+s AS (
+  SELECT p.doc_id, kk.n * radians(p.lon - (-96.0)) AS theta,
+         kk.a * sqrt(kk.c - kk.n *
+           ((1.0 - e*e) * (sin(radians(p.lat))/(1.0 - e*e*sin(radians(p.lat))*sin(radians(p.lat)))
+              - (1.0/(2.0*e)) * ln((1.0 - e*sin(radians(p.lat)))/(1.0 + e*sin(radians(p.lat))))))) / kk.n AS rho,
+         kk.rho0
+  FROM p CROSS JOIN kk
+)
+SELECT doc_id,
+       CAST(floor((rho * sin(theta)) * 10) AS BIGINT) AS e_dm,
+       CAST(floor((rho0 - rho * cos(theta)) * 10) AS BIGINT) AS n_dm
+FROM s
+"""
+
+
+REGISTRY.update(
+    {"reproject_albers": (q_reproject_albers, _REPROJECT_ALBERS_SQL)}
+)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 as-of join: each purchase matched to the user's latest
     view at-or-before it (backward inclusive).  Engine = union-tag + one
@@ -4938,6 +5011,8 @@ _WINDOW_TAIL = (
                    # queen-weights spatial-stats family in-window
     "od_matrix",   # rotated r6 (admitted frechet_sim); staypoints anchors
                    # the trajectory family in-window
+    "watershed",   # rotated r6 (admitted reproject_albers); flow_d8 keeps
+                   # the D8 pass in-window and dbscan the two-star components
     "coreness",    # born-tail r6: exact h-index decomposition, rounds are
                    # graph-dependent (25 here) — kcore3 is the family's
                    # fixed-round in-window row

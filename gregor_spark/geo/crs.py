@@ -325,6 +325,105 @@ def _lcc_inverse(E, N):
     return np.degrees(lam) + _LCC_LON0, np.degrees(phi)
 
 
+# --------------------------------------------------------------------------
+# Albers equal-area conic (ellipsoidal, 2 standard parallels) — Snyder,
+# USGS PP 1395 pp. 101-102, eqs. 14-1..14-21.  EPSG:5070 (NAD83 / Conus
+# Albers — the US federal analysis grid) parameters: GRS80, standard
+# parallels 29.5°N / 45.5°N, origin 23°N 96°W, FE = FN = 0.  Completes
+# the conic family with its EQUAL-AREA member (LCC is the conformal one);
+# q(φ) is the same Snyder 3-12 authalic function LAEA uses (same GRS80 e).
+
+_AEA_LON0 = -96.0
+_AEA_PHI0 = np.radians(23.0)
+_AEA_PHI1 = np.radians(29.5)
+_AEA_PHI2 = np.radians(45.5)
+_AEA_M1 = np.cos(_AEA_PHI1) / np.sqrt(1.0 - (_LAEA_E * np.sin(_AEA_PHI1)) ** 2)
+_AEA_M2 = np.cos(_AEA_PHI2) / np.sqrt(1.0 - (_LAEA_E * np.sin(_AEA_PHI2)) ** 2)
+_AEA_N = (_AEA_M1 * _AEA_M1 - _AEA_M2 * _AEA_M2) / (
+    float(_laea_q(np.sin(_AEA_PHI2))) - float(_laea_q(np.sin(_AEA_PHI1)))
+)
+_AEA_C = _AEA_M1 * _AEA_M1 + _AEA_N * float(_laea_q(np.sin(_AEA_PHI1)))
+_AEA_RHO0 = (
+    _GRS80_A * np.sqrt(_AEA_C - _AEA_N * float(_laea_q(np.sin(_AEA_PHI0)))) / _AEA_N
+)
+
+
+def _aea_forward(lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - _AEA_LON0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = _GRS80_A * np.sqrt(_AEA_C - _AEA_N * _laea_q(np.sin(phi))) / _AEA_N
+    theta = _AEA_N * lam
+    return rho * np.sin(theta), _AEA_RHO0 - rho * np.cos(theta)
+
+
+def _aea_inverse(E, N):
+    x = np.asarray(E, dtype=np.float64)
+    y = _AEA_RHO0 - np.asarray(N, dtype=np.float64)
+    rho = np.sqrt(x * x + y * y)
+    theta = np.arctan2(x, y)  # n > 0 for the northern-parallel setup
+    q = (_AEA_C - (rho * _AEA_N / _GRS80_A) ** 2) / _AEA_N
+    # Newton-invert q(phi), identical scheme to the LAEA inverse
+    e = _LAEA_E
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        sphi = np.sin(phi)
+        f = _laea_q(sphi) - q
+        df = (1.0 - e * e) * np.cos(phi) * 2.0 / (1.0 - (e * sphi) ** 2) ** 2
+        phi = phi - np.where(df == 0, 0.0, f / np.where(df == 0, 1.0, df))
+    return np.degrees(theta / _AEA_N) + _AEA_LON0, np.degrees(phi)
+
+
+# --------------------------------------------------------------------------
+# Polar stereographic, variant B (ellipsoidal, standard parallel) — Snyder,
+# USGS PP 1395 pp. 160-161, eqs. 21-33..21-34, 15-9.  EPSG:3413 (WGS84 /
+# NSIDC Sea Ice Polar Stereographic North — the polar remote-sensing grid)
+# parameters: WGS84, lat_ts 70°N, lon0 45°W, FE = FN = 0.  Adds the
+# azimuthal CONFORMAL member (LAEA is the equal-area one); t(φ) is the
+# same Snyder 15-9 conformal function LCC uses, on the WGS84 e.
+
+_PS_E = np.sqrt(_WGS84_F * (2.0 - _WGS84_F))
+_PS_LON0 = -45.0
+_PS_LAT_TS = np.radians(70.0)
+
+
+def _ps_t(phi: np.ndarray) -> np.ndarray:
+    e = _PS_E
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * sphi) / (1.0 + e * sphi)
+    ) ** (e / 2.0)
+
+
+_PS_MC = np.cos(_PS_LAT_TS) / np.sqrt(1.0 - (_PS_E * np.sin(_PS_LAT_TS)) ** 2)
+_PS_TC = float(_ps_t(_PS_LAT_TS))
+
+
+def _ps_forward(lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - _PS_LON0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = _WGS84_A * _PS_MC * _ps_t(phi) / _PS_TC
+    return rho * np.sin(lam), -rho * np.cos(lam)
+
+
+def _ps_inverse(E, N):
+    x = np.asarray(E, dtype=np.float64)
+    y = np.asarray(N, dtype=np.float64)
+    rho = np.sqrt(x * x + y * y)
+    t = rho * _PS_TC / (_WGS84_A * _PS_MC)
+    with np.errstate(invalid="ignore"):
+        lam = np.arctan2(x, -y)
+    lam = np.where(rho == 0, 0.0, lam)
+    # invert t(phi) by fixed point (Snyder eq. 7-9), as in the LCC inverse
+    e = _PS_E
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        sphi = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+    return np.degrees(lam) + _PS_LON0, np.degrees(phi)
+
+
 def _norm(crs: str) -> str:
     c = crs.upper().replace(" ", "")
     m = re.fullmatch(r"UTM:?(\d{1,2})([NS])", c)
@@ -349,6 +448,10 @@ def _proj_pair(crs: str):
         return _laea_forward, _laea_inverse
     if crs == "EPSG:3034":
         return _lcc_forward, _lcc_inverse
+    if crs == "EPSG:5070":
+        return _aea_forward, _aea_inverse
+    if crs == "EPSG:3413":
+        return _ps_forward, _ps_inverse
     m = re.fullmatch(r"EPSG:32([67])(\d{2})", crs)
     if m:
         south = m.group(1) == "7"

@@ -328,3 +328,153 @@ def test_lcc_routes_through_other_crs():
     E2, N2 = reproject(*reproject(E, N, "EPSG:3034", "EPSG:3035"), "EPSG:3035", "EPSG:3034")
     assert np.max(np.abs(E2 - E)) < 1e-5
     assert np.max(np.abs(N2 - N)) < 1e-5
+
+
+# --------------------------- Albers equal-area conic (EPSG:5070), r6
+
+
+def test_albers_roundtrip_1e9():
+    lon = RNG.uniform(-125.0, -66.0, 4000)   # CONUS box
+    lat = RNG.uniform(24.0, 50.0, 4000)
+    E, N = reproject(lon, lat, "EPSG:4326", "EPSG:5070")
+    lon2, lat2 = reproject(E, N, "EPSG:5070", "EPSG:4326")
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_albers_origin_and_known_point():
+    """FE = FN = 0 at the 23N 96W origin; Denver matches the published
+    NAD83/Conus-Albers coordinate to the metre (independent of this
+    implementation's formula path)."""
+    from gregor_spark.geo.crs import _aea_forward
+
+    E, N = _aea_forward(np.array([-96.0]), np.array([23.0]))
+    assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+    E, N = _aea_forward(np.array([-104.99]), np.array([39.74]))
+    assert E[0] == pytest.approx(-762375.21, abs=1.0)
+    assert N[0] == pytest.approx(1893930.44, abs=1.0)
+
+
+def test_albers_is_equal_area():
+    """The defining property: |d(E,N)/d(lon_rad,lat_rad)| equals the
+    GRS80 area element, same finite-difference check as LAEA."""
+    from gregor_spark.geo.crs import _aea_forward
+
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2.0 - f)
+    lon = RNG.uniform(-120.0, -70.0, 2000)
+    lat = RNG.uniform(25.0, 49.0, 2000)
+    h = 1e-5
+    El, Nl = _aea_forward(lon - h, lat)
+    Er, Nr = _aea_forward(lon + h, lat)
+    Ed, Nd = _aea_forward(lon, lat - h)
+    Eu, Nu = _aea_forward(lon, lat + h)
+    dr = np.radians(2 * h)
+    J = np.abs((Er - El) * (Nu - Nd) - (Eu - Ed) * (Nr - Nl)) / (dr * dr)
+    phi = np.radians(lat)
+    truth = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
+    assert np.abs(J / truth - 1).max() < 1e-5
+
+
+def test_albers_unit_scale_on_standard_parallels():
+    """Along-parallel scale k = rho*n/(a*m(phi)) is exactly 1 on both
+    standard parallels, < 1 between and > 1 outside (Snyder 14-16)."""
+    from gregor_spark.geo.crs import (
+        _AEA_C, _AEA_N, _GRS80_A, _LAEA_E, _laea_q,
+    )
+
+    def k(lat_deg):
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        rho = _GRS80_A * np.sqrt(_AEA_C - _AEA_N * _laea_q(np.sin(phi))) / _AEA_N
+        m = np.cos(phi) / np.sqrt(1.0 - (_LAEA_E * np.sin(phi)) ** 2)
+        return rho * _AEA_N / (_GRS80_A * m)
+
+    assert k(29.5) == pytest.approx(1.0, abs=1e-12)
+    assert k(45.5) == pytest.approx(1.0, abs=1e-12)
+    assert k(37.0) < 1.0
+    assert k(24.0) > 1.0 and k(49.0) > 1.0
+
+
+def test_albers_routes_through_other_crs():
+    lon = RNG.uniform(-110.0, -80.0, 500)
+    lat = RNG.uniform(28.0, 46.0, 500)
+    E, N = reproject(lon, lat, "EPSG:4326", "EPSG:5070")
+    E2, N2 = reproject(
+        *reproject(E, N, "EPSG:5070", "EPSG:3857"), "EPSG:3857", "EPSG:5070"
+    )
+    assert np.max(np.abs(E2 - E)) < 1e-5
+    assert np.max(np.abs(N2 - N)) < 1e-5
+
+
+# ----------------------- Polar stereographic north (EPSG:3413), r6
+
+
+def test_polar_stereo_roundtrip_1e9():
+    lon = RNG.uniform(-180.0, 180.0, 4000)
+    lat = RNG.uniform(45.0, 89.9, 4000)
+    E, N = reproject(lon, lat, "EPSG:4326", "EPSG:3413")
+    lon2, lat2 = reproject(E, N, "EPSG:3413", "EPSG:4326")
+    dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+    assert np.max(np.abs(dlon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_polar_stereo_pole_and_true_scale():
+    """The pole maps to (0,0); scale k = rho*tc/(a*m(phi)*t(phi)) is
+    exactly 1 on the 70N standard parallel (variant B's definition)."""
+    from gregor_spark.geo.crs import _PS_MC, _PS_TC, _WGS84_A, _ps_forward, _ps_t
+
+    E, N = _ps_forward(np.array([123.0]), np.array([90.0]))
+    assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+
+    def k(lat_deg):
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        e2 = 1.0 - (1.0 - 1.0 / 298.257223563) ** 2
+        m = np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        rho = _WGS84_A * _PS_MC * _ps_t(phi) / _PS_TC
+        return rho / (_WGS84_A * m)
+
+    assert float(k(70.0)) == pytest.approx(1.0, abs=1e-12)
+    assert float(k(60.0)) > 1.0   # away from the standard parallel
+
+
+def test_polar_stereo_is_conformal():
+    """Same scaled-rotation Jacobian check as LCC, in (lon_rad, psi)."""
+    from gregor_spark.geo.crs import _PS_E, _ps_forward
+
+    lon = RNG.uniform(-170.0, 170.0, 200)
+    lat = RNG.uniform(55.0, 85.0, 200)
+    e = _PS_E
+
+    def psi(lat_deg):
+        phi = np.radians(lat_deg)
+        s = np.sin(phi)
+        return np.log(np.tan(np.pi / 4 + phi / 2)) - (e / 2) * np.log(
+            (1 + e * s) / (1 - e * s)
+        )
+
+    h = 1e-7
+    E0, N0 = _ps_forward(lon, lat)
+    E1, N1 = _ps_forward(lon + np.degrees(h), lat)
+    dE_dl, dN_dl = (E1 - E0) / h, (N1 - N0) / h
+    dlat = 1e-6
+    E2, N2 = _ps_forward(lon, lat + dlat)
+    dpsi = psi(lat + dlat) - psi(lat)
+    dE_dp, dN_dp = (E2 - E0) / dpsi, (N2 - N0) / dpsi
+    dot = dE_dl * dE_dp + dN_dl * dN_dp
+    n1 = np.hypot(dE_dl, dN_dl)
+    n2 = np.hypot(dE_dp, dN_dp)
+    assert np.max(np.abs(dot) / (n1 * n2)) < 1e-4
+    assert np.max(np.abs(n1 / n2 - 1.0)) < 1e-4
+
+
+def test_polar_stereo_meridian_geometry():
+    """Down-track sanity: the lon0 = 45W meridian maps onto the -y axis
+    (E = 0, N < 0), and lon0+90 = 45E onto the +x axis."""
+    from gregor_spark.geo.crs import _ps_forward
+
+    lats = np.array([60.0, 70.0, 80.0])
+    E, N = _ps_forward(np.full(3, -45.0), lats)
+    assert np.max(np.abs(E)) < 1e-6 and np.all(N < 0)
+    E, N = _ps_forward(np.full(3, 45.0), lats)
+    assert np.max(np.abs(N)) < 1e-6 and np.all(E > 0)

@@ -91,6 +91,7 @@ def _assert_oracle_match(spark, ddb, name):
         "coreness",        # born-tail r6 (graph-dependent round count)
         "getis_ord",       # rotated r6 (admitted flow_accum)
         "od_matrix",       # rotated r6 (admitted frechet_sim)
+        "watershed",       # rotated r6 (admitted reproject_albers)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
