@@ -164,6 +164,106 @@ def dedup_chunks(
     )
 
 
+def dedup_substrings(
+    docs: DataFrame, text: str = "text", k: int = 20
+) -> DataFrame:
+    """Offset-insensitive exact-substring dedup (r6) — the sliding-window
+    upgrade of ``dedup_chunks`` toward suffix-array semantics (the
+    scalable analog of Lee et al. 2022's exact-substring pass): EVERY
+    ``k``-token window of every doc is hashed (not just the chunk-aligned
+    ones), a window is a DUPLICATE iff the same token sequence occurs at
+    a smaller (doc_id, pos) anywhere in the corpus, and a TOKEN is
+    duplicated iff at least one duplicate window covers it.  A passage
+    repeated at ANY byte offset in another doc is caught — the case the
+    chunk-aligned pass provably misses (tests/test_dedup_substrings.py
+    plants one).
+
+    Returns one row per doc: (doc_id, n_tokens, n_dup_tokens,
+    dup_token_frac, kept_text) where ``kept_text`` rejoins the tokens
+    not covered by any duplicate window (first occurrences survive).
+
+    Scale shape — each token starts at most one window, so the window
+    relation is O(total corpus tokens) rows carrying only (doc_id, pos,
+    md5); first-occurrence is ONE partial-agg groupBy on the hash
+    (identical shuffle shape to dedup_chunks: a boilerplate passage
+    repeated 10^6 times pre-aggregates map-side to one row per
+    partition).  Coverage = explode dup windows into the ≤k token
+    indices they cover + distinct — bounded by min(k·dup_windows,
+    total tokens) — then one equi-join back to the posexploded tokens.
+    All JVM column work (split/slice/md5/sequence); no Python, no
+    cartesian anywhere."""
+    toks = F.split(normalized_text(F.col(text)), " ")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
+    )
+    # window start positions 0..n-k (empty when the doc is shorter than k)
+    pos_arr = F.when(
+        F.col("n_toks") >= k, F.sequence(F.lit(0), F.col("n_toks") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id", "toks", F.explode(pos_arr).alias("pos")
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k))).alias(
+            "h"
+        ),
+    )
+    owners = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("owner")
+    )
+    dup_wins = (
+        wins.join(owners, "h")
+        .where(
+            (F.col("owner.doc_id") != F.col("doc_id"))
+            | (F.col("owner.pos") != F.col("pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = dup_wins.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+            "idx"
+        ),
+    ).distinct()
+    tok_rows = base.select(
+        "doc_id", F.posexplode("toks").alias("idx", "tok")
+    )
+    kept = (
+        tok_rows.join(covered, ["doc_id", "idx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("kept_text")
+        )
+    )
+    dup_counts = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_tokens")
+    )
+    return (
+        base.select("doc_id", F.col("n_toks").cast("long").alias("n_tokens"))
+        .join(dup_counts, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0).cast("long")).alias(
+                "n_dup_tokens"
+            ),
+            (
+                F.coalesce("n_dup_tokens", F.lit(0).cast("long"))
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def _shingle_int(s) -> "F.Column":
     """Shingle → 60-bit md5-prefix int (see _md5_int).  MinHash minima are
     only as discriminative as the underlying hash: the cheap

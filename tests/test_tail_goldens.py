@@ -92,6 +92,7 @@ def _assert_oracle_match(spark, ddb, name):
         "getis_ord",       # rotated r6 (admitted flow_accum)
         "od_matrix",       # rotated r6 (admitted frechet_sim)
         "watershed",       # rotated r6 (admitted reproject_albers)
+        "bfs_hops",        # rotated r6 (admitted dedup_substrings)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
