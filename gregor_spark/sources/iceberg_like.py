@@ -571,26 +571,84 @@ def _bbox_z_intervals(
     max_tiles: int = 64,
 ) -> list[tuple[int, int]]:
     """Decompose a bbox into ≤ ``max_tiles`` contiguous ``cell_id``
-    intervals: cover the box with tiles at the COARSEST resolution that
-    stays under the cap — each coarse tile's fine cells share a Morton
-    prefix, i.e. form ONE contiguous z-interval
-    ``[(mp << 2d), ((mp+1) << 2d) − 1]`` (d = res − parent_res).  The
-    prefix trick gives exact interval covers without the BigMin
-    z-range-splitting machinery (Tropf & Herzog 1981) — the intervals
-    are coarser but never wrong, and the exact coordinate predicate
-    filters the remainder."""
+    intervals — BigMin-equivalent z-range splitting (Tropf & Herzog
+    1981) via quadtree refinement: walk Morton quadrants level by
+    level, emitting a node's whole contiguous z-interval
+    ``[(mp << 2d), ((mp+1) << 2d) − 1]`` the moment its tile block is
+    FULLY inside the query's cell rect (those intervals are exact —
+    the curve never leaves the rect within them), and refining the
+    boundary nodes.  Refinement stops when the frontier would exceed
+    the work budget; the surviving partial nodes emit whole (a safe
+    over-approximation the exact coordinate predicate filters).
+    Adjacent intervals merge; if the merged cover still exceeds
+    ``max_tiles``, the SMALLEST z-gaps coalesce first — so an
+    elongated strip costs only its own area plus the thinnest seams,
+    never a full coarse-resolution blow-up of the short axis (the
+    pre-r6 behavior this replaces).  The cover is always a superset of
+    the rect's cells — asserted cell-by-cell in tests/test_zorder.py."""
+    import numpy as np
+
+    from ..geo import cells as C
+
     minx, miny, maxx, maxy = bbox
-    for parent_res in range(res, -1, -1):
-        tiles = _rect_cells(minx, miny, maxx, maxy, parent_res, bounds)
-        if len(tiles) <= max_tiles:
-            break
-    d = res - parent_res
+    ix0, iy0 = (
+        int(v[0])
+        for v in C.xy_to_tile(np.array([minx]), np.array([miny]), res, bounds)
+    )
+    ix1, iy1 = (
+        int(v[0])
+        for v in C.xy_to_tile(np.array([maxx]), np.array([maxy]), res, bounds)
+    )
     res_tag = res << 56
-    out = []
-    for t in tiles:
-        mp = t & ((1 << 56) - 1)  # strip the parent's res tag
-        out.append((res_tag | (mp << (2 * d)), res_tag | (((mp + 1) << (2 * d)) - 1)))
-    return sorted(out)
+
+    def _emit(px: int, py: int, level: int) -> tuple[int, int]:
+        d = res - level
+        mp = int(C.morton_encode(np.array([px]), np.array([py]))[0])
+        return (res_tag | (mp << (2 * d)), res_tag | (((mp + 1) << (2 * d)) - 1))
+
+    out: list[tuple[int, int]] = []
+    frontier = [(0, 0)]  # partial nodes at the current level
+    work_cap = max(4 * max_tiles, 256)
+    for level in range(res + 1):
+        nxt: list[tuple[int, int]] = []
+        d = res - level
+        for px, py in frontier:
+            bx0, by0 = px << d, py << d
+            bx1, by1 = bx0 + (1 << d) - 1, by0 + (1 << d) - 1
+            if bx1 < ix0 or bx0 > ix1 or by1 < iy0 or by0 > iy1:
+                continue
+            if ix0 <= bx0 and bx1 <= ix1 and iy0 <= by0 and by1 <= iy1:
+                out.append(_emit(px, py, level))
+            else:
+                nxt.append((px, py))
+        if not nxt:
+            frontier = []
+            break
+        if level == res or len(out) + 4 * len(nxt) > work_cap:
+            out.extend(_emit(px, py, level) for px, py in nxt)
+            frontier = []
+            break
+        frontier = [
+            ((px << 1) | cx, (py << 1) | cy)
+            for px, py in nxt
+            for cy in (0, 1)
+            for cx in (0, 1)
+        ]
+    out.sort()
+    merged = [list(out[0])]
+    for lo, hi in out[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_tiles:  # coalesce across the smallest z-gaps
+        i = min(
+            range(len(merged) - 1),
+            key=lambda j: merged[j + 1][0] - merged[j][1],
+        )
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
 
 
 def read_zordered(

@@ -50,10 +50,12 @@ def test_zorder_skips_files(spark, tmp_path):
     path = str(tmp_path / "zt2")
     zorder_table(_pts(spark), path, res=8, bounds=BOUNDS, n_files=16)
     rep = zorder_skip_report(path, (1.0, 1.0, 2.5, 2.5))
-    # a ~1% box over a z-clustered layout must skip most files
+    # a ~1% box over a z-clustered layout must skip almost everything
+    # (r6 BigMin-style quadtree cover: was <1/2 with the coarse-prefix
+    # cover, now 1 file of 16 on this layout — assert the <1/3 bar)
     assert rep["files_total"] >= 8
-    assert rep["files_read"] < rep["files_total"] / 2
-    assert rep["rows_in_read_files"] < rep["rows_total"] / 2
+    assert rep["files_read"] < rep["files_total"] / 3
+    assert rep["rows_in_read_files"] < rep["rows_total"] / 3
     # ...and reading it still yields exactly the right rows
     got = read_zordered(spark, path, (1.0, 1.0, 2.5, 2.5)).count()
     want = (
@@ -79,6 +81,102 @@ def test_zorder_empty_bbox_region(spark, tmp_path):
         .count()
     )
     assert got == want
+
+
+def test_bbox_z_intervals_exact_coverage():
+    """The cover must contain EVERY cell intersecting the rect (missing
+    one would silently drop rows at read time) — checked cell-by-cell
+    against the raw Morton encoder across box shapes and resolutions."""
+    import numpy as np
+
+    from gregor_spark.geo import cells as C
+
+    boxes = [
+        (1.0, 1.0, 2.5, 2.5),      # compact
+        (0.3, 7.9, 15.7, 8.1),     # full-width thin strip
+        (15.9, 0.1, 16.0, 15.9),   # full-height sliver
+        (0.0, 0.0, 16.0, 16.0),    # whole domain
+        (7.99, 7.99, 8.01, 8.01),  # quadrant-corner crossing
+    ]
+    for bbox in boxes:
+        for res in (4, 6, 8):
+            ivs = _bbox_z_intervals(bbox, res, BOUNDS)
+            assert 1 <= len(ivs) <= 64
+            for (l1, h1), (l2, h2) in zip(ivs, ivs[1:]):
+                assert h1 < l2  # sorted + disjoint
+            ix0, iy0 = (
+                int(v[0])
+                for v in C.xy_to_tile(
+                    np.array([bbox[0]]), np.array([bbox[1]]), res, BOUNDS
+                )
+            )
+            ix1, iy1 = (
+                int(v[0])
+                for v in C.xy_to_tile(
+                    np.array([bbox[2]]), np.array([bbox[3]]), res, BOUNDS
+                )
+            )
+            tag = res << 56
+            for iy in range(iy0, iy1 + 1):
+                for ix in range(ix0, ix1 + 1):
+                    m = tag | int(
+                        C.morton_encode(np.array([ix]), np.array([iy]))[0]
+                    )
+                    assert any(lo <= m <= hi for lo, hi in ivs), (
+                        bbox,
+                        res,
+                        (ix, iy),
+                    )
+
+
+def test_bbox_z_intervals_tight_on_elongated_boxes():
+    """Elongated boxes are where the quadtree cover beats the old
+    coarse-prefix cover: the summed interval span must stay within a
+    small multiple of the rect's own cell area, not blow up to the
+    enclosing square's."""
+    cases = [
+        ((0.3, 7.9, 15.7, 8.1), 8),   # 247×4-cell strip
+        ((15.9, 0.1, 16.0, 15.9), 8),  # 2×253-cell sliver
+    ]
+    for bbox, res in cases:
+        import numpy as np
+
+        from gregor_spark.geo import cells as C
+
+        ix0, iy0 = (
+            int(v[0])
+            for v in C.xy_to_tile(
+                np.array([bbox[0]]), np.array([bbox[1]]), res, BOUNDS
+            )
+        )
+        ix1, iy1 = (
+            int(v[0])
+            for v in C.xy_to_tile(
+                np.array([bbox[2]]), np.array([bbox[3]]), res, BOUNDS
+            )
+        )
+        area = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        span = sum(hi - lo + 1 for lo, hi in _bbox_z_intervals(bbox, res, BOUNDS))
+        assert span <= 3 * area, (bbox, res, span, area)
+
+
+def test_zorder_elongated_bbox_read_parity(spark, tmp_path):
+    path = str(tmp_path / "zt4")
+    zorder_table(_pts(spark), path, res=8, bounds=BOUNDS, n_files=16)
+    bbox = (0.3, 7.9, 15.7, 8.1)
+    got = sorted(
+        (r.pid,) for r in read_zordered(spark, path, bbox).collect()
+    )
+    want = sorted(
+        (r.pid,)
+        for r in spark.read.parquet(path)
+        .where(
+            (F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
+            & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
 
 
 def test_bbox_z_intervals_cover_and_cap(spark):
