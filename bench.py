@@ -98,6 +98,12 @@ HEADLINE = [
     "link_pred",           # r5 cont.: common-neighbor link prediction
     "graph_summary",       # r5 cont.: one-row graph structure report
     "bfs_hops",            # r5 cont.: bounded-hop BFS from a seed set
+    "kcore3",              # r6: bulk-peel k-core (fixed k, bounded rounds)
+    "flow_accum",          # r6: D8 flow accumulation (Euler tour + Wyllie)
+    "frechet_sim",         # r6: discrete Frechet/DTW per-pair Arrow DP
+    "reproject_albers",    # r6: Albers equal-area CRS kernel
+    "dedup_substrings",    # r6: sliding-window exact-substring dedup
+    "zonal_extras",        # r6: majority/minority/unique/percentile zonal
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

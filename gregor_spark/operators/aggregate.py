@@ -44,10 +44,19 @@ def aggregate_raster_to_polygon(
     zonal_stats(nodata=...) (aggregate.py:47-54).  Zones with no cells
     appear with NULL (reference rebuilds on the polygon frame).
 
+    Beyond the _STATS aggregates, the rasterstats extras are accepted
+    (the strings ``zonal_stats`` takes, reference aggregate.py:47-54):
+    ``majority`` / ``minority`` (most/least frequent value; ties break
+    to the SMALLEST value — deterministic where rasterstats inherits
+    numpy ordering), ``unique`` (distinct value count), and
+    ``percentile_<q>`` (linear-interpolated, numpy semantics — e.g.
+    ``percentile_75``).  majority/minority run as a two-level agg
+    (value-count partial-agg on (zone, value), then an O(zones×values)
+    reduce), so a hot value pre-aggregates map-side like every other
+    path here.
+
     Returns DataFrame(zone_id, <out>).
     """
-    if stats not in _STATS:
-        raise ValueError(f"unsupported stats {stats!r}; one of {sorted(_STATS)}")
     if isinstance(cells, str):
         # reference dispatcher accepts a file path (aggregate.py:9-37);
         # here: a parquet long-form cell table
@@ -58,7 +67,45 @@ def aggregate_raster_to_polygon(
     assigned = assign_cells_df(cells, zones, out="zone_id", keep_unassigned=False)
     if nodata is not None:
         assigned = assigned.filter(F.col(value) != F.lit(nodata))
-    agg = assigned.groupBy("zone_id").agg(_STATS[stats](F.col(value)).alias(out))
+    if stats in _STATS:
+        agg = assigned.groupBy("zone_id").agg(_STATS[stats](F.col(value)).alias(out))
+    elif stats == "unique":
+        agg = assigned.groupBy("zone_id").agg(
+            F.countDistinct(value).alias(out)
+        )
+    elif stats in ("majority", "minority"):
+        vc = assigned.groupBy("zone_id", value).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if stats == "majority":  # max count, tie → smallest value
+            t = vc.groupBy("zone_id").agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col(value)).alias("nv"))
+                ).alias("t")
+            )
+            agg = t.select("zone_id", (-F.col("t.nv")).alias(out))
+        else:  # min count, tie → smallest value
+            t = vc.groupBy("zone_id").agg(
+                F.min(F.struct(F.col("cnt"), F.col(value).alias("v"))).alias(
+                    "t"
+                )
+            )
+            agg = t.select("zone_id", F.col("t.v").alias(out))
+    elif stats.startswith("percentile_"):
+        try:
+            q = float(stats[len("percentile_"):]) / 100.0
+        except ValueError:
+            raise ValueError(f"bad percentile spec {stats!r}")
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"percentile out of range in {stats!r}")
+        agg = assigned.groupBy("zone_id").agg(
+            F.percentile(F.col(value), F.lit(q)).alias(out)
+        )
+    else:
+        raise ValueError(
+            f"unsupported stats {stats!r}; one of {sorted(_STATS)} + "
+            "majority/minority/unique/percentile_<q>"
+        )
     zone_ids = zones.values_df_ids(cells.sparkSession)
     return zone_ids.join(agg, "zone_id", "left").select("zone_id", out)
 

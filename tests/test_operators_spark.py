@@ -82,6 +82,37 @@ def test_aggregate_raster_to_polygon_minmax(spark, cells):
     assert hi == pytest.approx({0: 1.0, 1: 0.5, 2: 0.75, 3: 0.75})
 
 
+def test_aggregate_raster_extras_majority_minority_unique_percentile(spark, cells):
+    """rasterstats-extras dispatch (r6): majority/minority with the
+    smallest-value tie rule, unique counts, numpy-linear percentiles —
+    hand-derived from the FX.RASTER_VALUES quadrants (nodata=0 excluded:
+    zone 0 {1.0,.75,1.0}, zone 1 {.5,.5}, zone 2 {.75},
+    zone 3 {.25,.75,.25,.75})."""
+    zones = ZoneSet.from_fixture(FX.SEG_2X2)
+
+    def col(stats, name):
+        return {
+            r["zone_id"]: r[name]
+            for r in aggregate_raster_to_polygon(cells, zones, stats, out=name).collect()
+        }
+
+    # zone 3 ties 2-vs-2 on both counts → smallest value wins both ways
+    assert col("majority", "mj") == pytest.approx({0: 1.0, 1: 0.5, 2: 0.75, 3: 0.25})
+    assert col("minority", "mn") == pytest.approx({0: 0.75, 1: 0.5, 2: 0.75, 3: 0.25})
+    assert col("unique", "uq") == {0: 2, 1: 1, 2: 1, 3: 2}
+    want = {
+        0: float(np.percentile([1.0, 0.75, 1.0], 75)),
+        1: 0.5,
+        2: 0.75,
+        3: float(np.percentile([0.25, 0.75, 0.25, 0.75], 75)),
+    }
+    assert col("percentile_75", "p75") == pytest.approx(want)
+    with pytest.raises(ValueError):
+        aggregate_raster_to_polygon(cells, zones, "percentile_x")
+    with pytest.raises(ValueError):
+        aggregate_raster_to_polygon(cells, zones, "nope")
+
+
 def test_aggregate_raster_nodata_excluded(spark, cells):
     """nodata=0 pixels excluded from count/mean (rasterstats semantics,
     reference aggregate.py:40-54)."""

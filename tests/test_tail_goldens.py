@@ -93,6 +93,7 @@ def _assert_oracle_match(spark, ddb, name):
         "od_matrix",       # rotated r6 (admitted frechet_sim)
         "watershed",       # rotated r6 (admitted reproject_albers)
         "bfs_hops",        # rotated r6 (admitted dedup_substrings)
+        "geohash_docs",    # rotated r6 (admitted zonal_extras)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
