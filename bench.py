@@ -104,6 +104,7 @@ HEADLINE = [
     "reproject_albers",    # r6: Albers equal-area CRS kernel
     "dedup_substrings",    # r6: sliding-window exact-substring dedup
     "zonal_extras",        # r6: majority/minority/unique/percentile zonal
+    "pack_blocks",         # r6: concat-and-chunk context-window packing
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -420,3 +420,66 @@ def lm_score(
         F.round(bits, round_to).alias("bits_per_token"),
         F.round(F.pow(F.lit(2.0), bits), round_to).alias("ppl"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    text: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Context-window packing (r6) — the GPT-pretraining data-loader
+    shape: concatenate documents and slice the token stream into
+    fixed-``capacity`` blocks, letting documents straddle block
+    boundaries (concat-and-chunk, no padding waste).  Distributed rule:
+    documents hash into ``n_shards`` independent streams (the portable
+    md5 bucket — partition-invariant), each stream concatenates in
+    doc_id order and chunks shard-locally.
+
+    Returns one row per doc: (doc_id, shard, n_tokens, offset,
+    first_block, last_block, n_blocks) — ``offset`` is the doc's start
+    position in its shard's token stream, blocks are shard-local
+    ``capacity``-token window indices, and ``n_blocks`` is how many
+    windows the doc touches (straddlers > 1; empty docs 0 with NULL
+    block ids).
+
+    Scale shape: ONE hash Exchange on shard + an in-partition
+    sort-based window cumsum.  A single global concat stream would
+    funnel the running sum through one task; sharding is how a real
+    packing job runs on 10^12 docs — one independent stream per
+    worker, deterministic under any parallelism because the (shard,
+    doc_id) order is total."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    base = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), salt, n_shards).alias("shard"),
+        F.size(tokens(F.col(text))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    offset = (cum - F.col("n_tokens")).alias("offset")
+    first = F.floor((cum - F.col("n_tokens")) / capacity)
+    last = F.floor((cum - 1) / capacity)
+    nonempty = F.col("n_tokens") > 0
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        offset,
+        F.when(nonempty, first).cast("long").alias("first_block"),
+        F.when(nonempty, last).cast("long").alias("last_block"),
+        F.when(nonempty, last - first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_blocks"),
+    )

@@ -94,6 +94,7 @@ def _assert_oracle_match(spark, ddb, name):
         "watershed",       # rotated r6 (admitted reproject_albers)
         "bfs_hops",        # rotated r6 (admitted dedup_substrings)
         "geohash_docs",    # rotated r6 (admitted zonal_extras)
+        "link_pred",       # rotated r6 (admitted pack_blocks)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
