@@ -710,3 +710,186 @@ def zorder_skip_report(
         "rows_in_read_files": keep_r,
         "intervals": len(ivs),
     }
+
+
+def _uri_to_rel(uri: str, path: str) -> str:
+    """input_file_name() URI → manifest-relative path."""
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.relpath(p, os.path.abspath(path))
+
+
+def _cow_commit(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    replaced: set[str],
+    out: DataFrame,
+    operation: str,
+) -> dict:
+    """Copy-on-write commit shared by merge/delete: stage ``out``
+    (bucket column included) to a tmp dir invisible to readers, move
+    the files into the bucket dirs under snapshot-unique names, and
+    atomically swap in a snapshot whose file list is (current −
+    ``replaced``) + the staged files.  Replaced files stay on disk so
+    older snapshots still time-travel file-for-file (expire_snapshots
+    reclaims them) — the Iceberg COW contract."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    snaps = m["snapshots"]
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    tmp = os.path.join(path, "_cow_tmp")
+    out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    now_ms = int(time.time() * 1000)
+    snap_id = max(now_ms, snaps[-1]["snapshot_id"] + 1)
+    new_files: list[tuple[str, int]] = []
+    for dirname in sorted(os.listdir(tmp)):
+        if not dirname.startswith("bucket="):
+            continue
+        os.makedirs(os.path.join(path, dirname), exist_ok=True)
+        parts = sorted(
+            f for f in os.listdir(os.path.join(tmp, dirname)) if f.endswith(".parquet")
+        )
+        for i, fname in enumerate(parts):
+            rel = os.path.join(dirname, f"{operation}-{snap_id}-{i:05d}.parquet")
+            os.replace(os.path.join(tmp, dirname, fname), os.path.join(path, rel))
+            rows = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+            if rows == 0:  # empty task output — drop, keep the list tight
+                os.remove(os.path.join(path, rel))
+                continue
+            new_files.append((rel, rows))
+    shutil.rmtree(tmp)
+    files = [f for f in cur["files"] if f["path"] not in replaced] + [
+        {"path": p, "rows": n} for p, n in new_files
+    ]
+    total = sum(f["rows"] for f in files)
+    snapshot = {
+        "snapshot_id": snap_id,
+        "timestamp_ms": now_ms,
+        "operation": operation,
+        "files": files,
+        "total_rows": total,
+    }
+    counts: dict[str, int] = {}
+    for f in files:
+        key = os.path.dirname(f["path"]).split("=", 1)[1]
+        counts[key] = counts.get(key, 0) + f["rows"]
+    m["snapshots"] = snaps + [snapshot]
+    m["snapshot_id"] = snap_id
+    m["current_snapshot_id"] = snap_id
+    m["bucket_rows"] = counts
+    m["total_rows"] = total
+    tmpf = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmpf, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmpf, os.path.join(path, MANIFEST))  # atomic commit
+    return {
+        "snapshot_id": snap_id,
+        "operation": operation,
+        "files_rewritten": len(replaced),
+        "files_added": len(new_files),
+        "total_rows": total,
+    }
+
+
+def merge_table(
+    spark: SparkSession, path: str, source: DataFrame, key: str
+) -> dict:
+    """MERGE INTO (upsert), copy-on-write at FILE granularity: matched
+    keys take the source row (whole-row update), unmatched source keys
+    insert.  Only data files actually CONTAINING a matched key are
+    rewritten — planned with an input_file_name() semi-join, the
+    manifest-level pruning an Iceberg COW merge does — so an upsert
+    touching one hot bucket rewrites that bucket's files and nothing
+    else.  Source keys must be unique (asserted; a MERGE with duplicate
+    source keys is ambiguous per ANSI).
+
+    Scale shape: the semi-join that plans the rewrite set and the
+    anti-join that drops superseded rows both hash on the key — the
+    same partial-agg shuffle class as every dedup op; unaffected files
+    never enter any Spark plan."""
+    m = read_manifest(path)
+    if not m.get("snapshots"):
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    spec = m["partition_spec"]
+    dup = source.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("MERGE source has duplicate keys")
+    src = source.withColumn(
+        "bucket", F.pmod(F.hash(F.col(key)), F.lit(spec["n_buckets"]))
+    )
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    cur_files = [os.path.join(path, f["path"]) for f in cur["files"]]
+    tagged = (
+        spark.read.option("basePath", path)
+        .parquet(*cur_files)
+        .withColumn("_file", F.input_file_name())
+    )
+    hit_uris = [
+        r["_file"]
+        for r in tagged.join(src.select(key), key, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    replaced = {_uri_to_rel(u, path) for u in hit_uris}
+    n_updated = 0
+    if hit_uris:
+        old_hit = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, r) for r in sorted(replaced)]
+        )
+        n_updated = old_hit.join(src.select(key), key, "left_semi").count()
+        kept_old = old_hit.join(src.select(key), key, "left_anti")
+        out = kept_old.unionByName(src.select(*kept_old.columns))
+    else:
+        probe = spark.read.option("basePath", path).parquet(*cur_files).limit(0)
+        out = src.select(*probe.columns)
+    summary = _cow_commit(spark, path, m, replaced, out, "merge")
+    summary["rows_updated"] = n_updated
+    summary["rows_inserted"] = source.count() - n_updated
+    return summary
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> dict:
+    """DELETE WHERE, copy-on-write at FILE granularity: only files
+    containing at least one matching row are rewritten without their
+    matches; everything else is untouched.  NULL predicate results keep
+    the row (ANSI DELETE removes only WHERE=true).  A no-match delete
+    commits nothing and returns a no-op summary."""
+    m = read_manifest(path)
+    if not m.get("snapshots"):
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hit = F.coalesce(cond, F.lit(False))
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    cur_files = [os.path.join(path, f["path"]) for f in cur["files"]]
+    tagged = (
+        spark.read.option("basePath", path)
+        .parquet(*cur_files)
+        .withColumn("_file", F.input_file_name())
+    )
+    hit_uris = [
+        r["_file"] for r in tagged.where(hit).select("_file").distinct().collect()
+    ]
+    if not hit_uris:
+        return {
+            "snapshot_id": m["current_snapshot_id"],
+            "operation": "delete",
+            "files_rewritten": 0,
+            "files_added": 0,
+            "rows_deleted": 0,
+            "total_rows": cur["total_rows"],
+        }
+    replaced = {_uri_to_rel(u, path) for u in hit_uris}
+    old_hit = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, r) for r in sorted(replaced)]
+    )
+    out = old_hit.where(~hit)
+    summary = _cow_commit(spark, path, m, replaced, out, "delete")
+    summary["rows_deleted"] = cur["total_rows"] - summary["total_rows"]
+    return summary
