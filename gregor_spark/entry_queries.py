@@ -4161,6 +4161,71 @@ FROM k LEFT JOIN acc ON k.kk = acc.kk
 REGISTRY.update({"flow_accum": (q_flow_accum, _flow_accum_sql())})
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-of-sight viewshed from a 3-unit tower at (32, 21) over the
+    same 64x64 DEM (operators/terrain.py::viewshed — R3 exact-ray:
+    per-target chessboard-distance sampling with round-half-up nearest
+    cells in pure integer arithmetic, blocking as the cross-multiplied
+    slope comparison (z_k−z0)·n > (z_t−z0)·k, grazing visible, nodata
+    transparent; one equi-join on the sampled cell + one groupBy on the
+    target).  The oracle replays the identical rational sampling and
+    integer-exact margin test."""
+    from .operators.terrain import viewshed
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return viewshed(cells, (32, 21), observer_height=3.0)
+
+
+_VIEWSHED_SQL = """
+WITH g AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST((row * 31 + col * 17) % 97 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))),
+v AS (SELECT row, col, value FROM g WHERE value IS NOT NULL),
+obs AS (SELECT value + 3.0 AS z0 FROM v WHERE row = 32 AND col = 21),
+t AS (
+  SELECT row, col, value, row - 32 AS dr, col - 21 AS dc,
+         greatest(abs(row - 32), abs(col - 21)) AS n
+  FROM v WHERE NOT (row = 32 AND col = 21)),
+ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 64)),
+s AS (
+  SELECT t.row, t.col, t.value, t.n, ks.k,
+         CAST(floor((2 * (32 * t.n + ks.k * t.dr) + t.n)
+                    / (2.0 * t.n)) AS INT) AS rs,
+         CAST(floor((2 * (21 * t.n + ks.k * t.dc) + t.n)
+                    / (2.0 * t.n)) AS INT) AS cs
+  FROM t CROSS JOIN ks WHERE ks.k < t.n),
+m AS (
+  SELECT s.row, s.col,
+         max((w.value - obs.z0) * s.n - (s.value - obs.z0) * s.k) AS mx
+  FROM s JOIN v w ON w.row = s.rs AND w.col = s.cs CROSS JOIN obs
+  GROUP BY s.row, s.col)
+SELECT t.row, t.col, t.value,
+       coalesce(m.mx <= 0, TRUE) AS visible
+FROM t LEFT JOIN m ON m.row = t.row AND m.col = t.col
+UNION ALL
+SELECT row, col, value, TRUE AS visible FROM v WHERE row = 32 AND col = 21
+"""
+
+
+REGISTRY.update({"viewshed": (q_viewshed, _VIEWSHED_SQL)})
+
+
 def q_frechet_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete Fréchet distance between consecutive-user track pairs
     over the LCG event tracks (ops/trajectory.py::track_similarity —
@@ -5208,6 +5273,10 @@ _WINDOW_TAIL = (
     "link_pred",   # rotated r6 (admitted pack_blocks); driver-green in
                    # r5, the wedge-join graph family stays in-window via
                    # triangles/pagerank/graph_summary/kcore3
+    "idw_grid",    # rotated r6 (admitted viewshed); driver-green in r5,
+                   # the radius-block interpolate family shares its
+                   # explode+join+groupBy path with kde_grid (tail-goldened)
+                   # and keeps brute-force parity in test_interpolate.py
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

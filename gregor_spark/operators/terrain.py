@@ -508,3 +508,116 @@ def flow_accumulation(
         "code",
         (F.col("_sd") - F.col("_su")).alias("n_up"),
     )
+
+
+def viewshed(
+    cells: DataFrame,
+    observer: tuple[int, int],
+    value: str = "value",
+    observer_height: float = 0.0,
+    nodata: float | None = None,
+) -> DataFrame:
+    """(row, col, value, visible) — line-of-sight viewshed from a single
+    observer cell (GDAL ``gdal_viewshed`` / GRASS ``r.viewshed``
+    semantics, R3 exact-ray variant of Franklin & Ray 1994): a target
+    cell is VISIBLE iff no sampled cell on the straight sight line
+    rises strictly above the observer→target ray.  Grazing contact
+    (a sample exactly on the ray) does not block.
+
+    Ray sampling is the R3 rule made exactly rational: for a target at
+    chessboard distance ``n = max(|dr|, |dc|)``, the ray is sampled at
+    k/n for k = 1..n-1 and each sample snaps to the nearest grid cell,
+    computed in pure integer arithmetic — nearest row =
+    floor((2*(row0*n + k*dr) + n) / (2n)), round-half-up; no trig, no
+    sqrt.  Blocking compares SLOPES with the division cross-multiplied
+    away: sample k blocks iff (z_k − z0)·n > (z_t − z0)·k, so on
+    integer-valued DEMs every comparison is integer-exact and a SQL
+    oracle replays the whole operator bit-for-bit.
+
+    Rules: the observer cell is visible; cells adjacent to the observer
+    (n ≤ 1) have no intermediate samples and are visible; nodata/NULL
+    samples are TRANSPARENT (terrain with no data cannot block — GDAL's
+    nodata pass-through); nodata targets are excluded like every other
+    terrain op.  ``observer_height`` is added to the observer cell's
+    elevation (tower height).
+
+    Scale shape — the explode is O(cells × ray length), the classic R3
+    work bound (XDraw/R2 trade exactness for O(cells)); it lands in ONE
+    equi-join on the sampled cell (the DEM side broadcasts when small,
+    hash-shuffles when not) + ONE groupBy on the target = two bounded
+    Exchanges, no driver participation beyond the 1-row observer
+    lookup (bounded like the kmeans centroid collect).
+    """
+    r0, c0 = int(observer[0]), int(observer[1])
+    v = cells.where(F.col(value).isNotNull())
+    if nodata is not None:
+        v = v.where(F.col(value) != nodata)
+    v = v.select("row", "col", F.col(value).alias("z"))
+
+    obs_rows = v.where((F.col("row") == r0) & (F.col("col") == c0)).take(1)
+    if not obs_rows:
+        raise ValueError(f"observer cell ({r0}, {c0}) is missing or nodata")
+    z0 = float(obs_rows[0]["z"]) + float(observer_height)
+
+    t = v.select(
+        "row",
+        "col",
+        "z",
+        (F.col("row") - F.lit(r0)).alias("dr"),
+        (F.col("col") - F.lit(c0)).alias("dc"),
+        F.greatest(
+            F.abs(F.col("row") - F.lit(r0)), F.abs(F.col("col") - F.lit(c0))
+        ).alias("n"),
+    ).where(~((F.col("row") == r0) & (F.col("col") == c0)))
+
+    s = (
+        t.where(F.col("n") >= 2)
+        .select(
+            "row",
+            "col",
+            "z",
+            "dr",
+            "dc",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("k"),
+        )
+        .select(
+            "row",
+            "col",
+            "z",
+            "n",
+            "k",
+            F.floor(
+                (2 * (F.lit(r0) * F.col("n") + F.col("k") * F.col("dr")) + F.col("n"))
+                / (2 * F.col("n"))
+            ).cast("int").alias("rs"),
+            F.floor(
+                (2 * (F.lit(c0) * F.col("n") + F.col("k") * F.col("dc")) + F.col("n"))
+                / (2 * F.col("n"))
+            ).cast("int").alias("cs"),
+        )
+    )
+
+    dem = v.select(F.col("row").alias("rs"), F.col("col").alias("cs"),
+                   F.col("z").alias("zs"))
+    m = (
+        s.join(dem, ["rs", "cs"])
+        .groupBy("row", "col")
+        .agg(
+            F.max(
+                (F.col("zs") - F.lit(z0)) * F.col("n")
+                - (F.col("z") - F.lit(z0)) * F.col("k")
+            ).alias("mx")
+        )
+    )
+
+    out = t.join(m, ["row", "col"], "left").select(
+        "row",
+        "col",
+        F.col("z").alias(value),
+        F.coalesce(F.col("mx") <= 0, F.lit(True)).alias("visible"),
+    )
+    self_row = v.where((F.col("row") == r0) & (F.col("col") == c0)).select(
+        "row", "col", F.col("z").alias(value), F.lit(True).alias("visible")
+    )
+    return out.unionByName(self_row)

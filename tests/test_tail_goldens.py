@@ -95,6 +95,7 @@ def _assert_oracle_match(spark, ddb, name):
         "bfs_hops",        # rotated r6 (admitted dedup_substrings)
         "geohash_docs",    # rotated r6 (admitted zonal_extras)
         "link_pred",       # rotated r6 (admitted pack_blocks)
+        "idw_grid",        # rotated r6 (admitted viewshed)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

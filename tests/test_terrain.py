@@ -420,3 +420,139 @@ def test_flow_accum_round_cap_raises(spark):
     )
     with pytest.raises(RuntimeError):
         flow_accumulation(cells, max_rounds=1)
+
+
+# ---------------------------------------------------------------- viewshed
+
+def _vs_brute(vals, r0, c0, h0=0.0, nodata=None):
+    import math as _math
+
+    h, w = vals.shape
+
+    def ok(r, c):
+        return not np.isnan(vals[r, c]) and (nodata is None or vals[r, c] != nodata)
+
+    z0 = vals[r0, c0] + h0
+    out = {}
+    for r in range(h):
+        for c in range(w):
+            if not ok(r, c):
+                continue
+            if (r, c) == (r0, c0):
+                out[(r, c)] = True
+                continue
+            dr, dc = r - r0, c - c0
+            n = max(abs(dr), abs(dc))
+            vis = True
+            for k in range(1, n):
+                rs = _math.floor((2 * (r0 * n + k * dr) + n) / (2 * n))
+                cs = _math.floor((2 * (c0 * n + k * dc) + n) / (2 * n))
+                if not ok(rs, cs):
+                    continue
+                if (vals[rs, cs] - z0) * n > (vals[r, c] - z0) * k:
+                    vis = False
+                    break
+            out[(r, c)] = vis
+    return out
+
+
+def test_viewshed_flat_all_visible(spark):
+    from gregor_spark.operators.terrain import viewshed
+
+    vals = np.zeros((6, 6))
+    df = raster_df(spark, _meta(6, 6), vals).select("row", "col", "value")
+    got = viewshed(df, (2, 3)).collect()
+    assert len(got) == 36 and all(r["visible"] for r in got)
+
+
+def test_viewshed_wall_blocks_and_height_restores(spark):
+    from gregor_spark.operators.terrain import viewshed
+
+    vals = np.zeros((7, 9))
+    vals[:, 4] = 10.0  # north-south wall
+    df = raster_df(spark, _meta(7, 9), vals).select("row", "col", "value")
+    got = {(r["row"], r["col"]): r["visible"] for r in viewshed(df, (3, 0)).collect()}
+    assert got[(3, 4)] is True          # the wall face itself is seen
+    assert got[(3, 5)] is False         # immediately behind: blocked
+    assert got[(3, 8)] is False         # far behind on the same ray
+    assert got[(3, 3)] is True          # in front of the wall
+    # a 25-unit tower shrinks the shadow: the far ground re-appears
+    # ((0-25)/7 > (10-25)/4) while the cell just behind stays hidden
+    tall = {
+        (r["row"], r["col"]): r["visible"]
+        for r in viewshed(df, (3, 0), observer_height=25.0).collect()
+    }
+    assert tall[(3, 5)] is False and tall[(3, 7)] is True and tall[(3, 8)] is True
+
+
+def test_viewshed_grazing_is_visible(spark):
+    from gregor_spark.operators.terrain import viewshed
+
+    # linear ramp along the row: every sample lies EXACTLY on the
+    # sight line -> grazing contact, never blocking
+    vals = np.tile(np.arange(8.0), (3, 1))
+    df = raster_df(spark, _meta(3, 8), vals).select("row", "col", "value")
+    got = {(r["row"], r["col"]): r["visible"] for r in viewshed(df, (1, 0)).collect()}
+    assert all(got.values())
+    # now a bump strictly above the line blocks what's behind it
+    vals2 = vals.copy()
+    vals2[1, 3] = 4.0  # line value at col 3 is 3.0
+    df2 = raster_df(spark, _meta(3, 8), vals2).select("row", "col", "value")
+    got2 = {(r["row"], r["col"]): r["visible"] for r in viewshed(df2, (1, 0)).collect()}
+    assert got2[(1, 3)] is True and got2[(1, 4)] is False and got2[(1, 7)] is False
+
+
+def test_viewshed_brute_parity_with_nodata(spark):
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.terrain import viewshed
+
+    n = 16
+    vals = np.array(
+        [
+            [
+                np.nan if (r * 7 + c * 13) % 23 == 0 else float((r * 31 + c * 17) % 97)
+                for c in range(n)
+            ]
+            for r in range(n)
+        ]
+    )
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    df = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    got = {
+        (r["row"], r["col"]): r["visible"]
+        for r in viewshed(df, (5, 9), observer_height=1.0).collect()
+    }
+    want = _vs_brute(vals, 5, 9, h0=1.0)
+    assert got == want
+    assert not all(got.values())  # the fixture actually shadows something
+
+
+def test_viewshed_partition_invariance_and_bad_observer(spark):
+    from gregor_spark.operators.terrain import viewshed
+
+    vals = np.zeros((6, 6))
+    vals[2, 2] = 5.0
+    vals[4, 4] = -999.0  # nodata sentinel (module convention: NULL or
+    # the explicit nodata value marks invalid cells)
+    df = raster_df(spark, _meta(6, 6), vals).select("row", "col", "value")
+    a = sorted(map(tuple, viewshed(df, (0, 0), nodata=-999.0).collect()))
+    b = sorted(
+        map(tuple, viewshed(df.repartition(13), (0, 0), nodata=-999.0).collect())
+    )
+    assert a == b
+    assert (4, 4) not in {(r, c) for r, c, *_ in a}
+    with pytest.raises(ValueError, match="observer"):
+        viewshed(df, (4, 4), nodata=-999.0)  # nodata cell
+    with pytest.raises(ValueError, match="observer"):
+        viewshed(df, (99, 0))  # off-grid
