@@ -4675,6 +4675,70 @@ SELECT id AS doc_id, hops FROM h4
 REGISTRY.update({"bfs_hops": (q_bfs_hops, _bfs_sql())})
 
 
+def q_sssp_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest path from the doc_id%50==0 seed set
+    over the 8 km ε-graph with integer micro-km haversine edge weights
+    (ops/graph.py::sssp_bounded — synchronous Bellman-Ford, one
+    join+groupBy-min per round over stats-truncated checkpoints; after
+    3 rounds every node holds the exact ≤3-edge minimum, integer-exact
+    at any parallelism).  The oracle unrolls the same three relaxation
+    rounds; the micro-km quantization (floor(km·10⁶)) is the same
+    single multiply+floor on both engines over the bit-identical
+    haversine the doc_pairs_geodesic row proves."""
+    from .operators.knn import within_distance_join_geodesic
+    from .ops.graph import sssp_bounded
+
+    docs = _docs(spark, sf_dir)
+    pts = _doc_points_df(spark, sf_dir)
+    e = within_distance_join_geodesic(pts, 8.0, id_col="doc_id").select(
+        "a_doc_id",
+        "b_doc_id",
+        F.floor(F.col("km") * F.lit(1000000.0)).cast("long").alias("w"),
+    )
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select("doc_id")
+    return sssp_bounded(
+        docs, e, seeds, max_rounds=3, a="a_doc_id", b="b_doc_id"
+    )
+
+
+def _sssp_round(prev: str, name: str) -> str:
+    big = 1 << 62
+    return f"""{name}_r AS (
+  SELECT de.v AS id, min(s.dist + de.w) AS nd
+  FROM dir_ew de JOIN {prev} s ON de.u = s.id AND s.dist IS NOT NULL
+  GROUP BY de.v),
+{name} AS (
+  SELECT s.id,
+         CASE WHEN least(coalesce(s.dist, {big}), coalesce(r.nd, {big}))
+                   < {big}
+              THEN least(coalesce(s.dist, {big}), coalesce(r.nd, {big})) END
+           AS dist
+  FROM {prev} s LEFT JOIN {name}_r r ON s.id = r.id)"""
+
+
+def _sssp_sql() -> str:
+    return f"""
+WITH {_DOCPTS},
+ew AS (
+  SELECT a.doc_id AS u, b.doc_id AS v,
+         CAST(floor({_hav4('a.lon', 'a.lat', 'b.lon', 'b.lat')} * 1000000.0)
+              AS BIGINT) AS w
+  FROM docpts a JOIN docpts b ON a.doc_id < b.doc_id
+  WHERE {_hav4('a.lon', 'a.lat', 'b.lon', 'b.lat')} <= 8.0),
+dir_ew AS (SELECT u, v, w FROM ew UNION ALL SELECT v AS u, u AS v, w FROM ew),
+d0 AS (SELECT doc_id AS id,
+              CASE WHEN doc_id % 50 = 0 THEN CAST(0 AS BIGINT) END AS dist
+       FROM documents),
+{_sssp_round('d0', 'd1')},
+{_sssp_round('d1', 'd2')},
+{_sssp_round('d2', 'd3')}
+SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+REGISTRY.update({"sssp_km": (q_sssp_km, _sssp_sql())})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5277,6 +5341,10 @@ _WINDOW_TAIL = (
                    # the radius-block interpolate family shares its
                    # explode+join+groupBy path with kde_grid (tail-goldened)
                    # and keeps brute-force parity in test_interpolate.py
+    "track_interp",  # rotated r6 (admitted sssp_km); driver-green in r5,
+                     # trajectory stays in-window via staypoints +
+                     # frechet_sim, and the interp grid keeps its full
+                     # pytest suite in test_trajectory.py
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

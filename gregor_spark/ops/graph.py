@@ -467,3 +467,75 @@ def coreness(
     raise RuntimeError(
         f"coreness h-index iteration did not converge within {max_rounds} rounds"
     )
+
+
+def sssp_bounded(
+    ids: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 4,
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    weight: str = "w",
+) -> DataFrame:
+    """(key, dist) — hop-bounded single-source-set shortest path over
+    the undirected WEIGHTED pair graph: the minimum total weight over
+    paths of at most ``max_rounds`` edges from the seed set (NULL if no
+    such path).  The weighted sibling of :func:`bfs_hops` — "cheapest
+    reach within k hops" (nearest-facility cost rings, bounded network
+    distance); with uniform weights it degenerates to hop counts.
+
+    Synchronous Bellman-Ford rounds: each round relaxes every edge once
+    (one join + one groupBy-min over stats-truncated checkpoints), so
+    after r rounds every node holds the EXACT ≤r-edge shortest distance
+    — at any parallelism, with no priority queue to serialize.  With
+    integer weights every comparison is integer-exact and a SQL oracle
+    unrolls the same rounds as CTEs.  Weights must be non-negative
+    (asserted); Bellman-Ford itself tolerates negatives but the bounded
+    semantics would then not be monotone in r.
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    e = edges.select(
+        F.col(a).alias("u"), F.col(b).alias("v"), F.col(weight).alias("w")
+    ).where(F.col("u") != F.col("v"))
+    if e.where(F.col("w") < 0).limit(1).count():
+        raise ValueError("edge weights must be non-negative")
+    dir_e = _materialize_truncated(
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+    )
+    nodes = ids.select(F.col(key).alias("id"))
+    src = sources.select(F.col(key).alias("id")).distinct()
+    state = _materialize_truncated(
+        nodes.join(src.withColumn("_s", F.lit(0).cast("long")), "id", "left")
+        .select("id", F.col("_s").alias("dist"))
+    )
+    big = F.lit((1 << 62)).cast("long")
+    for _ in range(max_rounds):
+        reach = (
+            dir_e.join(
+                state.where(F.col("dist").isNotNull()).select(
+                    F.col("id").alias("u"), "dist"
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("_nd"))
+        )
+        state = _materialize_truncated(
+            state.join(reach, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", big), F.coalesce("_nd", big)
+                ).alias("_d"),
+            )
+            .select(
+                "id",
+                F.when(F.col("_d") < big, F.col("_d")).alias("dist"),
+            )
+        )
+    return state.select(F.col("id").alias(key), "dist")

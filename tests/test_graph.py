@@ -358,3 +358,117 @@ def test_kcore_partition_invariance(spark):
                       for r in kcore_nodes(e, 2).collect()) == base_k
         assert sorted((r.id, r.coreness)
                       for r in coreness(e).collect()) == base_c
+
+
+# ------------------------------------------------------ bounded SSSP (r6)
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in triples], "doc_a long, doc_b long, w long"
+    )
+
+
+def _sssp_brute(n, triples, seeds, rounds):
+    """Independent synchronous Bellman-Ford reference."""
+    INF = float("inf")
+    dist = {i: (0 if i in seeds else INF) for i in range(n)}
+    adj = {}
+    for a, b, w in triples:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            if d == INF:
+                continue
+            for v, w in adj.get(u, []):
+                if d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    return {i: (None if d == INF else d) for i, d in dist.items()}
+
+
+def test_sssp_weighted_chain_and_cap(spark):
+    from gregor_spark.ops.graph import sssp_bounded
+
+    triples = [(0, 1, 5), (1, 2, 1), (2, 3, 10)]
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    got = {r.doc_id: r.dist
+           for r in sssp_bounded(_ids(spark, 4), _wedges(spark, triples),
+                                 seeds, max_rounds=2).collect()}
+    assert got == {0: 0, 1: 5, 2: 6, 3: None}  # 3 needs a third edge
+    got3 = {r.doc_id: r.dist
+            for r in sssp_bounded(_ids(spark, 4), _wedges(spark, triples),
+                                  seeds, max_rounds=3).collect()}
+    assert got3[3] == 16
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    from gregor_spark.ops.graph import sssp_bounded
+
+    triples = [(0, 1, 5), (1, 2, 1), (2, 3, 10), (0, 3, 100)]
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    one = {r.doc_id: r.dist
+           for r in sssp_bounded(_ids(spark, 4), _wedges(spark, triples),
+                                 seeds, max_rounds=1).collect()}
+    assert one[3] == 100  # only the direct edge fits in 1 hop
+    three = {r.doc_id: r.dist
+             for r in sssp_bounded(_ids(spark, 4), _wedges(spark, triples),
+                                   seeds, max_rounds=3).collect()}
+    assert three[3] == 16  # the cheap 3-edge path wins once reachable
+
+
+def test_sssp_uniform_weights_equal_bfs(spark):
+    from gregor_spark.ops.graph import bfs_hops, sssp_bounded
+
+    pairs = [(i, i + 1) for i in range(9)] + [(0, 5)]
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    hops = {r.doc_id: r.hops
+            for r in bfs_hops(_ids(spark, 10), _edges(spark, pairs), seeds,
+                              max_hops=4).collect()}
+    dist = {r.doc_id: r.dist
+            for r in sssp_bounded(
+                _ids(spark, 10),
+                _wedges(spark, [(a, b, 1) for a, b in pairs]),
+                seeds, max_rounds=4).collect()}
+    assert hops == dist
+
+
+def test_sssp_brute_parity_and_partition_invariance(spark):
+    import hashlib
+
+    from gregor_spark.ops.graph import sssp_bounded
+
+    def h(k, salt):
+        return int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:8], 16)
+
+    triples = sorted({
+        (min(a, b), max(a, b), 1 + h(k, "w") % 20)
+        for k in range(160)
+        for a, b in [(h(k, "p") % 30, h(k, "q") % 30)]
+        if a != b
+    })
+    # one weight per undirected pair (drop dup pairs w/ different weights)
+    seen, uniq = set(), []
+    for a, b, w in triples:
+        if (a, b) not in seen:
+            seen.add((a, b))
+            uniq.append((a, b, w))
+    ids, e = _ids(spark, 30), _wedges(spark, uniq)
+    seeds = spark.createDataFrame([(0,), (13,)], "doc_id long")
+    got = {r.doc_id: r.dist
+           for r in sssp_bounded(ids, e, seeds, max_rounds=3).collect()}
+    assert got == _sssp_brute(30, uniq, {0, 13}, 3)
+    b2 = {r.doc_id: r.dist
+          for r in sssp_bounded(ids.repartition(7), e.repartition(11),
+                                seeds, max_rounds=3).collect()}
+    assert got == b2
+
+
+def test_sssp_rejects_negative_weights(spark):
+    from gregor_spark.ops.graph import sssp_bounded
+
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp_bounded(_ids(spark, 3), _wedges(spark, [(0, 1, -2)]), seeds, 2)

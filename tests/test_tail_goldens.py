@@ -96,6 +96,7 @@ def _assert_oracle_match(spark, ddb, name):
         "geohash_docs",    # rotated r6 (admitted zonal_extras)
         "link_pred",       # rotated r6 (admitted pack_blocks)
         "idw_grid",        # rotated r6 (admitted viewshed)
+        "track_interp",    # rotated r6 (admitted sssp_km)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
