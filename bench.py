@@ -105,6 +105,9 @@ HEADLINE = [
     "dedup_substrings",    # r6: sliding-window exact-substring dedup
     "zonal_extras",        # r6: majority/minority/unique/percentile zonal
     "pack_blocks",         # r6: concat-and-chunk context-window packing
+    "viewshed",            # r6: R3 exact-ray line-of-sight over the DEM
+    "sssp_km",             # r6: hop-bounded weighted SSSP (Bellman-Ford)
+    "bpe_merges",          # r6: BPE merge training (6 count+replace rounds)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -4739,6 +4739,65 @@ SELECT id AS doc_id, CAST(dist AS BIGINT) AS dist FROM d3
 REGISTRY.update({"sssp_km": (q_sssp_km, _sssp_sql())})
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training over the corpus — 6 rounds of
+    count-all-adjacent-pairs → merge-the-max (ops/text.py::bpe_train,
+    Sennrich et al. 2016 on whitespace tokens; ties lexicographic).
+    Each round is one explode + partial-agg groupBy + a 1-row argmax
+    collect + a map-only literal replace over the fully-delimited
+    ``(t1)(t2)…`` rendering, where non-overlapping left-to-right
+    replace IS the greedy single-pass merge — which is why the oracle
+    can replay the entire training loop with DuckDB's replace()."""
+    from .ops.text import bpe_train
+
+    mdf, _ = bpe_train(_docs(spark, sf_dir), n_merges=6)
+    return mdf
+
+
+def _bpe_round(i: int) -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # encoded corpus and its argmax several times, and DuckDB inlines
+    # plain CTEs — 6 rounds of inlining re-evaluates e0 ~5^6 times
+    return f"""p{i} AS MATERIALIZED (
+  SELECT list_extract(t, k) AS l, list_extract(t, k + 1) AS r
+  FROM (SELECT string_split(substring(enc, 2, length(enc) - 2), ')(') AS t
+        FROM e{i} WHERE length(enc) > 1) tt
+  CROSS JOIN ks WHERE k <= len(t) - 1),
+b{i} AS MATERIALIZED (
+  SELECT l, r, CAST(count(*) AS BIGINT) AS cnt
+  FROM p{i} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+e{i + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(enc, '(' || b.l || ')(' || b.r || ')',
+                      '(' || b.l || b.r || ')') AS enc
+  FROM e{i} CROSS JOIN b{i} b)"""
+
+
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    rounds = ",\n".join(_bpe_round(i) for i in range(n_merges))
+    final = "\nUNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS "rank", l AS "left", r AS "right", cnt'
+        f" FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN ''
+              ELSE '(' || replace(t, ' ', ')(') || ')' END AS enc
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(regexp_replace(text, '[()]', '', 'g')),
+                    '\\s+', ' ', 'g')) AS t
+        FROM documents)),
+ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 256)),
+{rounds}
+{final}
+"""
+
+
+REGISTRY.update({"bpe_merges": (q_bpe_merges, _bpe_merges_sql())})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5345,6 +5404,10 @@ _WINDOW_TAIL = (
                      # trajectory stays in-window via staypoints +
                      # frechet_sim, and the interp grid keeps its full
                      # pytest suite in test_trajectory.py
+    "bpe_token_count",  # rotated r6 (admitted bpe_merges — the BPE
+                        # family's full training loop supersedes the
+                        # segment counter as the in-window anchor);
+                        # goldens in test_round5.py::test_bpe_token_count
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -483,3 +483,139 @@ def pack_sequences(
         .cast("long")
         .alias("n_blocks"),
     )
+
+
+def _bpe_encode(text_col: Column) -> Column:
+    """Fully-delimited token rendering for merge-by-string-replace:
+    ``(t1)(t2)...(tn)`` — every token wrapped in parens, parens stripped
+    from the input so the delimiters are unambiguous.  With BOTH
+    boundaries delimited, a literal left-to-right non-overlapping
+    replace of ``(L)(R)`` → ``(LR)`` is EXACTLY the greedy single-pass
+    BPE merge rule: runs self-merge pairwise (``a a a a`` → ``aa aa``,
+    the replace restarting cleanly at the next ``(``), and a pair can
+    never match across a token boundary (the closing paren of a longer
+    token breaks the pattern)."""
+    from .dedup import normalized_text
+
+    toks = F.split(normalized_text(F.regexp_replace(text_col, r"[()]", "")), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    return F.when(
+        F.size(toks) > 0,
+        F.concat(F.lit("("), F.array_join(toks, ")("), F.lit(")")),
+    ).otherwise(F.lit(""))
+
+
+def _bpe_pairs(enc_name: str):
+    """Adjacent (left, right) token pairs of an encoded-doc column."""
+    enc = F.col(enc_name)
+    t = F.split(
+        F.expr(f"substring({enc_name}, 2, length({enc_name}) - 2)"), r"\)\("
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.struct(
+            F.element_at(t, i + 1).alias("left"),
+            F.element_at(t, i + 2).alias("right"),
+        ),
+    )
+    # guard on the TOKEN count: Spark's sequence(0, -1) is a DESCENDING
+    # [0, -1] (not empty), so a 1-token doc must never reach transform
+    return F.when((F.length(enc) > 1) & (F.size(t) >= 2), pairs).otherwise(
+        F.array().cast("array<struct<left:string,right:string>>")
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+):
+    """(rank, left, right, cnt) — byte-pair-encoding merge learning
+    (Sennrich et al. 2016) over whitespace tokens (phrase-pair
+    induction; on character-level input the identical loop IS textbook
+    BPE): ``n_merges`` rounds of count-all-adjacent-pairs → merge the
+    most frequent pair everywhere, ties broken lexicographically on
+    (left, right) so training is fully deterministic.
+
+    The trainer is 100% JVM column work: documents are rendered once
+    into the fully-delimited ``(t1)(t2)…`` string form, each round is
+    ONE explode + partial-agg groupBy pair count (hot pairs combine
+    map-side — a boilerplate pair repeated 10⁶ times arrives
+    pre-summed), a 1-row driver collect picks the argmax (bounded,
+    like the kmeans centroid collect), and the merge applies as a
+    map-only literal ``F.replace`` — no Python in any per-token path.
+    Round plans are stats-truncated so the loop stays O(1) planning.
+
+    Greedy-merge semantics note: a literal non-overlapping
+    left-to-right replace over the fully-delimited form is exactly the
+    single-pass greedy merge (see ``_bpe_encode``), which is also what
+    a SQL oracle's ``replace()`` computes — the whole training loop
+    replays in SQL.
+
+    Returns (merges_df, encoded_docs): the learned merge table and the
+    corpus in its post-merge encoded form (doc_id, _enc).
+    """
+    from .dedup import _materialize_truncated
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = docs.sparkSession
+    enc = _materialize_truncated(
+        docs.select("doc_id", _bpe_encode(F.col(text)).alias("_enc"))
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            enc.select(F.explode(_bpe_pairs("_enc")).alias("p"))
+            .groupBy("p.left", "p.right")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
+        merges.append((rank, l, r, cnt))
+        enc = _materialize_truncated(
+            enc.select(
+                "doc_id",
+                F.replace(
+                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("_enc"),
+            )
+        )
+    mdf = spark.createDataFrame(
+        merges, "rank long, left string, right string, cnt long"
+    )
+    return mdf, enc
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, n_before, n_tokens) — apply a learned merge list (in
+    rank order) to new documents: the tokenizer-inference shape, a
+    map-only literal replace chain (each merge one ``F.replace``), with
+    token counts before and after."""
+    out = _bpe_encode(F.col(text))
+    for l, r in merges:
+        out = F.replace(out, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    t_after = F.split(F.expr("substring(_out, 2, length(_out) - 2)"), r"\)\(")
+    t_before = F.split(
+        F.expr("substring(_enc0, 2, length(_enc0) - 2)"), r"\)\("
+    )
+    return (
+        docs.select(
+            "doc_id", _bpe_encode(F.col(text)).alias("_enc0"), out.alias("_out")
+        )
+        .select(
+            "doc_id",
+            F.when(F.length("_enc0") > 1, F.size(t_before))
+            .otherwise(F.lit(0)).cast("long").alias("n_before"),
+            F.when(F.length("_out") > 1, F.size(t_after))
+            .otherwise(F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )

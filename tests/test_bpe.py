@@ -1,0 +1,113 @@
+"""BPE merge training (ops/text.py::bpe_train/bpe_apply): hand goldens,
+independent single-pass greedy reference parity, run self-merge
+semantics, paren stripping, partition invariance."""
+
+from collections import Counter
+
+import pytest
+
+from gregor_spark.ops.text import bpe_apply, bpe_train
+
+
+def _ref(corpus, n_merges):
+    """Independent pure-python greedy single-pass BPE."""
+    seqs = [t.split() for t in corpus]
+    merges = []
+    for rank in range(n_merges):
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        if not c:
+            break
+        (l, r), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        ns = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            ns.append(out)
+        seqs = ns
+    return merges, seqs
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_banana_golden(spark):
+    mdf, enc = bpe_train(_docs(spark, ["b a n a n a"]), n_merges=2)
+    got = [tuple(r) for r in mdf.orderBy("rank").collect()]
+    # (a,n) x2 beats (n,a) x2 lexicographically; then all pairs tie at 1
+    # and (an,a) is the lexicographic minimum
+    assert got == [(0, "a", "n", 2), (1, "an", "a", 1)]
+    assert enc.collect()[0]["_enc"] == "(b)(an)(ana)"
+
+
+def test_bpe_run_self_merge_pairs_up(spark):
+    mdf, enc = bpe_train(_docs(spark, ["a a a a"]), n_merges=2)
+    got = [tuple(r) for r in mdf.orderBy("rank").collect()]
+    # greedy single pass: aaaa -> [aa, aa] (3 overlapping pairs counted)
+    assert got[0] == (0, "a", "a", 3)
+    assert got[1] == (1, "aa", "aa", 1)
+    assert enc.collect()[0]["_enc"] == "(aaaa)"
+
+
+def test_bpe_reference_parity(spark):
+    import hashlib
+
+    vocab = ["we", "the", "of", "data", "spark", "join", "scan"]
+    texts = [
+        " ".join(
+            vocab[int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:4], 16) % 7]
+            for i in range(3 + d % 9)
+        )
+        for d in range(40)
+    ]
+    mdf, enc = bpe_train(_docs(spark, texts), n_merges=6)
+    want_merges, want_seqs = _ref(texts, 6)
+    assert [tuple(r) for r in mdf.orderBy("rank").collect()] == want_merges
+    got_enc = {r["doc_id"]: r["_enc"] for r in enc.collect()}
+    for d, s in enumerate(want_seqs):
+        assert got_enc[d] == "(" + ")(".join(s) + ")"
+
+
+def test_bpe_strips_parens_and_handles_empty(spark):
+    mdf, enc = bpe_train(
+        _docs(spark, ["x (y) x (y)", "", "   "]), n_merges=1
+    )
+    got = [tuple(r) for r in mdf.collect()]
+    assert got == [(0, "x", "y", 2)]
+    e = {r["doc_id"]: r["_enc"] for r in enc.collect()}
+    assert e[0] == "(xy)(xy)" and e[1] == "" and e[2] == ""
+
+
+def test_bpe_apply_counts_and_partition_invariance(spark):
+    texts = ["a b a b c", "a b", "c c c"]
+    mdf, _ = bpe_train(_docs(spark, texts), n_merges=2)
+    merges = [(r["left"], r["right"]) for r in mdf.orderBy("rank").collect()]
+    out = {
+        r["doc_id"]: (r["n_before"], r["n_tokens"])
+        for r in bpe_apply(_docs(spark, texts), merges).collect()
+    }
+    # merge 1: (a,b) x3; merge 2 ties at 1 -> lexicographic min
+    assert out[0][0] == 5 and out[0][1] < 5
+    assert out[1] == (2, 1)
+    a = sorted(map(tuple, bpe_train(_docs(spark, texts), 2)[0].collect()))
+    b = sorted(
+        map(
+            tuple,
+            bpe_train(_docs(spark, texts).repartition(7), 2)[0].collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(_docs(spark, texts), 0)

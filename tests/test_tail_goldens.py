@@ -97,6 +97,7 @@ def _assert_oracle_match(spark, ddb, name):
         "link_pred",       # rotated r6 (admitted pack_blocks)
         "idw_grid",        # rotated r6 (admitted viewshed)
         "track_interp",    # rotated r6 (admitted sssp_km)
+        "bpe_token_count",  # rotated r6 (admitted bpe_merges)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
