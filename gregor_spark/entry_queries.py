@@ -4798,6 +4798,43 @@ ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 256)),
 REGISTRY.update({"bpe_merges": (q_bpe_merges, _bpe_merges_sql())})
 
 
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture sampling over the per-language corpus shares
+    (ops/sampling.py::sample_quota — α=0.5 smoothing to a 200-doc
+    target: quota_g = 200·√n_g/Σ√n_h, membership by the portable
+    md5 bucket; weights integer-quantized before the Σ so the rate
+    chain is a fixed IEEE expression tree).  One tiny groupBy + one
+    broadcast join + a map-only filter; the oracle replays the exact
+    same arithmetic."""
+    from .ops.sampling import sample_quota
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample_quota(
+        docs, "lang", "doc_id", total=200, temperature=0.5
+    )
+
+
+_SAMPLE_QUOTA_SQL = """
+WITH c AS MATERIALIZED (
+  SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576) AS BIGINT) AS wq
+  FROM documents GROUP BY lang),
+s AS (SELECT CAST(sum(wq) AS BIGINT) AS sw FROM c),
+r AS (
+  SELECT g,
+         CAST(floor(least(1.0, ((200.0 * wq) / sw) / n) * 1000000)
+              AS BIGINT) AS thr
+  FROM c CROSS JOIN s)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.g
+WHERE CAST(('0x' || substr(md5('quota' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000 < r.thr
+"""
+
+
+REGISTRY.update({"sample_quota": (q_sample_quota, _SAMPLE_QUOTA_SQL)})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5408,6 +5445,10 @@ _WINDOW_TAIL = (
                         # family's full training loop supersedes the
                         # segment counter as the in-window anchor);
                         # goldens in test_round5.py::test_bpe_token_count
+    "sample_weighted",  # rotated r6 (admitted sample_quota); A-ES keeps
+                        # its full suite in test_sample_weighted.py and
+                        # the hash-membership family stays in-window via
+                        # sample_quota
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

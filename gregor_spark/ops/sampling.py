@@ -146,3 +146,87 @@ SELECT {cols}, rn FROM (
   FROM {src} WHERE {weight_col} > 0
 ) WHERE rn <= {k}
 """
+
+
+def sample_quota(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quotas: dict[str, int] | None = None,
+    total: int | None = None,
+    temperature: float | None = None,
+    salt: str = "quota",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Data-mixing sampler — deterministically downsample each group to
+    a TARGET SHARE of the output corpus (the mixture-reweighting step
+    of every multi-source pretraining pipeline; temperature form per
+    multilingual-sampling practice, e.g. XLM-R's α-smoothing).
+
+    Two modes (exactly one):
+
+    * ``quotas={group: target_count}`` — explicit per-group targets;
+    * ``total=N, temperature=α`` — group g gets quota
+      N · n_g^α / Σ_h n_h^α: α=1 keeps natural proportions, α→0 flattens
+      toward uniform, α between upsamples the tail (relatively).
+
+    Membership is the portable md5 hash-bucket rule (`hash_bucket`):
+    keep iff bucket < floor(min(1, quota/n_g)·n_buckets) — a pure
+    function of (salt, key), so the sample is identical at any
+    parallelism and stable under appends of OTHER groups' rows.
+    Weights n^α are quantized to integers (floor(n^α·2²⁰)) before the
+    Σ so the normalizing sum is order-independent and the whole rate
+    chain is a fixed IEEE expression tree a SQL oracle replays exactly
+    (α ∈ {0, 0.5, 1, 2} avoid libm pow entirely: 1/sqrt/square).
+
+    Scale shape: one tiny groupBy-count (partial-agg; |groups| rows), a
+    1-row sum cross-join broadcast, a broadcast join back on the group
+    key, then a map-only filter — the corpus is touched in one pass and
+    never shuffled."""
+    if (quotas is None) == (total is None and temperature is None):
+        raise ValueError("pass exactly one of quotas= or (total=, temperature=)")
+    g = F.col(group_col)
+    counts = df.groupBy(g.alias("_g")).agg(F.count("*").alias("_n"))
+    if quotas is not None:
+        qmap = F.create_map(
+            *[F.lit(x) for kv in quotas.items() for x in kv]
+        )
+        quota = F.coalesce(qmap[F.col("_g")], F.lit(0)).cast("double")
+        rates = counts.select(
+            "_g",
+            F.least(F.lit(1.0), quota / F.col("_n")).alias("_rate"),
+        )
+    else:
+        if total is None or temperature is None:
+            raise ValueError("temperature mode needs both total= and temperature=")
+        a = float(temperature)
+        n_d = F.col("_n").cast("double")
+        if a == 0.0:
+            w = F.lit(1.0)
+        elif a == 0.5:
+            w = F.sqrt(n_d)
+        elif a == 1.0:
+            w = n_d
+        elif a == 2.0:
+            w = n_d * n_d
+        else:
+            w = F.pow(n_d, F.lit(a))
+        wq = F.floor(w * F.lit(1 << 20)).cast("long")
+        cw = counts.select("_g", "_n", wq.alias("_wq"))
+        sw = cw.agg(F.sum("_wq").alias("_sw"))
+        rates = cw.crossJoin(F.broadcast(sw)).select(
+            "_g",
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(total)) * F.col("_wq") / F.col("_sw"))
+                / F.col("_n"),
+            ).alias("_rate"),
+        )
+    thr = F.floor(F.col("_rate") * F.lit(n_buckets)).cast("long")
+    rates = rates.select("_g", thr.alias("_thr"))
+    keep = hash_bucket(F.col(key_col), salt, n_buckets) < F.col("_thr")
+    return (
+        df.join(F.broadcast(rates), g == F.col("_g"))
+        .where(keep)
+        .drop("_g", "_thr")
+    )
