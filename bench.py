@@ -108,6 +108,8 @@ HEADLINE = [
     "viewshed",            # r6: R3 exact-ray line-of-sight over the DEM
     "sssp_km",             # r6: hop-bounded weighted SSSP (Bellman-Ford)
     "bpe_merges",          # r6: BPE merge training (6 count+replace rounds)
+    "sample_quota",        # r6: temperature-mixture sampling (map-only)
+    "mad_outliers",        # r6: robust modified-z outlier flags
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -4835,6 +4835,55 @@ WHERE CAST(('0x' || substr(md5('quota' || CAST(d.doc_id AS VARCHAR)), 1, 15))
 REGISTRY.update({"sample_quota": (q_sample_quota, _SAMPLE_QUOTA_SQL)})
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier flags via the modified
+    z-score (ops/stats.py::robust_outliers — Iglewicz & Hoaglin
+    0.6745·(x−med)/MAD over exact 6dp-rounded medians, MAD=0 falling
+    back to x≠med).  The value plants a heavy tail (doc_id%97 docs
+    scaled ×40) so the flag path is genuinely exercised; two
+    percentile aggregates + broadcast joins, data shuffled only on the
+    group key."""
+    from .ops.stats import robust_outliers
+
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " "))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 97 == 0, n_tok * 40)
+        .otherwise(n_tok)
+        .cast("double")
+        .alias("v"),
+    )
+    return robust_outliers(d, "v", by=["lang"])
+
+
+_MAD_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN doc_id % 97 = 0
+              THEN len(string_split(text, ' ')) * 40
+              ELSE len(string_split(text, ' ')) END AS DOUBLE) AS v
+  FROM documents),
+m AS (SELECT lang, round(quantile_cont(v, 0.5), 6) AS med
+      FROM d GROUP BY lang),
+a AS (SELECT d.doc_id, d.lang, d.v, m.med FROM d JOIN m USING (lang)),
+s AS (SELECT lang, round(quantile_cont(abs(v - med), 0.5), 6) AS mad
+      FROM a GROUP BY lang)
+SELECT a.doc_id, a.lang, a.v, a.med AS med_r, s.mad AS mad_r,
+       CASE WHEN s.mad > 0
+            THEN CAST(floor(0.6745 * (a.v - a.med) / s.mad * 1000000.0)
+                      AS BIGINT) END AS z_u6,
+       CASE WHEN s.mad > 0
+            THEN abs(0.6745 * (a.v - a.med) / s.mad) > 3.5
+            ELSE a.v != a.med END AS outlier
+FROM a JOIN s USING (lang)
+"""
+
+
+REGISTRY.update({"mad_outliers": (q_mad_outliers, _MAD_SQL)})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5449,6 +5498,10 @@ _WINDOW_TAIL = (
                         # its full suite in test_sample_weighted.py and
                         # the hash-membership family stays in-window via
                         # sample_quota
+    "quantiles_hist",  # rotated r6 (admitted mad_outliers — exact-median
+                       # robust stats become the in-window stats row);
+                       # the histogram path keeps its full suite in
+                       # test_stats.py
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -121,3 +121,59 @@ def quantiles_histogram(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def robust_outliers(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    k: float = 3.5,
+) -> DataFrame:
+    """(*by, <original columns>, med_r, mad_r, z_r, outlier) — robust
+    per-group outlier flags via the modified z-score (Iglewicz &
+    Hoaglin 1993): z = 0.6745·(x − median) / MAD, MAD the median
+    absolute deviation; |z| > k flags.  The curation shape for length/
+    score anomalies: unlike mean/std, one giant document cannot drag
+    the threshold (50% breakdown point).
+
+    Two passes, each a per-group exact-percentile aggregate (the 100 TB
+    corpus swaps in ``quantiles_histogram``'s two-pass integer-count
+    median — same call shape) + a broadcast join back; the data is
+    never shuffled on anything but the group key.
+
+    Determinism: median and MAD are rounded to 6 dp BEFORE entering the
+    z expression (the cross-engine ulp cover used by every quantile op
+    here — and their interpolated values are .0/.5-grained, never a
+    6 dp tie), so z is the SAME double on every engine; it is exported
+    as integer micro-z ``floor(z·10⁶)`` because decimal ``round()``
+    tie-breaking differs across engines on exact half values (z =
+    −0.2529375 bit us), while floor of an identical double cannot.
+    The flag compares the raw double against k directly.  MAD = 0
+    (constant majority): z is NULL and any value differing from the
+    median flags."""
+    grp = by or []
+    med = df.groupBy(*grp).agg(
+        F.round(F.expr(f"percentile({col}, 0.5D)"), 6).alias("_med")
+    )
+    joined = df.join(F.broadcast(med), grp) if grp else df.crossJoin(
+        F.broadcast(med)
+    )
+    mad = (
+        joined.withColumn("_ad", F.abs(F.col(col) - F.col("_med")))
+        .groupBy(*grp)
+        .agg(F.round(F.expr("percentile(_ad, 0.5D)"), 6).alias("_mad"))
+    )
+    both = joined.join(F.broadcast(mad), grp) if grp else joined.crossJoin(
+        F.broadcast(mad)
+    )
+    z = F.lit(0.6745) * (F.col(col) - F.col("_med")) / F.col("_mad")
+    return both.select(
+        *df.columns,
+        F.col("_med").alias("med_r"),
+        F.col("_mad").alias("mad_r"),
+        F.when(F.col("_mad") > 0, F.floor(z * F.lit(1000000.0)).cast("long"))
+        .alias("z_u6"),
+        F.when(F.col("_mad") > 0, F.abs(z) > F.lit(float(k)))
+        .otherwise(F.col(col) != F.col("_med"))
+        .alias("outlier"),
+    )

@@ -80,3 +80,51 @@ def test_degenerate_group_returns_constant(spark):
     for fn in (quantiles_exact, quantiles_histogram):
         got = {r.q: r.value_r for r in fn(df, "v", [0.0, 0.5, 1.0]).collect()}
         assert got == {0.0: 7.5, 0.5: 7.5, 1.0: 7.5}, (fn.__name__, got)
+
+
+# ------------------------------------------------- robust outliers (r6)
+
+
+def test_mad_outlier_golden(spark):
+    from gregor_spark.ops.stats import robust_outliers
+
+    # group a: tight cluster + one wild value; med=10, MAD=1
+    rows = [("a", float(v)) for v in (8, 9, 10, 11, 12, 100)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["x"]: (r["med_r"], r["mad_r"], r["z_u6"], r["outlier"])
+           for r in robust_outliers(df, "x", by=["g"]).collect()}
+    med, mad = got[10.0][0], got[10.0][1]
+    assert med == 10.5 and mad == 1.5  # R-7 even-count interpolation
+    assert got[100.0][3] is True
+    for v in (8.0, 9.0, 10.0, 11.0, 12.0):
+        assert got[v][3] is False
+    # hand-check one micro-z: floor(0.6745*(100-10.5)/1.5 * 1e6)
+    import math
+    assert got[100.0][2] == math.floor(0.6745 * 89.5 / 1.5 * 1e6)
+
+
+def test_mad_zero_falls_back_to_neq_median(spark):
+    from gregor_spark.ops.stats import robust_outliers
+
+    rows = [("a", 1.0)] * 5 + [("a", 50.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r["x"], r["outlier"]) for r in
+           robust_outliers(df, "x", by=["g"]).collect()}
+    assert (50.0, True) in got and (1.0, False) in got
+    z = {r["x"]: r["z_u6"] for r in robust_outliers(df, "x", by=["g"]).collect()}
+    assert z[1.0] is None and z[50.0] is None  # MAD = 0: no scale
+
+
+def test_mad_groups_isolated_and_partition_invariant(spark):
+    from gregor_spark.ops.stats import robust_outliers
+
+    rows = ([("a", float(v)) for v in range(20)]
+            + [("b", float(v * 1000)) for v in range(20)])
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = robust_outliers(df, "x", by=["g"])
+    # b's huge scale must not leak into a's threshold: no flags anywhere
+    assert out.where("outlier").count() == 0
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple,
+                   robust_outliers(df.repartition(9), "x", by=["g"]).collect()))
+    assert a == b

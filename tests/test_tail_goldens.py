@@ -99,6 +99,7 @@ def _assert_oracle_match(spark, ddb, name):
         "track_interp",    # rotated r6 (admitted sssp_km)
         "bpe_token_count",  # rotated r6 (admitted bpe_merges)
         "sample_weighted",  # rotated r6 (admitted sample_quota)
+        "quantiles_hist",  # rotated r6 (admitted mad_outliers)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
