@@ -110,6 +110,7 @@ HEADLINE = [
     "bpe_merges",          # r6: BPE merge training (6 count+replace rounds)
     "sample_quota",        # r6: temperature-mixture sampling (map-only)
     "mad_outliers",        # r6: robust modified-z outlier flags
+    "contours",            # r6: marching-squares isolines over the DEM
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -4884,6 +4884,88 @@ FROM a JOIN s USING (lang)
 REGISTRY.update({"mad_outliers": (q_mad_outliers, _MAD_SQL)})
 
 
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isolines at level 48.5 over the 64x64 DEM
+    (operators/terrain.py::contour_segments — focal corner explode +
+    ONE groupBy reassembles each 2×2 block, case-table dispatch with
+    the corner-average saddle rule, linear edge interpolation; integer
+    DEM + half-integer level ⇒ no boundary ties).  The oracle
+    reassembles blocks with a 4-way self-join (a different shape) and
+    replays the same case table generated from the same Python dict."""
+    from .operators.terrain import contour_segments
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return contour_segments(cells, 48.5)
+
+
+def _contours_sql(level: float = 48.5) -> str:
+    from .operators.terrain import _MS_CASES, _MS_SADDLE
+
+    L = f"CAST({level} AS DOUBLE)"
+    edge = {
+        0: (f"(col + (({L} - za) / (zb - za)))", "CAST(row AS DOUBLE)"),
+        1: ("(col + 1.0)", f"(row + (({L} - zb) / (zc - zb)))"),
+        2: (f"(col + (({L} - zd) / (zc - zd)))", "(row + 1.0)"),
+        3: ("CAST(col AS DOUBLE)", f"(row + (({L} - za) / (zd - za)))"),
+    }
+    center_in = f"(((za + zb + zc + zd) / 4.0) >= {L})"
+
+    def sel(k: int, j: int, e1: int, e2: int, extra: str = "") -> str:
+        return (
+            f"SELECT row, col, case_id, CAST({j} AS INT) AS seg_idx,\n"
+            f"       {edge[e1][0]} AS x1, {edge[e1][1]} AS y1,\n"
+            f"       {edge[e2][0]} AS x2, {edge[e2][1]} AS y2\n"
+            f"FROM blk WHERE case_id = {k}{extra}"
+        )
+
+    parts = [
+        sel(k, 0, *pairs[0]) for k, pairs in sorted(_MS_CASES.items())
+    ]
+    for k, branches in sorted(_MS_SADDLE.items()):
+        for flag, pairs in branches.items():
+            cond = f" AND {'' if flag else 'NOT '}{center_in}"
+            for j, (e1, e2) in enumerate(pairs):
+                parts.append(sel(k, j, e1, e2, cond))
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH g AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST((row * 31 + col * 17) % 97 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))),
+v AS (SELECT row, col, value FROM g WHERE value IS NOT NULL),
+blk AS MATERIALIZED (
+  SELECT a.row, a.col,
+         a.value AS za, b.value AS zb, c.value AS zc, d.value AS zd,
+         (CASE WHEN a.value >= {L} THEN 8 ELSE 0 END
+          + CASE WHEN b.value >= {L} THEN 4 ELSE 0 END
+          + CASE WHEN c.value >= {L} THEN 2 ELSE 0 END
+          + CASE WHEN d.value >= {L} THEN 1 ELSE 0 END) AS case_id
+  FROM v a
+  JOIN v b ON b.row = a.row AND b.col = a.col + 1
+  JOIN v d ON d.row = a.row + 1 AND d.col = a.col
+  JOIN v c ON c.row = a.row + 1 AND c.col = a.col + 1)
+{union}
+"""
+
+
+REGISTRY.update({"contours": (q_contours, _contours_sql())})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5502,6 +5584,10 @@ _WINDOW_TAIL = (
                        # robust stats become the in-window stats row);
                        # the histogram path keeps its full suite in
                        # test_stats.py
+    "slope_horn",  # rotated r6 (admitted contours); the Horn-kernel pair
+                   # (slope+hillshade) is now fully tail-goldened while the
+                   # terrain family stays in-window via flow_d8/flow_accum/
+                   # viewshed/contours over the same DEM fixture
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -621,3 +621,151 @@ def viewshed(
         "row", "col", F.col("z").alias(value), F.lit(True).alias("visible")
     )
     return out.unionByName(self_row)
+
+
+#: Marching-squares case table (Lorensen & Cline 1987's 2-D sibling;
+#: gdal_contour / matplotlib-contour semantics).  Corner bits: TL=8,
+#: TR=4, BR=2, BL=1 (bit set ⇔ corner value >= level).  Edges: 0=top,
+#: 1=right, 2=bottom, 3=left; each segment is an (edge, edge) pair with
+#: the smaller edge id first (deterministic endpoint order).  Saddle
+#: cases 5/10 disambiguate on the corner-average center sample — the
+#: standard rule.
+_MS_CASES: dict[int, list[tuple[int, int]]] = {
+    1: [(2, 3)], 2: [(1, 2)], 3: [(1, 3)], 4: [(0, 1)],
+    6: [(0, 2)], 7: [(0, 3)], 8: [(0, 3)], 9: [(0, 2)],
+    11: [(0, 1)], 12: [(1, 3)], 13: [(1, 2)], 14: [(2, 3)],
+}
+_MS_SADDLE = {
+    5: {True: [(0, 3), (1, 2)], False: [(0, 1), (2, 3)]},
+    10: {True: [(0, 1), (2, 3)], False: [(0, 3), (1, 2)]},
+}
+
+
+def contour_segments(
+    cells: DataFrame,
+    level: float,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """(row, col, case_id, seg_idx, x1, y1, x2, y2) — marching-squares
+    isoline extraction at ``level`` (the ``gdal_contour`` primitive):
+    every 2×2 block of valid cells is classified by which corners sit
+    at-or-above the level, and the standard case table emits 0–2 line
+    segments whose endpoints are linear interpolations along the block
+    edges.  Coordinates are in cell-index space (x = col, y = row);
+    corner convention TL=(r,c), TR=(r,c+1), BR=(r+1,c+1), BL=(r+1,c);
+    ``>= level`` counts as inside; saddles use the corner-average
+    center rule; blocks touching a nodata/NULL cell emit nothing.
+
+    Scale shape: the focal explode pattern — each valid cell emits to
+    the ≤4 blocks it corners (map-only ×4), ONE groupBy on the block
+    key reassembles the 2×2 window (a single Exchange at any raster
+    size), and the case dispatch + interpolation are pure column
+    arithmetic.  Each crossing coordinate is one subtraction + one
+    division + one add of doubles — a fixed IEEE expression tree the
+    SQL oracle replays exactly (uncrossed edges may evaluate to ±inf
+    but are never referenced by their block's case).
+    """
+    v = cells.where(F.col(value).isNotNull())
+    if nodata is not None:
+        v = v.where(F.col(value) != nodata)
+    v = v.select("row", "col", F.col(value).alias("z"))
+
+    corners = v.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("row") - F.lit(dr)).alias("br"),
+                        (F.col("col") - F.lit(dc)).alias("bc"),
+                        F.lit(dr * 2 + dc).alias("cid"),
+                        F.col("z").alias("z"),
+                    )
+                    for dr in (0, 1)
+                    for dc in (0, 1)
+                ]
+            )
+        ).alias("e")
+    ).select("e.br", "e.bc", "e.cid", "e.z")
+
+    def _pick(cid: int):
+        return F.max(F.when(F.col("cid") == cid, F.col("z")))
+
+    blocks = (
+        corners.groupBy(F.col("br").alias("row"), F.col("bc").alias("col"))
+        .agg(
+            _pick(0).alias("za"),  # TL
+            _pick(1).alias("zb"),  # TR
+            _pick(3).alias("zc"),  # BR (dr=1, dc=1)
+            _pick(2).alias("zd"),  # BL (dr=1, dc=0)
+            F.count("z").alias("_n"),
+        )
+        .where(F.col("_n") == 4)
+    )
+
+    L = F.lit(float(level))
+    a, b, c_, d = F.col("za"), F.col("zb"), F.col("zc"), F.col("zd")
+    case_id = (
+        F.when(a >= L, 8).otherwise(0)
+        + F.when(b >= L, 4).otherwise(0)
+        + F.when(c_ >= L, 2).otherwise(0)
+        + F.when(d >= L, 1).otherwise(0)
+    )
+    x0 = F.col("col").cast("double")
+    y0 = F.col("row").cast("double")
+    # crossing point per edge id: (x, y)
+    edge_xy = {
+        0: (x0 + (L - a) / (b - a), y0),              # top    TL-TR
+        1: (x0 + F.lit(1.0), y0 + (L - b) / (c_ - b)),  # right  TR-BR
+        2: (x0 + (L - d) / (c_ - d), y0 + F.lit(1.0)),  # bottom BL-BR
+        3: (x0, y0 + (L - a) / (d - a)),              # left   TL-BL
+    }
+
+    def _segs(pairs):
+        return F.array(
+            *[
+                F.struct(
+                    edge_xy[e1][0].alias("x1"),
+                    edge_xy[e1][1].alias("y1"),
+                    edge_xy[e2][0].alias("x2"),
+                    edge_xy[e2][1].alias("y2"),
+                )
+                for e1, e2 in pairs
+            ]
+        )
+
+    center_in = (a + b + c_ + d) / F.lit(4.0) >= L
+    segs = F.lit(None).cast(
+        "array<struct<x1:double,y1:double,x2:double,y2:double>>"
+    )
+    expr = None
+    for k in range(1, 15):
+        if k in _MS_SADDLE:
+            branch = F.when(center_in, _segs(_MS_SADDLE[k][True])).otherwise(
+                _segs(_MS_SADDLE[k][False])
+            )
+        else:
+            branch = _segs(_MS_CASES[k])
+        expr = (
+            F.when(F.col("_case") == k, branch)
+            if expr is None
+            else expr.when(F.col("_case") == k, branch)
+        )
+    segs = expr.otherwise(
+        F.array().cast("array<struct<x1:double,y1:double,x2:double,y2:double>>")
+    )
+
+    return (
+        blocks.withColumn("_case", case_id)
+        .select(
+            "row",
+            "col",
+            F.col("_case").alias("case_id"),
+            F.posexplode(segs).alias("seg_idx", "s"),
+        )
+        .select(
+            "row", "col", "case_id", "seg_idx",
+            F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
+            F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
+        )
+    )

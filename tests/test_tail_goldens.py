@@ -100,6 +100,7 @@ def _assert_oracle_match(spark, ddb, name):
         "bpe_token_count",  # rotated r6 (admitted bpe_merges)
         "sample_weighted",  # rotated r6 (admitted sample_quota)
         "quantiles_hist",  # rotated r6 (admitted mad_outliers)
+        "slope_horn",      # rotated r6 (admitted contours)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -556,3 +556,110 @@ def test_viewshed_partition_invariance_and_bad_observer(spark):
         viewshed(df, (4, 4), nodata=-999.0)  # nodata cell
     with pytest.raises(ValueError, match="observer"):
         viewshed(df, (99, 0))  # off-grid
+
+
+# ------------------------------------------------ marching squares (r6)
+
+
+def test_contours_linear_ramp_vertical_line(spark):
+    from gregor_spark.operators.terrain import contour_segments
+
+    vals = np.tile(np.arange(6.0), (5, 1))  # z = x
+    df = raster_df(spark, _meta(5, 6), vals).select("row", "col", "value")
+    segs = contour_segments(df, 2.5).collect()
+    # one vertical crossing per row band: blocks (r, 2) case 6 (TR+BR
+    # inside -> the top-bottom segment)
+    assert len(segs) == 4
+    for s in segs:
+        assert s["col"] == 2 and s["case_id"] == 6
+        assert s["x1"] == 2.5 and s["x2"] == 2.5
+        assert abs(s["y2"] - s["y1"]) == 1.0
+
+
+def test_contours_bump_is_closed_loop(spark):
+    from gregor_spark.operators.terrain import contour_segments
+
+    vals = np.zeros((3, 3))
+    vals[1, 1] = 10.0
+    df = raster_df(spark, _meta(3, 3), vals).select("row", "col", "value")
+    segs = contour_segments(df, 5.0).collect()
+    assert len(segs) == 4  # a diamond around the peak
+    pts = {}
+    for s in segs:
+        for p in ((s["x1"], s["y1"]), (s["x2"], s["y2"])):
+            pts[p] = pts.get(p, 0) + 1
+    assert all(n == 2 for n in pts.values())  # closed: every endpoint twice
+    assert set(pts) == {(0.5, 1.0), (1.5, 1.0), (1.0, 0.5), (1.0, 1.5)}
+
+
+def test_contours_saddle_center_rule(spark):
+    from gregor_spark.operators.terrain import contour_segments
+
+    # TL/BR inside (case 10); center (10+0+0+10)/4 = 5 >= 5 -> "in"
+    hot = np.array([[10.0, 0.0], [0.0, 10.0]])
+    df = raster_df(spark, _meta(2, 2), hot).select("row", "col", "value")
+    segs = {(s["seg_idx"]): s for s in contour_segments(df, 5.0).collect()}
+    assert len(segs) == 2 and segs[0]["case_id"] == 10
+    # center-in 10: [(0,1), (2,3)] — top-right and bottom-left corners cut
+    assert (segs[0]["x1"], segs[0]["y1"]) == (0.5, 0.0)  # top edge
+    assert (segs[0]["x2"], segs[0]["y2"]) == (1.0, 0.5)  # right edge
+    assert (segs[1]["x1"], segs[1]["y1"]) == (0.5, 1.0)  # bottom edge
+    assert (segs[1]["x2"], segs[1]["y2"]) == (0.0, 0.5)  # left edge
+    # weaker diagonal -> center 4.5 < 5 -> "out": the other pairing
+    cold = np.array([[10.0, 0.0], [0.0, 8.0]])
+    df2 = raster_df(spark, _meta(2, 2), cold).select("row", "col", "value")
+    s2 = {s["seg_idx"]: s for s in contour_segments(df2, 5.0).collect()}
+    assert len(s2) == 2
+    assert (s2[0]["x1"], s2[0]["y1"]) == (0.5, 0.0)   # top
+    assert (s2[0]["x2"], s2[0]["y2"]) == (0.0, 0.5)   # left
+    # bottom crossing shifts toward BL: (5-0)/(8-0) = 0.625
+    assert (s2[1]["x1"], s2[1]["y1"]) == (1.0, 0.625)  # right edge first
+    assert (s2[1]["x2"], s2[1]["y2"]) == (0.625, 1.0)  # then bottom
+
+
+def test_contours_closed_loops_on_radial_field(spark):
+    from gregor_spark.operators.terrain import contour_segments
+
+    n = 12
+    vals = np.array(
+        [[100.0 - ((r - 5.5) ** 2 + (c - 5.5) ** 2) for c in range(n)]
+         for r in range(n)]
+    )
+    df = raster_df(spark, _meta(n, n), vals).select("row", "col", "value")
+    segs = contour_segments(df, 90.0).collect()
+    assert len(segs) >= 8
+    pts = {}
+    for s in segs:
+        for p in ((s["x1"], s["y1"]), (s["x2"], s["y2"])):
+            pts[p] = pts.get(p, 0) + 1
+    # contour stays interior -> a closed loop: every endpoint exactly twice
+    assert all(c == 2 for c in pts.values())
+    # every endpoint interpolates to the level exactly along its edge
+    for s in segs:
+        for x, y in ((s["x1"], s["y1"]), (s["x2"], s["y2"])):
+            if x == int(x):  # vertical edge: between (y0,x) and (y0+1,x)
+                r0 = int(np.floor(y))
+                z0, z1 = vals[r0, int(x)], vals[r0 + 1, int(x)]
+                t = y - r0
+            else:            # horizontal edge
+                c0 = int(np.floor(x))
+                z0, z1 = vals[int(y), c0], vals[int(y), c0 + 1]
+                t = x - c0
+            assert z0 + t * (z1 - z0) == pytest.approx(90.0, abs=1e-9)
+
+
+def test_contours_nodata_blocks_and_partition_invariance(spark):
+    from gregor_spark.operators.terrain import contour_segments
+
+    vals = np.tile(np.arange(5.0), (4, 1))
+    vals[1, 2] = -1.0
+    df = raster_df(spark, _meta(4, 5), vals).select("row", "col", "value")
+    segs = contour_segments(df, 1.5, nodata=-1.0).collect()
+    # blocks touching the hole vanish: (0,1),(0,2),(1,1),(1,2)
+    holed = {(s["row"], s["col"]) for s in segs}
+    assert {(0, 1), (0, 2), (1, 1), (1, 2)}.isdisjoint(holed)
+    a = sorted(map(tuple, segs))
+    b = sorted(
+        map(tuple, contour_segments(df.repartition(9), 1.5, nodata=-1.0).collect())
+    )
+    assert a == b
