@@ -111,6 +111,8 @@ HEADLINE = [
     "sample_quota",        # r6: temperature-mixture sampling (map-only)
     "mad_outliers",        # r6: robust modified-z outlier flags
     "contours",            # r6: marching-squares isolines over the DEM
+    "polygonize",          # r6: equal-value region labeling (two-star CC)
+    "zonal_crosstab",      # r6: categorical zonal tabulation
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

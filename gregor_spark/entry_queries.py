@@ -4966,6 +4966,111 @@ blk AS MATERIALIZED (
 REGISTRY.update({"contours": (q_contours, _contours_sql())})
 
 
+_DEM5 = """
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST(((row * 31 + col * 17) % 97) % 5 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))"""
+
+
+def _dem5_df(spark: SparkSession) -> DataFrame:
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = (((F.col("row") * 31 + F.col("col") * 17) % 97) % 5).cast("double")
+    return g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector region labeling over a 5-class 64×64 grid
+    (operators/terrain.py::polygonize — gdal_polygonize semantics:
+    components of the equal-value 4-adjacency graph via the two-star
+    algorithm, region id = min packed cell key; nodata breaks
+    connectivity).  The oracle is a recursive min-label CTE — a
+    different algorithm, same unique components."""
+    from .operators.terrain import polygonize
+
+    return polygonize(_dem5_df(spark))
+
+
+_POLYGONIZE_SQL = f"""
+WITH RECURSIVE g AS ({_DEM5}),
+v AS (SELECT row, col, value, row * 4294967296 + col AS kk
+      FROM g WHERE value IS NOT NULL),
+e AS (
+  SELECT a.kk AS src, b.kk AS dst
+  FROM v a JOIN v b
+    ON ((b.row = a.row AND b.col = a.col + 1)
+        OR (b.row = a.row + 1 AND b.col = a.col))
+   AND b.value = a.value),
+ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+lbl(id, l) AS (
+  SELECT kk, kk FROM v
+  UNION
+  SELECT ed.dst, lbl.l FROM lbl JOIN ed ON ed.src = lbl.id),
+comp AS (SELECT id, min(l) AS region FROM lbl GROUP BY id)
+SELECT v.row, v.col, v.value, comp.region,
+       comp.region >> 32 AS region_row,
+       comp.region % 4294967296 AS region_col
+FROM v JOIN comp ON v.kk = comp.id
+"""
+
+
+REGISTRY.update({"polygonize": (q_polygonize, _POLYGONIZE_SQL)})
+
+
+def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal tabulation: 4×4 tile zones × the 5-class grid
+    (operators/terrain.py::zonal_crosstab — rasterstats
+    categorical=True / ArcGIS TabulateArea: one equi-join on the cell
+    key + one partial-agg groupBy on the tiny (zone, class) key)."""
+    from .operators.terrain import zonal_crosstab
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    zones = g.select(
+        "row",
+        "col",
+        ((F.col("row") / 16).cast("int") * 4 + (F.col("col") / 16).cast("int"))
+        .cast("double")
+        .alias("value"),
+    )
+    return zonal_crosstab(zones, _dem5_df(spark))
+
+
+_ZONAL_CROSSTAB_SQL = f"""
+WITH g AS ({_DEM5}),
+z AS (
+  SELECT row, col,
+         CAST(CAST(floor(row / 16) AS INT) * 4
+              + CAST(floor(col / 16) AS INT) AS DOUBLE) AS zone_value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096)))
+SELECT z.zone_value, g.value AS class_value,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM z JOIN g ON g.row = z.row AND g.col = z.col
+WHERE g.value IS NOT NULL
+GROUP BY z.zone_value, g.value
+"""
+
+
+REGISTRY.update({"zonal_crosstab": (q_zonal_crosstab, _ZONAL_CROSSTAB_SQL)})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5588,6 +5693,12 @@ _WINDOW_TAIL = (
                    # (slope+hillshade) is now fully tail-goldened while the
                    # terrain family stays in-window via flow_d8/flow_accum/
                    # viewshed/contours over the same DEM fixture
+    "warp_mercator",  # rotated r6 (admitted polygonize); resample family
+                      # fully tail-goldened (nearest/bilinear/warp), CRS
+                      # kernels stay in-window via reproject_laea/_albers
+    "st_dbscan",   # rotated r6 (admitted zonal_crosstab); dbscan anchors
+                   # the cluster_from_edges pipeline in-window, the ST time
+                   # axis keeps its quadratic-parity suite in test_dbscan.py
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

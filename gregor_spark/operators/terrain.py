@@ -769,3 +769,103 @@ def contour_segments(
             F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
         )
     )
+
+
+def polygonize(
+    cells: DataFrame,
+    value: str = "value",
+    nodata: float | None = None,
+    diagonal: bool = False,
+) -> DataFrame:
+    """(row, col, value, region, region_row, region_col) — raster→vector
+    region labeling (``gdal_polygonize`` semantics): maximal connected
+    groups of EQUAL-VALUED cells get one region id; 4-connected by
+    default, ``diagonal=True`` for 8-connectivity.  The categorical
+    sibling of :func:`watershed_basins` — classified rasters (land
+    cover, basins, cluster grids) become per-region records ready for
+    zonal joins.
+
+    Region id = the minimum packed cell key (row·2³² + col) of the
+    component — deterministic at any parallelism; ``region_row/col``
+    decode it.  Nodata/NULL cells get no row and break connectivity.
+
+    Scale shape: equal-value edges come from the same map-only
+    neighbor-shift equi-join as every focal op (each cell meets its E/S
+    — and SE/SW when diagonal — neighbor exactly once), and components
+    run on :func:`~gregor_spark.ops.dedup.connected_components_twostar`
+    (O(log² n) rounds on ANY region shape — a river-shaped region is
+    exactly the high-diameter case min-label propagation chokes on).
+    """
+    from ..ops.dedup import connected_components_twostar
+
+    v = cells.where(F.col(value).isNotNull())
+    if nodata is not None:
+        v = v.where(F.col(value) != nodata)
+    key = (F.col("row").cast("long") * F.lit(4294967296)) + F.col("col").cast("long")
+    base = v.select("row", "col", F.col(value).alias("z"), key.alias("_k"))
+
+    shifts = [(0, 1), (1, 0)]
+    if diagonal:
+        shifts += [(1, 1), (1, -1)]
+    right = base.select(
+        F.col("row").alias("_r2"),
+        F.col("col").alias("_c2"),
+        F.col("z").alias("_z2"),
+        F.col("_k").alias("_k2"),
+    )
+    edge_parts = []
+    for dr, dc in shifts:
+        shifted = base.select(
+            (F.col("row") + F.lit(dr)).alias("_r2"),
+            (F.col("col") + F.lit(dc)).alias("_c2"),
+            F.col("z").alias("_z1"),
+            F.col("_k").alias("_k1"),
+        )
+        edge_parts.append(
+            shifted.join(right, ["_r2", "_c2"])
+            .where(F.col("_z1") == F.col("_z2"))
+            .select(F.col("_k1").alias("src"), F.col("_k2").alias("dst"))
+        )
+    edges = edge_parts[0]
+    for e in edge_parts[1:]:
+        edges = edges.unionByName(e)
+
+    comp = connected_components_twostar(
+        base.select(F.col("_k").alias("cell")), edges, key="cell", a="src", b="dst"
+    )
+    out = base.join(
+        comp.select(F.col("cell").alias("_k"), F.col("cluster_id").alias("region")),
+        "_k",
+    )
+    return out.select(
+        "row",
+        "col",
+        F.col("z").alias(value),
+        "region",
+        F.shiftright(F.col("region"), 32).alias("region_row"),
+        (F.col("region") % F.lit(4294967296)).alias("region_col"),
+    )
+
+
+def zonal_crosstab(
+    cells: DataFrame,
+    classes: DataFrame,
+    value: str = "value",
+    class_col: str = "value",
+) -> DataFrame:
+    """(zone_value, class_value, n_cells) — categorical zonal tabulation
+    (``rasterstats`` ``categorical=True`` / ArcGIS TabulateArea): cross
+    counts of two aligned rasters, e.g. land-cover class per watershed.
+    One equi-join on the cell key + one partial-agg groupBy on the tiny
+    (zone, class) key — two bounded Exchanges at any raster size."""
+    a = cells.where(F.col(value).isNotNull()).select(
+        "row", "col", F.col(value).alias("zone_value")
+    )
+    b = classes.where(F.col(class_col).isNotNull()).select(
+        "row", "col", F.col(class_col).alias("class_value")
+    )
+    return (
+        a.join(b, ["row", "col"])
+        .groupBy("zone_value", "class_value")
+        .agg(F.count("*").alias("n_cells"))
+    )

@@ -101,6 +101,8 @@ def _assert_oracle_match(spark, ddb, name):
         "sample_weighted",  # rotated r6 (admitted sample_quota)
         "quantiles_hist",  # rotated r6 (admitted mad_outliers)
         "slope_horn",      # rotated r6 (admitted contours)
+        "warp_mercator",   # rotated r6 (admitted polygonize)
+        "st_dbscan",       # rotated r6 (admitted zonal_crosstab)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -663,3 +663,135 @@ def test_contours_nodata_blocks_and_partition_invariance(spark):
         map(tuple, contour_segments(df.repartition(9), 1.5, nodata=-1.0).collect())
     )
     assert a == b
+
+
+# ------------------------------------------------------ polygonize (r6)
+
+
+def _pg_brute(vals, diagonal=False, nodata=None):
+    """Union-find reference for equal-value connected labeling."""
+    h, w = vals.shape
+
+    def ok(r, c):
+        return not np.isnan(vals[r, c]) and (nodata is None or vals[r, c] != nodata)
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in range(h):
+        for c in range(w):
+            if ok(r, c):
+                parent[(r, c)] = (r, c)
+    shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if diagonal else [])
+    for r in range(h):
+        for c in range(w):
+            if not ok(r, c):
+                continue
+            for dr, dc in shifts:
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < h and 0 <= cc < w and ok(rr, cc) and (
+                    vals[rr, cc] == vals[r, c]
+                ):
+                    union((r, c), (rr, cc))
+    return {x: find(x) for x in parent}
+
+
+def test_polygonize_checkerboard_connectivity(spark):
+    from gregor_spark.operators.terrain import polygonize
+
+    vals = np.indices((6, 6)).sum(axis=0) % 2.0
+    df = raster_df(spark, _meta(6, 6), vals).select("row", "col", "value")
+    four = polygonize(df, diagonal=False).collect()
+    assert len({r["region"] for r in four}) == 36  # no equal 4-neighbors
+    eight = polygonize(df, diagonal=True).collect()
+    assert len({r["region"] for r in eight}) == 2  # two diagonal webs
+    for r in eight:  # canonical label decodes to the min cell per color
+        if r["value"] == 0.0:
+            assert (r["region_row"], r["region_col"]) == (0, 0)
+        else:
+            assert (r["region_row"], r["region_col"]) == (0, 1)
+
+
+def test_polygonize_separated_blobs_and_snake(spark):
+    from gregor_spark.operators.terrain import polygonize
+
+    vals = np.zeros((5, 7))
+    vals[0, 0] = vals[0, 1] = 1.0
+    vals[4, 5] = vals[4, 6] = 1.0  # same value, disconnected
+    # a snake of 2s through the zeros: high-diameter single region
+    for c in range(7):
+        vals[2, c] = 2.0
+    df = raster_df(spark, _meta(5, 7), vals).select("row", "col", "value")
+    got = {(r["row"], r["col"]): r["region"] for r in polygonize(df).collect()}
+    assert got[(0, 0)] == got[(0, 1)]
+    assert got[(4, 5)] == got[(4, 6)]
+    assert got[(0, 0)] != got[(4, 5)]  # equal value, separate components
+    snake = {got[(2, c)] for c in range(7)}
+    assert len(snake) == 1
+
+
+def test_polygonize_brute_parity_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.terrain import polygonize
+
+    n = 16
+    vals = np.array(
+        [
+            [
+                np.nan if (r * 7 + c * 13) % 23 == 0
+                else float(((r * 31 + c * 17) % 97) % 3)
+                for c in range(n)
+            ]
+            for r in range(n)
+        ]
+    )
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = (((F.col("row") * 31 + F.col("col") * 17) % 97) % 3).cast("double")
+    df = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    for diag in (False, True):
+        got = {
+            (r["row"], r["col"]): (r["region_row"], r["region_col"])
+            for r in polygonize(df, diagonal=diag).collect()
+        }
+        want = _pg_brute(vals, diagonal=diag)
+        assert got == {k: v for k, v in want.items()}
+    a = sorted(map(tuple, polygonize(df).collect()))
+    b = sorted(map(tuple, polygonize(df.repartition(11)).collect()))
+    assert a == b
+
+
+def test_zonal_crosstab_golden(spark):
+    from gregor_spark.operators.terrain import zonal_crosstab
+
+    zones = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 1.0]])
+    classes = np.array([[5.0, 6.0, 5.0], [5.0, 6.0, -1.0]])
+    zdf = raster_df(spark, _meta(2, 3), zones).select("row", "col", "value")
+    cdf = raster_df(spark, _meta(2, 3), classes).select("row", "col", "value")
+    got = {
+        (r["zone_value"], r["class_value"]): r["n_cells"]
+        for r in zonal_crosstab(zdf, cdf).collect()
+    }
+    assert got == {
+        (0.0, 5.0): 2, (0.0, 6.0): 1, (1.0, 5.0): 1,
+        (1.0, 6.0): 1, (1.0, -1.0): 1,
+    }
