@@ -505,23 +505,32 @@ def _bpe_encode(text_col: Column) -> Column:
     ).otherwise(F.lit(""))
 
 
-def _bpe_pairs(enc_name: str):
-    """Adjacent (left, right) token pairs of an encoded-doc column."""
-    enc = F.col(enc_name)
-    t = F.split(
-        F.expr(f"substring({enc_name}, 2, length({enc_name}) - 2)"), r"\)\("
-    )
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 2),
-        lambda i: F.struct(
-            F.element_at(t, i + 1).alias("left"),
-            F.element_at(t, i + 2).alias("right"),
-        ),
-    )
-    # guard on the TOKEN count: Spark's sequence(0, -1) is a DESCENDING
-    # [0, -1] (not empty), so a 1-token doc must never reach transform
-    return F.when((F.length(enc) > 1) & (F.size(t) >= 2), pairs).otherwise(
-        F.array().cast("array<struct<left:string,right:string>>")
+def _bpe_top_pair(enc_df: DataFrame):
+    """argmax adjacent (left, right) pair of the encoded corpus — one
+    explode + partial-agg count + TakeOrdered(1).  Pairs come from
+    ``arrays_zip(slice(t,1,n−1), slice(t,2,n−1))`` — all NATIVE codegen
+    expressions; the first cut used a higher-order ``transform`` +
+    ``element_at`` lambda, which Spark interprets row-by-row and which
+    measured >3× slower on the same corpus (the expression-PIP lesson
+    again: HOF lambdas never enter whole-stage codegen)."""
+    t = F.split(F.expr("substring(_enc, 2, length(_enc) - 2)"), r"\)\(")
+    base = enc_df.where(F.length("_enc") > 1).select(t.alias("t"))
+    return (
+        base.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("left"), F.col("p.1").alias("right"))
+        .groupBy("left", "right")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("left"), F.col("right"))
+        .limit(1)
+        .collect()
     )
 
 
@@ -565,14 +574,7 @@ def bpe_train(
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        top = (
-            enc.select(F.explode(_bpe_pairs("_enc")).alias("p"))
-            .groupBy("p.left", "p.right")
-            .count()
-            .orderBy(F.col("count").desc(), F.col("left"), F.col("right"))
-            .limit(1)
-            .collect()
-        )
+        top = _bpe_top_pair(enc)
         if not top:
             break
         l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
