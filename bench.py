@@ -113,6 +113,7 @@ HEADLINE = [
     "contours",            # r6: marching-squares isolines over the DEM
     "polygonize",          # r6: equal-value region labeling (two-star CC)
     "zonal_crosstab",      # r6: categorical zonal tabulation
+    "dsir_weights",        # r6: DSIR hashed-bigram importance weights
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -5071,6 +5071,53 @@ GROUP BY z.zone_value, g.value
 REGISTRY.update({"zonal_crosstab": (q_zonal_crosstab, _ZONAL_CROSSTAB_SQL)})
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document against the English
+    subcorpus as the target distribution (ops/text.py::dsir_weights —
+    hashed-bigram add-1 likelihood ratios, Xie et al. 2023; count
+    tables bounded at 4096 buckets regardless of corpus size, per-doc
+    sums over integer micro-log units so the aggregate is
+    order-independent).  The oracle replays the identical chain."""
+    from .ops.text import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+_DSIR_SQL = """
+WITH ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 256)),
+tf AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(md5(list_extract(t, k) || chr(31)
+              || list_extract(t, k + 1)), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM (SELECT string_split(text, ' ') AS t
+        FROM documents WHERE lang = 'en') x
+  CROSS JOIN ks WHERE k <= len(t) - 1),
+rf AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(list_extract(t, k) || chr(31)
+              || list_extract(t, k + 1)), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) x
+  CROSS JOIN ks WHERE k <= len(t) - 1),
+tc AS (SELECT bucket, count(*) AS ct FROM tf GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY bucket),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM tf),
+rt AS (SELECT CAST(count(*) AS DOUBLE) AS rt FROM rf)
+SELECT rf.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(CAST(floor(ln(
+           ((CAST(coalesce(tc.ct, 0) AS DOUBLE) + 1.0) / (tt.tt + 1.0 * 4096.0))
+         / ((CAST(coalesce(rc.cr, 0) AS DOUBLE) + 1.0) / (rt.rt + 1.0 * 4096.0))
+       ) * 1000000.0) AS BIGINT)) AS BIGINT) AS logw_u6
+FROM rf
+LEFT JOIN tc ON tc.bucket = rf.bucket
+LEFT JOIN rc ON rc.bucket = rf.bucket
+CROSS JOIN tt CROSS JOIN rt
+GROUP BY rf.doc_id
+"""
+
+
+REGISTRY.update({"dsir_weights": (q_dsir_weights, _DSIR_SQL)})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5699,6 +5746,10 @@ _WINDOW_TAIL = (
     "st_dbscan",   # rotated r6 (admitted zonal_crosstab); dbscan anchors
                    # the cluster_from_edges pipeline in-window, the ST time
                    # axis keeps its quadratic-parity suite in test_dbscan.py
+    "morans_i",    # rotated r6 (admitted dsir_weights); the queen-weights
+                   # spatial-stats pair (morans_i + getis_ord) is now fully
+                   # tail-goldened, with numpy brute parity in
+                   # test_spatial_stats.py
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

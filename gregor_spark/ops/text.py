@@ -621,3 +621,78 @@ def bpe_apply(
             .otherwise(F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text: str = "text",
+    n_buckets: int = 4096,
+    k_smooth: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_feats, logw_u6) — DSIR importance weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how target-like its
+    hashed n-gram profile is, log w(x) = Σ_f [ln p_target(f) −
+    ln p_raw(f)] over the doc's hashed bigram features with add-k
+    smoothing.  Selecting the top weights (or Gumbel-resampling on
+    them) is the standard pretraining-corpus targeting step — "find me
+    more data that looks like Wikipedia/code/math".
+
+    Features are md5-hashed bigram buckets (n_buckets-bounded), so BOTH
+    distribution estimates are fixed-size count tables no matter the
+    corpus size: one partial-agg groupBy each over target and raw, two
+    broadcast joins back onto the per-doc features, one per-doc sum.
+    The corpus is read once per distribution and once for scoring.
+
+    Determinism: per-feature log-ratios are quantized to integer
+    micro-units (floor(lr·10⁶)) BEFORE the per-doc sum, so the
+    aggregate is an order-independent integer sum — bit-identical at
+    any parallelism and SQL-replayable (the floor sits on one libm ln
+    of identically-computed rationals)."""
+    m = int(n_buckets)
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = F.split(F.col(text), " ")
+        pairs = F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("p.0"), F.lit("\x1f"), F.col("p.1"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.where(F.size(t) >= 2)
+            .select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", (h % F.lit(m)).alias("bucket"))
+        )
+
+    tf = feats(target)
+    rf = feats(docs)
+    tc = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rc = rf.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tt = tf.agg(F.count("*").cast("double").alias("tt"))
+    rt = rf.agg(F.count("*").cast("double").alias("rt"))
+    k = F.lit(float(k_smooth))
+    p_t = (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + k) / (
+        F.col("tt") + k * F.lit(float(m))
+    )
+    p_r = (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + k) / (
+        F.col("rt") + k * F.lit(float(m))
+    )
+    lr_u6 = F.floor(F.log(p_t / p_r) * F.lit(1000000.0)).cast("long")
+    return (
+        rf.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select("doc_id", lr_u6.alias("_lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("_lr").alias("logw_u6"),
+        )
+    )

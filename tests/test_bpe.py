@@ -111,3 +111,103 @@ def test_bpe_apply_counts_and_partition_invariance(spark):
     assert a == b
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(_docs(spark, texts), 0)
+
+
+# ----------------------------------------------------- DSIR weights (r6)
+
+
+def test_dsir_target_like_docs_rank_higher(spark):
+    from gregor_spark.ops.text import dsir_weights
+
+    target = _docs(spark, ["code code python def return"] * 4)
+    raw = spark.createDataFrame(
+        [
+            (0, "code code python def return"),      # exactly target-like
+            (1, "the cat sat on the mat quietly"),   # nothing like it
+            (2, "code python mixed the cat here"),   # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["logw_u6"] for r in dsir_weights(raw, target).collect()}
+    assert got[0] > got[2] > got[1]
+
+
+def test_dsir_counts_and_short_docs(spark):
+    from gregor_spark.ops.text import dsir_weights
+
+    target = _docs(spark, ["a b c"])
+    raw = spark.createDataFrame(
+        [(0, "a b c d"), (1, "one"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_feats"] for r in dsir_weights(raw, target).collect()}
+    # <2 tokens -> no bigram features -> no row (can't be scored)
+    assert out == {0: 3}
+
+
+def test_dsir_independent_reference_parity(spark):
+    import hashlib
+    import math
+
+    from gregor_spark.ops.text import dsir_weights
+
+    vocab = ["we", "the", "of", "data", "spark", "join"]
+    def mk(seed, n_docs, length):
+        return [
+            " ".join(
+                vocab[int(hashlib.md5(f"{seed}:{d}:{i}".encode()).hexdigest()[:4],
+                          16) % 6]
+                for i in range(length)
+            )
+            for d in range(n_docs)
+        ]
+
+    tgt_texts, raw_texts = mk("t", 6, 8), mk("r", 10, 9)
+    m, k = 64, 1.0
+
+    def bucket(prev, cur):
+        h = int(hashlib.md5(f"{prev}\x1f{cur}".encode()).hexdigest()[:15], 16)
+        return h % m
+
+    def counts(texts):
+        c = {}
+        tot = 0
+        for t in texts:
+            w = t.split()
+            for i in range(len(w) - 1):
+                b = bucket(w[i], w[i + 1])
+                c[b] = c.get(b, 0) + 1
+                tot += 1
+        return c, tot
+
+    tc, tt = counts(tgt_texts)
+    rc, rt = counts(raw_texts)
+    want = {}
+    for d, t in enumerate(raw_texts):
+        w = t.split()
+        s = 0
+        for i in range(len(w) - 1):
+            b = bucket(w[i], w[i + 1])
+            p_t = (tc.get(b, 0) + k) / (tt + k * m)
+            p_r = (rc.get(b, 0) + k) / (rt + k * m)
+            s += math.floor(math.log(p_t / p_r) * 1e6)
+        want[d] = s
+    got = {
+        r["doc_id"]: r["logw_u6"]
+        for r in dsir_weights(
+            _docs(spark, raw_texts), _docs(spark, tgt_texts), n_buckets=m
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dsir_partition_invariance(spark):
+    from gregor_spark.ops.text import dsir_weights
+
+    target = _docs(spark, ["x y z x y"] * 3)
+    raw = _docs(spark, [f"x y doc {i} z x" for i in range(40)])
+    a = sorted(map(tuple, dsir_weights(raw, target).collect()))
+    b = sorted(
+        map(tuple, dsir_weights(raw.repartition(11), target.repartition(7)).collect())
+    )
+    assert a == b

@@ -103,6 +103,7 @@ def _assert_oracle_match(spark, ddb, name):
         "slope_horn",      # rotated r6 (admitted contours)
         "warp_mercator",   # rotated r6 (admitted polygonize)
         "st_dbscan",       # rotated r6 (admitted zonal_crosstab)
+        "morans_i",        # rotated r6 (admitted dsir_weights)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
