@@ -114,6 +114,7 @@ HEADLINE = [
     "polygonize",          # r6: equal-value region labeling (two-star CC)
     "zonal_crosstab",      # r6: categorical zonal tabulation
     "dsir_weights",        # r6: DSIR hashed-bigram importance weights
+    "dsir_select",         # r6: Gumbel-top-k weighted resampling
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -5118,6 +5118,46 @@ GROUP BY rf.doc_id
 REGISTRY.update({"dsir_weights": (q_dsir_weights, _DSIR_SQL)})
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k resampling over the DSIR weights (ops/text.py::
+    dsir_select — Kool et al. 2019 weighted sampling without
+    replacement; portable md5 uniforms so membership is a pure function
+    of (salt, doc_id, weights); integer micro-keys with a doc_id
+    tiebreak make even quantization ties deterministic).  k=100 of the
+    500 sf0.01 docs; the oracle replays weights + keys + rank."""
+    from .ops.text import dsir_select, dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(docs, docs.where(F.col("lang") == "en"))
+    return dsir_select(w, k_docs=100)
+
+
+def _dsir_select_sql() -> str:
+    body = _DSIR_SQL.split("WITH ", 1)[1]
+    i = body.index("SELECT rf.doc_id")
+    ctes, final = body[:i].rstrip(), body[i:].rstrip()
+    return f"""
+WITH {ctes},
+w AS MATERIALIZED (
+{final}
+),
+keyed AS (
+  SELECT doc_id, n_feats, logw_u6,
+         CAST(floor((((CAST(logw_u6 AS DOUBLE) / 1000000.0) / 1.0)
+           + (- ln(- ln((CAST(CAST(('0x' || substr(md5('dsir'
+                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                + 0.5) / 1152921504606846976.0))))
+           * 1000000.0) AS BIGINT) AS gkey_u6
+  FROM w)
+SELECT doc_id, n_feats, logw_u6, gkey_u6,
+       row_number() OVER (ORDER BY gkey_u6 DESC, doc_id) <= 100 AS selected
+FROM keyed
+"""
+
+
+REGISTRY.update({"dsir_select": (q_dsir_select, _dsir_select_sql())})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5750,6 +5790,11 @@ _WINDOW_TAIL = (
                    # spatial-stats pair (morans_i + getis_ord) is now fully
                    # tail-goldened, with numpy brute parity in
                    # test_spatial_stats.py
+    "theta_sets",  # rotated r6 (admitted dsir_select); the sketch family
+                   # (hll/cms/bloom/theta) is now fully tail-goldened —
+                   # every sketch is integer-exact so the tail replay is
+                   # as strong as the driver row — with suites in
+                   # test_sketch.py + streaming twins
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

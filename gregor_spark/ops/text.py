@@ -696,3 +696,52 @@ def dsir_weights(
             F.sum("_lr").alias("logw_u6"),
         )
     )
+
+
+def dsir_select(
+    weights: DataFrame,
+    k_docs: int,
+    salt: str = "dsir",
+    tau: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_feats, logw_u6, gkey_u6, selected) — the resampling
+    half of DSIR: draw ``k_docs`` documents WITHOUT replacement with
+    probability ∝ exp(log w / τ) via the Gumbel-top-k trick (Kool et
+    al. 2019): key = log w/τ + Gumbel(0,1), take the k largest.  τ > 1
+    flattens toward uniform, τ → 0 approaches hard top-k by weight.
+
+    The Gumbel noise is the PORTABLE md5 uniform (u = (bucket+0.5)/2⁶⁰
+    from the first 60 bits of md5(salt‖doc_id)), so membership is a
+    pure function of (salt, doc_id, weights) — identical at any
+    parallelism, stable under appends of other docs' rows, and
+    SQL-replayable.  Keys are exported as integer micro-units
+    (floor(key·10⁶)); selection ranks on (gkey_u6 DESC, doc_id) so even
+    a quantization tie is deterministic.  One map-only key computation
+    + one WindowGroupLimit-style global rank — no shuffle of anything
+    but the (tiny) weights table."""
+    if k_docs < 1:
+        raise ValueError("k_docs must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    key = F.col("logw_u6").cast("double") / F.lit(1000000.0) / F.lit(
+        float(tau)
+    ) + gumbel
+    keyed = weights.select(
+        "doc_id",
+        "n_feats",
+        "logw_u6",
+        F.floor(key * F.lit(1000000.0)).cast("long").alias("gkey_u6"),
+    )
+    w = Window.orderBy(F.col("gkey_u6").desc(), F.col("doc_id"))
+    return keyed.select(
+        "*", (F.row_number().over(w) <= F.lit(int(k_docs))).alias("selected")
+    )

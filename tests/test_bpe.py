@@ -211,3 +211,38 @@ def test_dsir_partition_invariance(spark):
         map(tuple, dsir_weights(raw.repartition(11), target.repartition(7)).collect())
     )
     assert a == b
+
+
+def test_dsir_select_gumbel_topk(spark):
+    import math
+
+    from gregor_spark.ops.text import dsir_select
+
+    rows = [(i, 10, (i % 7) * 1_000_000) for i in range(50)]
+    wdf = spark.createDataFrame(rows, "doc_id long, n_feats long, logw_u6 long")
+    out = dsir_select(wdf, k_docs=10).collect()
+    sel = {r["doc_id"] for r in out if r["selected"]}
+    assert len(sel) == 10 and len(out) == 50
+    # independent replay of key construction for one row
+    import hashlib
+    r0 = next(r for r in out if r["doc_id"] == 0)
+    h = int(hashlib.md5(b"dsir0").hexdigest()[:15], 16)
+    u = (h + 0.5) / float(1 << 60)
+    want = math.floor((0.0 / 1.0 + -math.log(-math.log(u))) * 1e6)
+    assert r0["gkey_u6"] == want
+    # heavier weights dominate: mean weight of selected > rejected
+    wmap = {r["doc_id"]: r["logw_u6"] for r in out}
+    avg_sel = sum(wmap[d] for d in sel) / len(sel)
+    rest = [wmap[r["doc_id"]] for r in out if r["doc_id"] not in sel]
+    assert avg_sel > sum(rest) / len(rest)
+    # partition invariance + validation
+    a = sorted(map(tuple, dsir_select(wdf, 10).collect()))
+    b = sorted(map(tuple, dsir_select(wdf.repartition(9), 10).collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k_docs"):
+        dsir_select(wdf, 0)
+    # tau flattening: huge tau makes selection ~weight-blind (noise rules)
+    flat = {r["doc_id"] for r in dsir_select(wdf, 10, tau=1e9).collect()
+            if r["selected"]}
+    assert flat != sel

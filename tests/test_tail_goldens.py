@@ -104,6 +104,7 @@ def _assert_oracle_match(spark, ddb, name):
         "warp_mercator",   # rotated r6 (admitted polygonize)
         "st_dbscan",       # rotated r6 (admitted zonal_crosstab)
         "morans_i",        # rotated r6 (admitted dsir_weights)
+        "theta_sets",      # rotated r6 (admitted dsir_select)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
