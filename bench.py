@@ -115,6 +115,7 @@ HEADLINE = [
     "zonal_crosstab",      # r6: categorical zonal tabulation
     "dsir_weights",        # r6: DSIR hashed-bigram importance weights
     "dsir_select",         # r6: Gumbel-top-k weighted resampling
+    "aspect",              # r6: gdaldem aspect (downslope azimuth)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

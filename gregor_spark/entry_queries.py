@@ -5158,6 +5158,46 @@ FROM keyed
 REGISTRY.update({"dsir_select": (q_dsir_select, _dsir_select_sql())})
 
 
+def q_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downslope azimuth (gdaldem aspect) over the 64×64 DEM
+    (operators/terrain.py::aspect — Horn gradients → atan2 compass
+    angle, integer micro-degrees, NULL on incomplete windows and flat
+    cells).  Born-tail like coreness: the terrain family's fixed-DEM
+    in-window rows (flow_d8/flow_accum/viewshed/contours) already
+    anchor the shared plan; this row is tail-goldened."""
+    from .operators.terrain import aspect
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return aspect(cells, pixel=0.125)
+
+
+def _aspect_sql() -> str:
+    az = "(atan2(-dzdx, dzdy) * 57.29577951308232)"
+    azp = f"(CASE WHEN {az} < 0 THEN {az} + 360.0 ELSE {az} END)"
+    return f"""
+WITH s AS MATERIALIZED ({_SLOPE_SQL.strip()})
+SELECT row, col, n_nb,
+       CASE WHEN n_nb = 8 AND NOT (dzdx = 0 AND dzdy = 0)
+            THEN CAST(floor({azp} * 1000000.0) AS BIGINT) END AS aspect_u6
+FROM s
+"""
+
+
+REGISTRY.update({"aspect": (q_aspect, _aspect_sql())})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5795,6 +5835,9 @@ _WINDOW_TAIL = (
                    # every sketch is integer-exact so the tail replay is
                    # as strong as the driver row — with suites in
                    # test_sketch.py + streaming twins
+    "aspect",      # born-tail r6: gdaldem-aspect completion; the fixed-DEM
+                   # terrain rows (flow_d8/flow_accum/viewshed/contours)
+                   # anchor the shared Horn/focal plan in-window
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -869,3 +869,37 @@ def zonal_crosstab(
         .groupBy("zone_value", "class_value")
         .agg(F.count("*").alias("n_cells"))
     )
+
+
+def aspect(
+    cells: DataFrame,
+    pixel: float,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """(row, col, n_nb, aspect_u6) — downslope azimuth in integer
+    micro-degrees clockwise from north (``gdaldem aspect`` semantics on
+    the Horn gradients): the direction water leaves the cell.  East-
+    rising z = x → 270° (drains west); south-rising z = row → 0°
+    (drains north).  NULL where the 3×3 window is incomplete or the
+    surface is locally flat (GDAL's -9999 case).
+
+    Same single-Exchange plan as :func:`slope_gradients` plus map-side
+    arithmetic; the one libm call is atan2, exported as
+    floor(degrees·10⁶) (the micro-int convention — decimal round ties
+    differ across engines, floor of identical doubles cannot)."""
+    g = slope_gradients(cells, pixel, value=value, nodata=nodata)
+    east = -F.col("dzdx")   # downslope east component
+    north = F.col("dzdy")   # dzdy is south-positive: +dzdy drains north
+    az = F.atan2(east, north) * F.lit(57.29577951308232)
+    az = F.when(az < 0, az + F.lit(360.0)).otherwise(az)
+    flat = (F.col("dzdx") == 0) & (F.col("dzdy") == 0)
+    return g.select(
+        "row",
+        "col",
+        "n_nb",
+        F.when(
+            (F.col("n_nb") == 8) & (~flat),
+            F.floor(az * F.lit(1000000.0)).cast("long"),
+        ).alias("aspect_u6"),
+    )

@@ -105,6 +105,7 @@ def _assert_oracle_match(spark, ddb, name):
         "st_dbscan",       # rotated r6 (admitted zonal_crosstab)
         "morans_i",        # rotated r6 (admitted dsir_weights)
         "theta_sets",      # rotated r6 (admitted dsir_select)
+        "aspect",          # born-tail r6 (gdaldem-aspect completion)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

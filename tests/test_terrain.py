@@ -795,3 +795,50 @@ def test_zonal_crosstab_golden(spark):
         (0.0, 5.0): 2, (0.0, 6.0): 1, (1.0, 5.0): 1,
         (1.0, 6.0): 1, (1.0, -1.0): 1,
     }
+
+
+# ----------------------------------------------------------- aspect (r6)
+
+
+def test_aspect_analytic_planes(spark):
+    import math
+
+    from gregor_spark.operators.terrain import aspect
+
+    def az_of(vals):
+        df = raster_df(spark, _meta(6, 6), vals).select("row", "col", "value")
+        got = {(r["row"], r["col"]): r["aspect_u6"]
+               for r in aspect(df, pixel=1.0).collect()}
+        interior = {v for (r, c), v in got.items() if 1 <= r <= 4 and 1 <= c <= 4}
+        edge = [v for (r, c), v in got.items()
+                if not (1 <= r <= 4 and 1 <= c <= 4)]
+        assert all(v is None for v in edge)
+        assert len(interior) == 1
+        return interior.pop()
+
+    # z = x rises east -> drains west = 270 deg
+    assert az_of(np.array([[float(c) for c in range(6)]] * 6)) == 270_000_000
+    # z = row rises south -> drains north = 0 deg
+    assert az_of(np.array([[float(r)] * 6 for r in range(6)])) == 0
+    # z = -row rises north -> drains south = 180 deg
+    assert az_of(np.array([[-float(r)] * 6 for r in range(6)])) == 180_000_000
+    # z = x + row -> drains northwest = 315 deg
+    assert az_of(
+        np.array([[float(c + r) for c in range(6)] for r in range(6)])
+    ) == 315_000_000
+    # flat surface: NULL everywhere
+    df = raster_df(spark, _meta(6, 6), np.full((6, 6), 3.0)).select(
+        "row", "col", "value"
+    )
+    got = aspect(df, pixel=1.0).collect()
+    assert all(r["aspect_u6"] is None for r in got)
+
+
+def test_aspect_partition_invariance(spark):
+    from gregor_spark.operators.terrain import aspect
+
+    vals = np.arange(64, dtype=float).reshape(8, 8) % 9
+    df = raster_df(spark, _meta(8, 8), vals).select("row", "col", "value")
+    a = sorted(map(tuple, aspect(df, pixel=1.0).collect()))
+    b = sorted(map(tuple, aspect(df.repartition(13), pixel=1.0).collect()))
+    assert a == b
