@@ -116,6 +116,7 @@ HEADLINE = [
     "dsir_weights",        # r6: DSIR hashed-bigram importance weights
     "dsir_select",         # r6: Gumbel-top-k weighted resampling
     "aspect",              # r6: gdaldem aspect (downslope azimuth)
+    "focal_majority",      # r6: modal filter over classified rasters
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

@@ -5198,6 +5198,55 @@ FROM s
 REGISTRY.update({"aspect": (q_aspect, _aspect_sql())})
 
 
+def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal filter over the 5-class 64×64 grid
+    (operators/focal.py::focal_majority — GRASS r.neighbors mode /
+    ArcGIS FocalStatistics MAJORITY, lowest-category tie rule; the
+    salt-and-pepper cleanup for classified rasters).  Born-tail; the
+    focal explode shape is driver-anchored via the in-window terrain
+    rows."""
+    from .operators.focal import focal_majority
+
+    return focal_majority(_dem5_df(spark), size=3)
+
+
+_FOCAL_MAJORITY_SQL = f"""
+WITH g AS ({_DEM5}),
+offs AS (SELECT CAST(range AS INT) - 1 AS d FROM range(0, 3)),
+contrib AS (
+  SELECT g.row + a.d AS row, g.col + b.d AS col, g.value AS v
+  FROM g CROSS JOIN offs a CROSS JOIN offs b
+  WHERE g.value IS NOT NULL),
+pv AS MATERIALIZED (
+  SELECT row, col, v, count(*) AS n FROM contrib GROUP BY row, col, v),
+sums AS (
+  SELECT row, col, CAST(sum(n) AS BIGINT) AS n_valid,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM pv GROUP BY row, col),
+rk AS MATERIALIZED (
+  SELECT row, col, v, n,
+         row_number() OVER (PARTITION BY row, col ORDER BY n DESC, v ASC)
+           AS r_maj,
+         row_number() OVER (PARTITION BY row, col ORDER BY n ASC, v ASC)
+           AS r_min
+  FROM pv)
+SELECT b.row, b.col,
+       coalesce(s.n_valid, 0) AS n_valid,
+       coalesce(s.n_distinct, 0) AS n_distinct,
+       mj.v AS majority, CAST(mj.n AS BIGINT) AS majority_n,
+       mn.v AS minority, CAST(mn.n AS BIGINT) AS minority_n
+FROM (SELECT row, col FROM g) b
+LEFT JOIN sums s ON s.row = b.row AND s.col = b.col
+LEFT JOIN (SELECT * FROM rk WHERE r_maj = 1) mj
+  ON mj.row = b.row AND mj.col = b.col
+LEFT JOIN (SELECT * FROM rk WHERE r_min = 1) mn
+  ON mn.row = b.row AND mn.col = b.col
+"""
+
+
+REGISTRY.update({"focal_majority": (q_focal_majority, _FOCAL_MAJORITY_SQL)})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5838,6 +5887,8 @@ _WINDOW_TAIL = (
     "aspect",      # born-tail r6: gdaldem-aspect completion; the fixed-DEM
                    # terrain rows (flow_d8/flow_accum/viewshed/contours)
                    # anchor the shared Horn/focal plan in-window
+    "focal_majority",  # born-tail r6: modal filter; same focal explode
+                       # shape, lowest-category tie rule
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

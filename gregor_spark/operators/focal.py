@@ -86,3 +86,61 @@ def focal_stats(
         "f_min",
         "f_max",
     )
+
+
+def focal_majority(
+    cells: DataFrame,
+    size: int = 3,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """(row, col, n_valid, n_distinct, majority, majority_n, minority,
+    minority_n) — modal filter over the centered ``size``×``size``
+    window (GRASS ``r.neighbors method=mode`` / ArcGIS FocalStatistics
+    MAJORITY): the salt-and-pepper cleanup pass for classified rasters.
+    Ties break deterministically toward the SMALLEST value (GRASS's
+    lowest-category rule); minority is the symmetric least-frequent
+    value.  Every input cell gets a row; cells with no valid neighbors
+    get NULLs.
+
+    Shape: the same ×size² neighbor explode as :func:`focal_stats`,
+    then (target, value) partial-agg counts → one struct-max per
+    target — two bounded Exchanges at any raster size — and a left
+    join back onto the input keeps nodata cells present."""
+    if size < 1 or size % 2 == 0:
+        raise ValueError(f"size must be odd and positive, got {size}")
+    half = size // 2
+    v = F.col(value)
+    valid = v.isNotNull() if nodata is None else v.isNotNull() & (v != F.lit(nodata))
+
+    dr = F.explode(F.array(*[F.lit(i) for i in range(-half, half + 1)]))
+    dc = F.explode(F.array(*[F.lit(i) for i in range(-half, half + 1)]))
+    contrib = (
+        cells.where(valid)
+        .select("row", "col", v.alias("_v"))
+        .withColumn("_dr", dr)
+        .withColumn("_dc", dc)
+        .select(
+            (F.col("row") + F.col("_dr")).alias("row"),
+            (F.col("col") + F.col("_dc")).alias("col"),
+            F.col("_v"),
+        )
+    )
+    per_val = contrib.groupBy("row", "col", "_v").agg(F.count("*").alias("_n"))
+    agg = per_val.groupBy("row", "col").agg(
+        F.sum("_n").cast("long").alias("n_valid"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max(F.struct(F.col("_n"), (-F.col("_v")).alias("_nv"))).alias("_maj"),
+        F.min(F.struct(F.col("_n"), F.col("_v"))).alias("_mino"),
+    )
+    out = cells.select("row", "col").join(agg, ["row", "col"], "left")
+    return out.select(
+        "row",
+        "col",
+        F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        (-F.col("_maj._nv")).alias("majority"),
+        F.col("_maj._n").alias("majority_n"),
+        F.col("_mino._v").alias("minority"),
+        F.col("_mino._n").alias("minority_n"),
+    )

@@ -92,3 +92,82 @@ def test_focal_partition_invariance(spark):
     a = sorted(map(tuple, focal_stats(df, size=3).collect()))
     b = sorted(map(tuple, focal_stats(df.repartition(13), size=3).collect()))
     assert a == b  # integer-valued doubles: exact sums at any parallelism
+
+
+# ------------------------------------------------- focal majority (r6)
+
+
+def _fm_brute(vals, size, nodata=None):
+    h, w = vals.shape
+    half = size // 2
+    out = {}
+    for r in range(h):
+        for c in range(w):
+            cnt = {}
+            for dr in range(-half, half + 1):
+                for dc in range(-half, half + 1):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < h and 0 <= cc < w and not np.isnan(vals[rr, cc]) \
+                            and (nodata is None or vals[rr, cc] != nodata):
+                        cnt[vals[rr, cc]] = cnt.get(vals[rr, cc], 0) + 1
+            if not cnt:
+                out[(r, c)] = (0, 0, None, None, None, None)
+                continue
+            maj = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            mino = min(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+            out[(r, c)] = (sum(cnt.values()), len(cnt),
+                           maj[0], maj[1], mino[0], mino[1])
+    return out
+
+
+def test_focal_majority_golden_and_ties(spark):
+    from gregor_spark.operators.focal import focal_majority
+
+    # center window: four 1s, four 2s, one 3 -> tie 1 vs 2 -> SMALLEST (1)
+    vals = np.array([
+        [1.0, 2.0, 1.0],
+        [2.0, 3.0, 2.0],
+        [1.0, 2.0, 1.0],
+    ])
+    df = raster_df(spark, _meta(3, 3), vals).select("row", "col", "value")
+    got = {(r["row"], r["col"]): r for r in focal_majority(df, 3).collect()}
+    center = got[(1, 1)]
+    assert center["n_valid"] == 9 and center["n_distinct"] == 3
+    assert center["majority"] == 1.0 and center["majority_n"] == 4
+    assert center["minority"] == 3.0 and center["minority_n"] == 1
+    corner = got[(0, 0)]  # 2x2 window: 1,2,2,3 -> majority 2
+    assert corner["n_valid"] == 4 and corner["majority"] == 2.0
+
+
+def test_focal_majority_brute_parity_and_nodata(spark):
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.focal import focal_majority
+
+    n = 12
+    vals = np.array(
+        [[np.nan if (r * 7 + c * 13) % 23 == 0
+          else float(((r * 31 + c * 17) % 97) % 4)
+          for c in range(n)] for r in range(n)]
+    )
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = (((F.col("row") * 31 + F.col("col") * 17) % 97) % 4).cast("double")
+    df = g.select(
+        "row", "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val).alias("value"),
+    )
+    got = {(r["row"], r["col"]):
+           (r["n_valid"], r["n_distinct"], r["majority"], r["majority_n"],
+            r["minority"], r["minority_n"])
+           for r in focal_majority(df, 3).collect()}
+    assert got == _fm_brute(vals, 3)
+    a = sorted(map(tuple, focal_majority(df, 5).collect()))
+    b = sorted(map(tuple, focal_majority(df.repartition(9), 5).collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        focal_majority(df, 4)

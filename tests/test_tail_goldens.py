@@ -106,6 +106,7 @@ def _assert_oracle_match(spark, ddb, name):
         "morans_i",        # rotated r6 (admitted dsir_weights)
         "theta_sets",      # rotated r6 (admitted dsir_select)
         "aspect",          # born-tail r6 (gdaldem-aspect completion)
+        "focal_majority",  # born-tail r6 (modal filter)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
