@@ -117,6 +117,7 @@ HEADLINE = [
     "dsir_select",         # r6: Gumbel-top-k weighted resampling
     "aspect",              # r6: gdaldem aspect (downslope azimuth)
     "focal_majority",      # r6: modal filter over classified rasters
+    "cost_distance",       # r6: accumulated-cost rings (16 BF rounds)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))

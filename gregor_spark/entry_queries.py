@@ -5247,6 +5247,88 @@ LEFT JOIN (SELECT * FROM rk WHERE r_min = 1) mn
 REGISTRY.update({"focal_majority": (q_focal_majority, _FOCAL_MAJORITY_SQL)})
 
 
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated-cost distance from two seed cells over a 16×16
+    positive cost surface (operators/terrain.py::cost_distance —
+    ArcGIS CostDistance semantics on sssp_bounded's synchronous
+    Bellman-Ford; integer micro-cost weights floor((c_a+c_b)·K·10⁶)).
+    16 relaxation rounds; the oracle unrolls the same 16 rounds, so
+    both sides compute the identical ≤16-move optimum."""
+    from .operators.terrain import cost_distance
+
+    n = 16
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = (1 + ((F.col("row") * 31 + F.col("col") * 17) % 5)).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    src = spark.createDataFrame([(3, 2), (12, 14)], "row int, col int")
+    return cost_distance(cells, src, max_rounds=16)
+
+
+def _cost_round(i: int) -> str:
+    big = 1 << 62
+    return f"""cd{i}_r AS MATERIALIZED (
+  SELECT de.v AS id, min(s.dist + de.w) AS nd
+  FROM cdir de JOIN cd{i - 1} s ON de.u = s.id AND s.dist IS NOT NULL
+  GROUP BY de.v),
+cd{i} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN least(coalesce(s.dist, {big}), coalesce(r.nd, {big}))
+                   < {big}
+              THEN least(coalesce(s.dist, {big}), coalesce(r.nd, {big})) END
+           AS dist
+  FROM cd{i - 1} s LEFT JOIN cd{i}_r r ON s.id = r.id)"""
+
+
+def _cost_distance_sql(rounds: int = 16) -> str:
+    shifts = [
+        (0, 1, "500000.0"), (1, 0, "500000.0"),
+        (1, 1, "707106.7811865476"), (1, -1, "707106.7811865476"),
+    ]
+    edge_parts = "\n  UNION ALL\n".join(
+        f"""  SELECT a.kk AS u, b.kk AS v,
+         CAST(floor((a.value + b.value) * {k}) AS BIGINT) AS w
+  FROM cv a JOIN cv b ON b.row = a.row + {dr} AND b.col = a.col + {dc}"""
+        for dr, dc, k in shifts
+    )
+    round_ctes = ",\n".join(_cost_round(i) for i in range(1, rounds + 1))
+    return f"""
+WITH cg AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST(1 + ((row * 31 + col * 17) % 5) AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 16) AS INT) AS row,
+               CAST(range % 16 AS INT) AS col
+        FROM range(256))),
+cv AS MATERIALIZED (
+  SELECT row, col, value, row * 4294967296 + col AS kk
+  FROM cg WHERE value IS NOT NULL),
+ce AS MATERIALIZED (
+{edge_parts}),
+cdir AS MATERIALIZED (
+  SELECT u, v, w FROM ce UNION ALL SELECT v AS u, u AS v, w FROM ce),
+cd0 AS MATERIALIZED (
+  SELECT kk AS id,
+         CASE WHEN (row = 3 AND col = 2) OR (row = 12 AND col = 14)
+              THEN CAST(0 AS BIGINT) END AS dist
+  FROM cv),
+{round_ctes}
+SELECT cv.row, cv.col, CAST(d.dist AS BIGINT) AS cost_u6
+FROM cv JOIN cd{rounds} d ON cv.kk = d.id
+"""
+
+
+REGISTRY.update({"cost_distance": (q_cost_distance, _cost_distance_sql())})
+
+
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the doc ε-graph with their in-core degree
     (ops/graph.py::kcore_nodes — bulk synchronous peel, one semi-join +
@@ -5889,6 +5971,8 @@ _WINDOW_TAIL = (
                    # anchor the shared Horn/focal plan in-window
     "focal_majority",  # born-tail r6: modal filter; same focal explode
                        # shape, lowest-category tie rule
+    "cost_distance",   # born-tail r6: accumulated-cost rings on
+                       # sssp_bounded (driver-anchored via sssp_km)
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -107,6 +107,7 @@ def _assert_oracle_match(spark, ddb, name):
         "theta_sets",      # rotated r6 (admitted dsir_select)
         "aspect",          # born-tail r6 (gdaldem-aspect completion)
         "focal_majority",  # born-tail r6 (modal filter)
+        "cost_distance",   # born-tail r6 (accumulated-cost rings)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

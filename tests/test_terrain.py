@@ -842,3 +842,97 @@ def test_aspect_partition_invariance(spark):
     a = sorted(map(tuple, aspect(df, pixel=1.0).collect()))
     b = sorted(map(tuple, aspect(df.repartition(13), pixel=1.0).collect()))
     assert a == b
+
+
+# -------------------------------------------------- cost distance (r6)
+
+
+def _cd_brute(vals, sources, nodata=None):
+    """Dijkstra reference over the micro-cost edge rule."""
+    import heapq
+    import math as _math
+
+    h, w = vals.shape
+
+    def ok(r, c):
+        return (0 <= r < h and 0 <= c < w and not np.isnan(vals[r, c])
+                and (nodata is None or vals[r, c] != nodata))
+
+    dist = {}
+    pq = [(0, s) for s in sources if ok(*s)]
+    heapq.heapify(pq)
+    best = {s: 0 for s in sources if ok(*s)}
+    while pq:
+        d, (r, c) = heapq.heappop(pq)
+        if best.get((r, c), 1 << 62) < d:
+            continue
+        dist[(r, c)] = d
+        for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                       (1, 1), (1, -1), (-1, 1), (-1, -1)):
+            rr, cc = r + dr, c + dc
+            if not ok(rr, cc):
+                continue
+            k = 500000.0 if dr == 0 or dc == 0 else 707106.7811865476
+            nd = d + _math.floor((vals[r, c] + vals[rr, cc]) * k)
+            if nd < best.get((rr, cc), 1 << 62):
+                best[(rr, cc)] = nd
+                heapq.heappush(pq, (nd, (rr, cc)))
+    return best
+
+
+def test_cost_distance_uniform_and_barrier(spark):
+    from gregor_spark.operators.terrain import cost_distance
+
+    vals = np.ones((5, 7))
+    vals[:4, 3] = 1000.0  # a costly wall with a gap at the bottom
+    df = raster_df(spark, _meta(5, 7), vals).select("row", "col", "value")
+    src = spark.createDataFrame([(0, 0)], "row int, col int")
+    got = {(r["row"], r["col"]): r["cost_u6"]
+           for r in cost_distance(df, src, max_rounds=20).collect()}
+    assert got[(0, 0)] == 0
+    assert got[(0, 1)] == 1_000_000            # one cardinal step, cost 1+1 halves
+    assert got[(1, 1)] == 1_414_213            # one diagonal step
+    # the wall forces the path to the gap: cost to (0, 4) far exceeds
+    # the 4-step straight-line it would cost without the wall
+    assert got[(0, 4)] > 4_000_000
+    want = _cd_brute(vals, [(0, 0)])
+    assert got == want  # 20 rounds >= every optimal path length here
+
+
+def test_cost_distance_multi_source_nodata_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.terrain import cost_distance
+
+    n = 10
+    vals = np.array(
+        [[np.nan if (r * 7 + c * 13) % 23 == 0
+          else float(1 + ((r * 31 + c * 17) % 5))
+          for c in range(n)] for r in range(n)]
+    )
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = (1 + ((F.col("row") * 31 + F.col("col") * 17) % 5)).cast("double")
+    df = g.select(
+        "row", "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val).alias("value"),
+    )
+    src = spark.createDataFrame([(0, 1), (9, 9)], "row int, col int")
+    got = {(r["row"], r["col"]): r["cost_u6"]
+           for r in cost_distance(df, src, max_rounds=30).collect()}
+    want = _cd_brute(vals, [(0, 1), (9, 9)])
+    # brute returns only reached cells; engine returns NULL for others
+    assert {k: v for k, v in got.items() if v is not None} == want
+    assert all((r, c) not in got for (r, c) in [(0, 0)] if np.isnan(vals[r, c]))
+    a = sorted(map(tuple, cost_distance(df, src, max_rounds=30).collect()))
+    b = sorted(map(tuple,
+                   cost_distance(df.repartition(9), src, max_rounds=30).collect()))
+    assert a == b
+    import pytest as _pt
+    flat = raster_df(spark, _meta(2, 2), np.zeros((2, 2))).select(
+        "row", "col", "value")
+    with _pt.raises(ValueError, match="positive"):
+        cost_distance(flat, src, max_rounds=2)
