@@ -5971,8 +5971,12 @@ _WINDOW_TAIL = (
                    # anchor the shared Horn/focal plan in-window
     "focal_majority",  # born-tail r6: modal filter; same focal explode
                        # shape, lowest-category tie rule
-    "cost_distance",   # born-tail r6: accumulated-cost rings on
-                       # sssp_bounded (driver-anchored via sssp_km)
+    "frechet_sim",     # rotated r7 (admitted cost_distance — oracle-backed,
+                       # 16-round unrolled SQL — so the driver window reads
+                       # 50/50 hash-exact). frechet_sim is rows-only by
+                       # design (data-dependent DP, no SQL oracle); its
+                       # correctness lives in test_trajectory.py parity vs
+                       # an independent recursive reference
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -493,11 +493,14 @@ def flow_accumulation(
         )
 
     sfx = state.select("aid", F.col("acc").alias("_sfx"))
+    # integer shift, NOT `/ 2` + cast: Spark `/` on longs is double
+    # division, which silently corrupts arc ids >= 2^53 (grids past
+    # ~2^21 rows) — shiftright keeps the id exact at any scale
     d_s = sfx.select(
-        (F.col("aid") / F.lit(2)).cast("long").alias("id"), F.col("_sfx").alias("_sd")
+        F.shiftright(F.col("aid"), 1).alias("id"), F.col("_sfx").alias("_sd")
     ).where(F.col("aid") % 2 == 0)
     u_s = sfx.select(
-        (F.col("aid") / F.lit(2)).cast("long").alias("id"), F.col("_sfx").alias("_su")
+        F.shiftright(F.col("aid"), 1).alias("id"), F.col("_sfx").alias("_su")
     ).where(F.col("aid") % 2 == 1)
     out = base.join(d_s, base["_k"] == d_s["id"]).drop("id").join(
         u_s, base["_k"] == u_s["id"]

@@ -129,7 +129,7 @@ def robust_outliers(
     by: list[str] | None = None,
     k: float = 3.5,
 ) -> DataFrame:
-    """(*by, <original columns>, med_r, mad_r, z_r, outlier) — robust
+    """(*by, <original columns>, med_r, mad_r, z_u6, outlier) — robust
     per-group outlier flags via the modified z-score (Iglewicz &
     Hoaglin 1993): z = 0.6745·(x − median) / MAD, MAD the median
     absolute deviation; |z| > k flags.  The curation shape for length/

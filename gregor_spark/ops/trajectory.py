@@ -451,7 +451,7 @@ def track_similarity(
     lat: str = "lat",
     a: str = "user_a",
     b: str = "user_b",
-    max_len: int = 100_000,
+    max_len: int = 8_000,
 ) -> DataFrame:
     """(a, b, n_a, n_b, dist_km) — trajectory similarity between the
     CANDIDATE entity pairs in ``pairs``: discrete Fréchet distance

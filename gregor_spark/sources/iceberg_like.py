@@ -817,6 +817,12 @@ def merge_table(
     if not m.get("snapshots"):
         raise ValueError("table has no snapshot history (pre-v2 manifest)")
     spec = m["partition_spec"]
+    # pin the source before planning: it is referenced several times
+    # (dup check, semi-joins, the rewrite, the summary counts) — a
+    # non-deterministic source re-evaluated per reference would make the
+    # written rows and the summary disagree
+    source = source.localCheckpoint()
+    n_src = source.count()
     dup = source.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("MERGE source has duplicate keys")
@@ -839,11 +845,18 @@ def merge_table(
     ]
     replaced = {_uri_to_rel(u, path) for u in hit_uris}
     n_updated = 0
+    n_matched_keys = 0
     if hit_uris:
         old_hit = spark.read.option("basePath", path).parquet(
             *[os.path.join(path, r) for r in sorted(replaced)]
         )
         n_updated = old_hit.join(src.select(key), key, "left_semi").count()
+        # matched SOURCE keys, not matched old rows: if the existing
+        # table holds duplicate rows per key, old-row counts overshoot
+        # and rows_inserted would be undercounted (or negative)
+        n_matched_keys = (
+            src.select(key).join(old_hit.select(key), key, "left_semi").count()
+        )
         kept_old = old_hit.join(src.select(key), key, "left_anti")
         out = kept_old.unionByName(src.select(*kept_old.columns))
     else:
@@ -851,7 +864,7 @@ def merge_table(
         out = src.select(*probe.columns)
     summary = _cow_commit(spark, path, m, replaced, out, "merge")
     summary["rows_updated"] = n_updated
-    summary["rows_inserted"] = source.count() - n_updated
+    summary["rows_inserted"] = n_src - n_matched_keys
     return summary
 
 

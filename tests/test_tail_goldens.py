@@ -107,7 +107,9 @@ def _assert_oracle_match(spark, ddb, name):
         "theta_sets",      # rotated r6 (admitted dsir_select)
         "aspect",          # born-tail r6 (gdaldem-aspect completion)
         "focal_majority",  # born-tail r6 (modal filter)
-        "cost_distance",   # born-tail r6 (accumulated-cost rings)
+        # cost_distance: promoted to the driver window r7 (displaced
+        # frechet_sim, which is rows-only/no-oracle — its tail coverage is
+        # the DP parity suite in test_trajectory.py, not a SQL golden)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
@@ -116,3 +118,24 @@ def test_rotated_query_matches_oracle(spark, ddb, name):
     if name not in REGISTRY:
         pytest.skip(f"{name} not registered")
     _assert_oracle_match(spark, ddb, name)
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_oracle_series_caps_cover_corpus(ddb, sf):
+    """The dedup_substrings/BPE/DSIR DuckDB oracles unroll per-doc token
+    positions with constant series (generate_series(0,199) /
+    range(1,256)).  Those caps are only valid while every fixture doc
+    stays under them — a longer doc would make the oracle silently
+    diverge from the engine and surface as a confusing false mismatch.
+    Guard the invariant here (documents.parquet max is 99 tokens)."""
+    p = f"/root/testdata/sf{sf}/documents.parquet"
+    if not os.path.exists(p):
+        pytest.skip(f"no fixture at sf{sf}")
+    (mx,) = duckdb.sql(
+        f"SELECT max(len(string_split(text, ' '))) FROM '{p}'"
+    ).fetchone()
+    assert mx <= 200, (
+        f"sf{sf} corpus max token count {mx} exceeds the oracle series "
+        "caps (generate_series(0,199)/range(1,256) in entry_queries) — "
+        "raise the caps before trusting those oracle rows"
+    )
