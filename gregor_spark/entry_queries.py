@@ -1870,6 +1870,78 @@ REGISTRY.update(
 )
 
 
+def q_reproject_lambert93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 parametrized-CRS-registry row (toward the reference's any-EPSG
+    surface, reference disaggregate.py:44): per-doc lon/lat in a France
+    box reprojected EPSG:4326 -> EPSG:2154 (RGF93 / Lambert-93, the
+    French national grid — an LCC-2SP built from its EPSG parameter row
+    in geo/crs.py::_CRS_TABLE rather than hand-coded constants).  The
+    oracle replays Snyder's LCC forward (USGS PP 1395 eqs. 14-15,
+    15-1..15-11) in plain SQL; both sides floor to decimeters."""
+    from .geo.crs import reproject_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("doc_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003)
+    pts = docs.select(
+        "doc_id",
+        (F.lit(-4.5) + F.lit(12.5) * (m1 / F.lit(100003.0))).alias("x"),
+        (F.lit(42.0) + F.lit(9.0) * (m2 / F.lit(100003.0))).alias("y"),
+    )
+    out = reproject_df(pts, "EPSG:4326", "EPSG:2154")
+    return out.select(
+        "doc_id",
+        F.floor(F.col("x") * 10).cast("long").alias("e_dm"),
+        F.floor(F.col("y") * 10).cast("long").alias("n_dm"),
+    )
+
+
+_REPROJECT_LAMBERT93_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         -4.5 + 12.5 * (((doc_id * 1103515245 + 12345) % 100003) / 100003.0) AS lon,
+         42.0 + 9.0 * (((doc_id * 69069 + 54321) % 100003) / 100003.0) AS lat
+  FROM documents
+),
+ell AS (  -- GRS80
+  SELECT 6378137.0 AS a,
+         sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e
+),
+-- Snyder m (14-15) and t (15-9) at the standard parallels 49N/44N and lat0 46.5N
+k0 AS (
+  SELECT a, e,
+    cos(radians(49.0))/sqrt(1.0 - e*e*sin(radians(49.0))*sin(radians(49.0))) AS m1,
+    cos(radians(44.0))/sqrt(1.0 - e*e*sin(radians(44.0))*sin(radians(44.0))) AS m2,
+    tan(pi()/4.0 - radians(49.0)/2.0)
+      / pow((1.0 - e*sin(radians(49.0)))/(1.0 + e*sin(radians(49.0))), e/2.0) AS t1,
+    tan(pi()/4.0 - radians(44.0)/2.0)
+      / pow((1.0 - e*sin(radians(44.0)))/(1.0 + e*sin(radians(44.0))), e/2.0) AS t2,
+    tan(pi()/4.0 - radians(46.5)/2.0)
+      / pow((1.0 - e*sin(radians(46.5)))/(1.0 + e*sin(radians(46.5))), e/2.0) AS t0
+  FROM ell
+),
+k AS (SELECT a, e, t0, t1, m1, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM k0),
+kk AS (SELECT a, e, t0, n, m1/(n * pow(t1, n)) AS fc FROM k),
+kkk AS (SELECT a, e, n, fc, a * fc * pow(t0, n) AS rho0 FROM kk),
+s AS (
+  SELECT p.doc_id, kkk.n * radians(p.lon - 3.0) AS theta, kkk.rho0,
+         kkk.a * kkk.fc * pow(
+           tan(pi()/4.0 - radians(p.lat)/2.0)
+             / pow((1.0 - e*sin(radians(p.lat)))/(1.0 + e*sin(radians(p.lat))), e/2.0),
+           kkk.n) AS rho
+  FROM p CROSS JOIN kkk
+)
+SELECT doc_id,
+       CAST(floor((700000.0 + rho * sin(theta)) * 10) AS BIGINT) AS e_dm,
+       CAST(floor((6600000.0 + rho0 - rho * cos(theta)) * 10) AS BIGINT) AS n_dm
+FROM s
+"""
+
+REGISTRY.update(
+    {"reproject_lambert93": (q_reproject_lambert93, _REPROJECT_LAMBERT93_SQL)}
+)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 as-of join: each purchase matched to the user's latest
     view at-or-before it (backward inclusive).  Engine = union-tag + one
@@ -5977,6 +6049,11 @@ _WINDOW_TAIL = (
                        # design (data-dependent DP, no SQL oracle); its
                        # correctness lives in test_trajectory.py parity vs
                        # an independent recursive reference
+    "reproject_lambert93",  # born-tail r7: LCC-2SP through the parametrized
+                            # per-EPSG registry (geo/crs.py::_CRS_TABLE); the
+                            # CRS kernels stay in-window via reproject_laea/
+                            # _albers; full Snyder-forward SQL oracle +
+                            # test_crs_general.py registry coverage
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

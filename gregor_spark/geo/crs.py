@@ -1,36 +1,39 @@
-"""CRS handling — pure-numpy reprojection kernels.
+"""CRS handling — pure-numpy reprojection kernels over a parametrized
+per-EPSG registry.
 
 The reference reprojects via geopandas/rioxarray (pyproj under the hood)
 whenever data and proxy CRS disagree, printing a warning
 (disaggregate.py:40-44, 177-181; aggregate.py:45,59,66,86; raster.py:56).
-pyproj is not in this environment, so the engine implements the
-transforms it needs directly (public formulas):
+pyproj is not in this environment, so the engine implements the transforms
+directly (public formulas) — and, mirroring pyproj's breadth, each
+projection FAMILY is a parametrized builder fed from a table of per-EPSG
+parameter rows (ellipsoid, origin, standard parallels, false easting/
+northing), so adding a national grid is one table line, not new math:
 
-* EPSG:4326        — WGS84 lon/lat (the identity reference frame here)
-* EPSG:3857        — WebMercator (spherical; the standard tiling CRS)
-* EPSG:326xx/327xx — UTM zone xx north/south (WGS84 ellipsoid,
-                     transverse Mercator via the 6th-order Krüger series
-                     — the same series proj uses; sub-micron roundtrip
-                     inside a zone).  Also accepts "UTM:33N" spelling.
-* EPSG:3035        — ETRS89-extended / LAEA Europe (the reference's EU
-                     energy-domain CRS): ellipsoidal Lambert azimuthal
-                     equal-area per Snyder (Map Projections — A Working
-                     Manual, USGS PP 1395, pp. 187-190), GRS80 ellipsoid,
-                     origin 52°N 10°E, FE 4321000, FN 3210000.
-* EPSG:3034        — ETRS89-extended / LCC Europe: ellipsoidal Lambert
-                     conformal conic, 2 standard parallels (35°N/65°N)
-                     per Snyder PP 1395 pp. 107-109, GRS80, origin
-                     52°N 10°E, FE 4000000, FN 2800000 — the conic
-                     member of the projection families (cylindrical /
-                     azimuthal / conic all covered).
-* EPSG:4258        — ETRS89 lon/lat, treated as coincident with WGS84
-                     (datum delta is epoch-dependent and sub-metre).
-* EPSG:258xx       — ETRS89 / UTM zone xx north (GRS80), zones 28-38 —
-                     the EU national grids (e.g. 25832 for Germany).
+* cylindrical   — WebMercator (EPSG:3857, spherical), transverse Mercator
+                  (6th-order Krüger series: UTM zones 326xx/327xx WGS84,
+                  258xx ETRS89, 269xx NAD83, plus national TM grids —
+                  NZTM 2193, Korea 5179, TM35FIN 3067, JGD2011 6677),
+                  cylindrical equal-area (EASE-Grid 2.0 global 6933)
+* conic         — Lambert conformal conic 2SP (Snyder PP 1395 pp. 107-109:
+                  Europe 3034, Lambert-93 2154, StatCan 3347, Germany 5243,
+                  Austria 3416, GA Lambert 3112, NY Long Island 32118) and
+                  Albers equal-area 2SP (pp. 101-102: CONUS 5070,
+                  California 3310, Australian 3577)
+* azimuthal     — Lambert azimuthal equal-area, oblique + polar aspects
+                  (pp. 187-190: Europe 3035, North Pole LAEA 3573/3575,
+                  EASE-Grid 2.0 N/S 6931/6932) and polar stereographic,
+                  variants B (lat_ts: NSIDC 3413, Arctic 3995, Antarctic
+                  3031) and A (k0: UPS 32661/32761)
+* geographic    — EPSG:4326 (WGS84) and EPSG:4258 (ETRS89, treated as
+                  coincident; datum delta is epoch-dependent sub-metre).
+                  NAD83/GDA94/NZGD2000-family datums are likewise treated
+                  as WGS84-coincident — the same practical convention
+                  pyproj defaults to without datum grids.
 
 Any pair among these routes through lon/lat (src inverse → dst forward).
-Everything is vectorized numpy, exposed both driver-side (ZoneSet) and
-as an Arrow-batched pandas UDF for fact tables.  Unknown CRS pairs raise
+Everything is vectorized numpy, exposed both driver-side (ZoneSet) and as
+an Arrow-batched pandas UDF for fact tables.  Unknown CRS pairs raise
 rather than silently pass through.
 """
 
@@ -49,6 +52,8 @@ _WGS84_F = 1.0 / 298.257223563
 _GRS80_A = 6378137.0
 _GRS80_F = 1.0 / 298.257222101
 
+_ELLPS = {"WGS84": (_WGS84_A, _WGS84_F), "GRS80": (_GRS80_A, _GRS80_F)}
+
 
 def _wgs84_to_webmercator(x: np.ndarray, y: np.ndarray):
     lon = np.asarray(x, dtype=np.float64)
@@ -64,6 +69,68 @@ def _webmercator_to_wgs84(x: np.ndarray, y: np.ndarray):
     lon = np.degrees(mx / R)
     lat = np.degrees(2.0 * np.arctan(np.exp(my / R)) - np.pi / 2.0)
     return lon, lat
+
+
+# --------------------------------------------------------------------------
+# Shared Snyder helper functions (USGS PP 1395), parametrized on e.
+# --------------------------------------------------------------------------
+
+
+def _auth_q(sphi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 3-12 — the authalic q(φ) used by every equal-area family."""
+    return (1.0 - e * e) * (
+        sphi / (1.0 - (e * sphi) ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+def _conf_t(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 15-9 — the conformal t(φ) used by LCC and polar stereo."""
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * sphi) / (1.0 + e * sphi)
+    ) ** (e / 2.0)
+
+
+def _snyder_m(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 14-15 — m(φ) = cos φ / sqrt(1 − e² sin² φ)."""
+    return np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+
+
+def _invert_q(q: np.ndarray, e: float) -> np.ndarray:
+    """Newton-invert q(φ) (Snyder 3-16); dq/dφ from eq. 3-12's derivative.
+
+    Seeded with Snyder's authalic-latitude series (eq. 3-18): near the
+    poles dq/dφ → 0 (q is quadratic in φ−±90°), so Newton from a crude
+    guess converges only linearly at rate ½ there — the series guess is
+    already ~e⁸ accurate everywhere and the Newton rounds polish it."""
+    qp = float(_auth_q(np.array(1.0), e))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta
+        + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * np.sin(2.0 * beta)
+        + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+        + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta)
+    )
+    for _ in range(10):
+        sphi = np.sin(phi)
+        f = _auth_q(sphi, e) - q
+        df = (1.0 - e * e) * np.cos(phi) * 2.0 / (1.0 - (e * sphi) ** 2) ** 2
+        phi = phi - np.where(df == 0, 0.0, f / np.where(df == 0, 1.0, df))
+    return phi
+
+
+def _invert_t(t: np.ndarray, e: float) -> np.ndarray:
+    """Invert t(φ) by fixed point (Snyder eq. 7-9): converges in ~5 iters."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(10):
+        sphi = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
+        )
+    return phi
 
 
 # --------------------------------------------------------------------------
@@ -186,242 +253,375 @@ def _utm_inverse(zone: int, south: bool, consts=_TM_WGS84):
 
 
 # --------------------------------------------------------------------------
-# Lambert azimuthal equal-area (ellipsoidal, oblique aspect) — Snyder,
-# USGS PP 1395 eqs. 3-12, 24-2..24-14, 3-16/3-18.  EPSG:3035 parameters.
+# Parametrized projection builders.  Each takes an EPSG parameter row and
+# returns (forward lon/lat → E/N, inverse E/N → lon/lat) numpy closures
+# with every projection constant hoisted out of the per-point path.
 # --------------------------------------------------------------------------
 
-_LAEA_E = np.sqrt(_GRS80_F * (2.0 - _GRS80_F))
-_LAEA_LAT0 = np.radians(52.0)
-_LAEA_LON0 = 10.0
-_LAEA_FE = 4_321_000.0
-_LAEA_FN = 3_210_000.0
+
+def _make_tm(ellps: str, lat0: float, lon0: float, k0: float, fe: float, fn: float):
+    """General transverse Mercator (national TM grids: non-equator origin,
+    arbitrary k0) on the same Krüger series as UTM.  The false northing
+    applies at lat0, so the series' northing-from-equator is rebased by
+    the meridian arc to lat0 (ny0)."""
+    consts = _tm_constants(*_ELLPS[ellps])
+    ny0 = float(_tm_forward(np.array(lon0), np.array(lat0), lon0, consts)[1])
+
+    def fwd(lon, lat):
+        ex, ny = _tm_forward(lon, lat, lon0, consts)
+        return fe + k0 * ex, fn + k0 * (ny - ny0)
+
+    def inv(E, N):
+        ex = (np.asarray(E, dtype=np.float64) - fe) / k0
+        ny = (np.asarray(N, dtype=np.float64) - fn) / k0 + ny0
+        return _tm_inverse(ex, ny, lon0, consts)
+
+    return fwd, inv
 
 
-def _laea_q(sphi: np.ndarray) -> np.ndarray:
-    e = _LAEA_E
-    return (1.0 - e * e) * (
-        sphi / (1.0 - (e * sphi) ** 2)
-        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+def _make_laea(ellps: str, lat0: float, lon0: float, fe: float, fn: float):
+    """Lambert azimuthal equal-area, ellipsoidal — Snyder PP 1395
+    pp. 187-190: oblique aspect (eqs. 24-2..24-14, 3-16/3-18) for
+    |lat0| < 90, polar aspect (eqs. 24-23..24-31) at the poles, where the
+    oblique D = a·m1/(Rq·cos β1) degenerates to 0/0."""
+    a, f = _ELLPS[ellps]
+    e = np.sqrt(f * (2.0 - f))
+    qp = float(_auth_q(np.array(1.0), e))
+
+    if lat0 >= 90.0 or lat0 <= -90.0:
+        # South aspect runs the north formulas on the mirrored latitude
+        # (q is odd), flipping the northing axis — this keeps the pole
+        # EXACT (qp − q(+1) is identically 0; qp + q(−1) is not, because
+        # log(x) and −log(1/x) round differently).
+        north = lat0 > 0
+
+        def fwd(lon, lat):
+            lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+            phi = np.radians(np.asarray(lat, dtype=np.float64))
+            q = _auth_q(np.sin(phi if north else -phi), e)
+            rho = a * np.sqrt(np.maximum(qp - q, 0.0))
+            if north:
+                return fe + rho * np.sin(lam), fn - rho * np.cos(lam)
+            return fe + rho * np.sin(lam), fn + rho * np.cos(lam)
+
+        def inv(E, N):
+            x = np.asarray(E, dtype=np.float64) - fe
+            y = np.asarray(N, dtype=np.float64) - fn
+            rho = np.sqrt(x * x + y * y)
+            q = qp - (rho / a) ** 2
+            lam = np.where(
+                rho == 0, 0.0, np.arctan2(x, -y) if north else np.arctan2(x, y)
+            )
+            phi = _invert_q(np.clip(q, -qp, qp), e)
+            if not north:
+                phi = -phi
+            return np.degrees(lam) + lon0, np.degrees(phi)
+
+        return fwd, inv
+
+    phi0 = np.radians(lat0)
+    rq = a * np.sqrt(qp / 2.0)
+    beta1 = np.arcsin(float(_auth_q(np.sin(phi0), e)) / qp)
+    m1 = np.cos(phi0) / np.sqrt(1.0 - (e * np.sin(phi0)) ** 2)
+    d = a * m1 / (rq * np.cos(beta1))
+    sb1, cb1 = np.sin(beta1), np.cos(beta1)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        beta = np.arcsin(np.clip(_auth_q(np.sin(phi), e) / qp, -1.0, 1.0))
+        B = rq * np.sqrt(
+            2.0 / (1.0 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(lam))
+        )
+        E = fe + B * d * np.cos(beta) * np.sin(lam)
+        N = fn + (B / d) * (cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(lam))
+        return E, N
+
+    def inv(E, N):
+        x = (np.asarray(E, dtype=np.float64) - fe) / d
+        y = (np.asarray(N, dtype=np.float64) - fn) * d
+        rho = np.sqrt(x * x + y * y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = qp * (
+                np.cos(ce) * sb1 + y * np.sin(ce) * cb1 / np.where(rho == 0, 1.0, rho)
+            )
+            lam = np.arctan2(
+                x * np.sin(ce), rho * cb1 * np.cos(ce) - y * sb1 * np.sin(ce)
+            )
+        q = np.where(rho == 0, qp * sb1, q)
+        lam = np.where(rho == 0, 0.0, lam)
+        phi = _invert_q(q, e)
+        return np.degrees(lam) + lon0, np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_lcc2(
+    ellps: str,
+    lat0: float,
+    lat1: float,
+    lat2: float,
+    lon0: float,
+    fe: float,
+    fn: float,
+):
+    """Lambert conformal conic, 2 standard parallels — Snyder PP 1395
+    pp. 107-109, eqs. 14-15, 15-1..15-11.  n (and hence ρ) carries the
+    hemisphere sign, so southern-parallel grids (GA Lambert 3112) work
+    through the same closure: the inverse restores the quadrant with
+    sign(n) before arctan2 (Snyder's "signs reversed if n negative")."""
+    a, f = _ELLPS[ellps]
+    e = np.sqrt(f * (2.0 - f))
+    phi0, phi1, phi2 = np.radians(lat0), np.radians(lat1), np.radians(lat2)
+    n = (np.log(_snyder_m(phi1, e)) - np.log(_snyder_m(phi2, e))) / (
+        np.log(_conf_t(phi1, e)) - np.log(_conf_t(phi2, e))
     )
+    Fc = _snyder_m(phi1, e) / (n * _conf_t(phi1, e) ** n)
+    rho0 = a * Fc * _conf_t(phi0, e) ** n
+    sn = 1.0 if n > 0 else -1.0
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * Fc * _conf_t(phi, e) ** n
+        theta = n * lam
+        return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+        rho = sn * np.sqrt(x * x + y * y)
+        t = (rho / (a * Fc)) ** (1.0 / n)
+        theta = np.arctan2(sn * x, sn * y)
+        lam = theta / n
+        phi = _invert_t(t, e)
+        return np.degrees(lam) + lon0, np.degrees(phi)
+
+    return fwd, inv
 
 
-_LAEA_QP = float(_laea_q(np.array(1.0)))
-_LAEA_RQ = _GRS80_A * np.sqrt(_LAEA_QP / 2.0)
-_LAEA_BETA1 = np.arcsin(float(_laea_q(np.sin(_LAEA_LAT0))) / _LAEA_QP)
-_LAEA_M1 = np.cos(_LAEA_LAT0) / np.sqrt(1.0 - (_LAEA_E * np.sin(_LAEA_LAT0)) ** 2)
-_LAEA_D = _GRS80_A * _LAEA_M1 / (_LAEA_RQ * np.cos(_LAEA_BETA1))
+def _make_aea(
+    ellps: str,
+    lat0: float,
+    lat1: float,
+    lat2: float,
+    lon0: float,
+    fe: float,
+    fn: float,
+):
+    """Albers equal-area conic, 2 standard parallels — Snyder PP 1395
+    pp. 101-102, eqs. 14-1..14-21.  Same sign(n) hemisphere handling as
+    LCC (Australian Albers 3577 has both parallels south)."""
+    a, f = _ELLPS[ellps]
+    e = np.sqrt(f * (2.0 - f))
+    phi0, phi1, phi2 = np.radians(lat0), np.radians(lat1), np.radians(lat2)
+    m1 = _snyder_m(phi1, e)
+    m2 = _snyder_m(phi2, e)
+    q1 = float(_auth_q(np.sin(phi1), e))
+    q2 = float(_auth_q(np.sin(phi2), e))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * float(_auth_q(np.sin(phi0), e))) / n
+    sn = 1.0 if n > 0 else -1.0
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = a * np.sqrt(C - n * _auth_q(np.sin(phi), e)) / n
+        theta = n * lam
+        return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = rho0 - (np.asarray(N, dtype=np.float64) - fn)
+        rho = sn * np.sqrt(x * x + y * y)
+        theta = np.arctan2(sn * x, sn * y)
+        q = (C - (rho * n / a) ** 2) / n
+        phi = _invert_q(q, e)
+        return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+    return fwd, inv
 
 
-def _laea_forward(lon, lat):
-    lam = np.radians(np.asarray(lon, dtype=np.float64) - _LAEA_LON0)
-    phi = np.radians(np.asarray(lat, dtype=np.float64))
-    beta = np.arcsin(np.clip(_laea_q(np.sin(phi)) / _LAEA_QP, -1.0, 1.0))
-    sb1, cb1 = np.sin(_LAEA_BETA1), np.cos(_LAEA_BETA1)
-    B = _LAEA_RQ * np.sqrt(
-        2.0 / (1.0 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(lam))
-    )
-    E = _LAEA_FE + B * _LAEA_D * np.cos(beta) * np.sin(lam)
-    N = _LAEA_FN + (B / _LAEA_D) * (
-        cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(lam)
-    )
-    return E, N
+def _make_ps(
+    ellps: str,
+    lon0: float,
+    fe: float,
+    fn: float,
+    lat_ts: float | None = None,
+    k0: float | None = None,
+    south: bool = False,
+):
+    """Polar stereographic — Snyder PP 1395 pp. 160-161.  Variant B
+    (eqs. 21-33..21-34: scale pinned by a standard parallel lat_ts) or
+    variant A (eq. 21-33 with 15-11: scale k0 at the pole — UPS).  The
+    south aspect evaluates t at −φ and flips the northing axis."""
+    a, f = _ELLPS[ellps]
+    e = np.sqrt(f * (2.0 - f))
+    if lat_ts is not None:
+        ts = np.radians(abs(lat_ts))
+        mc = np.cos(ts) / np.sqrt(1.0 - (e * np.sin(ts)) ** 2)
+        tc = float(_conf_t(ts, e))
+        scale = a * mc / tc
+        south = south or lat_ts < 0
+    else:
+        # variant A: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+        scale = 2.0 * a * k0 / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = scale * _conf_t(-phi if south else phi, e)
+        if south:
+            return fe + rho * np.sin(lam), fn + rho * np.cos(lam)
+        return fe + rho * np.sin(lam), fn - rho * np.cos(lam)
+
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        rho = np.sqrt(x * x + y * y)
+        t = rho / scale
+        with np.errstate(invalid="ignore"):
+            lam = np.arctan2(x, y) if south else np.arctan2(x, -y)
+        lam = np.where(rho == 0, 0.0, lam)
+        phi = _invert_t(t, e)
+        if south:
+            phi = -phi
+        return np.degrees(lam) + lon0, np.degrees(phi)
+
+    return fwd, inv
 
 
-def _laea_inverse(E, N):
-    x = (np.asarray(E, dtype=np.float64) - _LAEA_FE) / _LAEA_D
-    y = (np.asarray(N, dtype=np.float64) - _LAEA_FN) * _LAEA_D
-    rho = np.sqrt(x * x + y * y)
-    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _LAEA_RQ), -1.0, 1.0))
-    sb1, cb1 = np.sin(_LAEA_BETA1), np.cos(_LAEA_BETA1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        q = _LAEA_QP * (
-            np.cos(ce) * sb1 + y * np.sin(ce) * cb1 / np.where(rho == 0, 1.0, rho)
-        )
-        lam = np.arctan2(
-            x * np.sin(ce), rho * cb1 * np.cos(ce) - y * sb1 * np.sin(ce)
-        )
-    q = np.where(rho == 0, _LAEA_QP * sb1, q)
-    lam = np.where(rho == 0, 0.0, lam)
-    # Newton-invert q(phi) (Snyder 3-16); dq/dphi from eq. 3-12's derivative
-    e = _LAEA_E
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    for _ in range(10):
-        sphi = np.sin(phi)
-        f = _laea_q(sphi) - q
-        df = (
-            (1.0 - e * e)
-            * np.cos(phi)
-            * 2.0
-            / (1.0 - (e * sphi) ** 2) ** 2
-        )
-        step = np.where(np.abs(df) > 0, f / np.where(df == 0, 1.0, df), 0.0)
-        phi = phi - step
-    return np.degrees(lam) + _LAEA_LON0, np.degrees(phi)
+def _make_cea(ellps: str, lat_ts: float, lon0: float, fe: float, fn: float):
+    """Cylindrical equal-area, normal aspect — Snyder PP 1395 pp. 81-82,
+    eqs. 10-1/10-2 (ellipsoidal): the EASE-Grid 2.0 global projection."""
+    a, f = _ELLPS[ellps]
+    e = np.sqrt(f * (2.0 - f))
+    ts = np.radians(lat_ts)
+    k0c = np.cos(ts) / np.sqrt(1.0 - (e * np.sin(ts)) ** 2)
 
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        return fe + a * k0c * lam, fn + a * _auth_q(np.sin(phi), e) / (2.0 * k0c)
 
-# --------------------------------------------------------------------------
-# Lambert conformal conic (ellipsoidal, 2 standard parallels) — Snyder,
-# USGS PP 1395 pp. 107-109, eqs. 14-15, 15-1..15-11.  EPSG:3034
-# (ETRS89-extended / LCC Europe) parameters: GRS80, standard parallels
-# 35°N / 65°N, origin 52°N 10°E, FE 4 000 000, FN 2 800 000 — completes
-# the projection-family coverage (cylindrical: Mercator/UTM; azimuthal:
-# LAEA; conic: LCC).
-# --------------------------------------------------------------------------
+    def inv(E, N):
+        x = np.asarray(E, dtype=np.float64) - fe
+        y = np.asarray(N, dtype=np.float64) - fn
+        q = 2.0 * y * k0c / a
+        phi = _invert_q(q, e)
+        lam = x / (a * k0c)
+        return np.degrees(lam) + lon0, np.degrees(phi)
 
-_LCC_E = np.sqrt(_GRS80_F * (2.0 - _GRS80_F))
-_LCC_LON0 = 10.0
-_LCC_FE = 4_000_000.0
-_LCC_FN = 2_800_000.0
-
-
-def _lcc_m(phi: np.ndarray) -> np.ndarray:
-    return np.cos(phi) / np.sqrt(1.0 - (_LCC_E * np.sin(phi)) ** 2)
-
-
-def _lcc_t(phi: np.ndarray) -> np.ndarray:
-    e = _LCC_E
-    sphi = np.sin(phi)
-    return np.tan(np.pi / 4.0 - phi / 2.0) / (
-        (1.0 - e * sphi) / (1.0 + e * sphi)
-    ) ** (e / 2.0)
-
-
-_LCC_PHI1 = np.radians(35.0)
-_LCC_PHI2 = np.radians(65.0)
-_LCC_PHI0 = np.radians(52.0)
-_LCC_N = (np.log(_lcc_m(_LCC_PHI1)) - np.log(_lcc_m(_LCC_PHI2))) / (
-    np.log(_lcc_t(_LCC_PHI1)) - np.log(_lcc_t(_LCC_PHI2))
-)
-_LCC_F = _lcc_m(_LCC_PHI1) / (_LCC_N * _lcc_t(_LCC_PHI1) ** _LCC_N)
-_LCC_RHO0 = _GRS80_A * _LCC_F * _lcc_t(_LCC_PHI0) ** _LCC_N
-
-
-def _lcc_forward(lon, lat):
-    lam = np.radians(np.asarray(lon, dtype=np.float64) - _LCC_LON0)
-    phi = np.radians(np.asarray(lat, dtype=np.float64))
-    rho = _GRS80_A * _LCC_F * _lcc_t(phi) ** _LCC_N
-    theta = _LCC_N * lam
-    E = _LCC_FE + rho * np.sin(theta)
-    N = _LCC_FN + _LCC_RHO0 - rho * np.cos(theta)
-    return E, N
-
-
-def _lcc_inverse(E, N):
-    x = np.asarray(E, dtype=np.float64) - _LCC_FE
-    y = _LCC_RHO0 - (np.asarray(N, dtype=np.float64) - _LCC_FN)
-    # n > 0 for the northern-parallel EPSG:3034 setup
-    rho = np.sqrt(x * x + y * y)
-    t = (rho / (_GRS80_A * _LCC_F)) ** (1.0 / _LCC_N)
-    theta = np.arctan2(x, y)
-    lam = theta / _LCC_N
-    # invert t(phi) by fixed point (Snyder eq. 7-9): converges in ~5 iters
-    e = _LCC_E
-    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
-    for _ in range(10):
-        sphi = np.sin(phi)
-        phi = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
-        )
-    return np.degrees(lam) + _LCC_LON0, np.degrees(phi)
-
-
-# --------------------------------------------------------------------------
-# Albers equal-area conic (ellipsoidal, 2 standard parallels) — Snyder,
-# USGS PP 1395 pp. 101-102, eqs. 14-1..14-21.  EPSG:5070 (NAD83 / Conus
-# Albers — the US federal analysis grid) parameters: GRS80, standard
-# parallels 29.5°N / 45.5°N, origin 23°N 96°W, FE = FN = 0.  Completes
-# the conic family with its EQUAL-AREA member (LCC is the conformal one);
-# q(φ) is the same Snyder 3-12 authalic function LAEA uses (same GRS80 e).
-
-_AEA_LON0 = -96.0
-_AEA_PHI0 = np.radians(23.0)
-_AEA_PHI1 = np.radians(29.5)
-_AEA_PHI2 = np.radians(45.5)
-_AEA_M1 = np.cos(_AEA_PHI1) / np.sqrt(1.0 - (_LAEA_E * np.sin(_AEA_PHI1)) ** 2)
-_AEA_M2 = np.cos(_AEA_PHI2) / np.sqrt(1.0 - (_LAEA_E * np.sin(_AEA_PHI2)) ** 2)
-_AEA_N = (_AEA_M1 * _AEA_M1 - _AEA_M2 * _AEA_M2) / (
-    float(_laea_q(np.sin(_AEA_PHI2))) - float(_laea_q(np.sin(_AEA_PHI1)))
-)
-_AEA_C = _AEA_M1 * _AEA_M1 + _AEA_N * float(_laea_q(np.sin(_AEA_PHI1)))
-_AEA_RHO0 = (
-    _GRS80_A * np.sqrt(_AEA_C - _AEA_N * float(_laea_q(np.sin(_AEA_PHI0)))) / _AEA_N
-)
-
-
-def _aea_forward(lon, lat):
-    lam = np.radians(np.asarray(lon, dtype=np.float64) - _AEA_LON0)
-    phi = np.radians(np.asarray(lat, dtype=np.float64))
-    rho = _GRS80_A * np.sqrt(_AEA_C - _AEA_N * _laea_q(np.sin(phi))) / _AEA_N
-    theta = _AEA_N * lam
-    return rho * np.sin(theta), _AEA_RHO0 - rho * np.cos(theta)
-
-
-def _aea_inverse(E, N):
-    x = np.asarray(E, dtype=np.float64)
-    y = _AEA_RHO0 - np.asarray(N, dtype=np.float64)
-    rho = np.sqrt(x * x + y * y)
-    theta = np.arctan2(x, y)  # n > 0 for the northern-parallel setup
-    q = (_AEA_C - (rho * _AEA_N / _GRS80_A) ** 2) / _AEA_N
-    # Newton-invert q(phi), identical scheme to the LAEA inverse
-    e = _LAEA_E
-    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    for _ in range(10):
-        sphi = np.sin(phi)
-        f = _laea_q(sphi) - q
-        df = (1.0 - e * e) * np.cos(phi) * 2.0 / (1.0 - (e * sphi) ** 2) ** 2
-        phi = phi - np.where(df == 0, 0.0, f / np.where(df == 0, 1.0, df))
-    return np.degrees(theta / _AEA_N) + _AEA_LON0, np.degrees(phi)
+    return fwd, inv
 
 
 # --------------------------------------------------------------------------
-# Polar stereographic, variant B (ellipsoidal, standard parallel) — Snyder,
-# USGS PP 1395 pp. 160-161, eqs. 21-33..21-34, 15-9.  EPSG:3413 (WGS84 /
-# NSIDC Sea Ice Polar Stereographic North — the polar remote-sensing grid)
-# parameters: WGS84, lat_ts 70°N, lon0 45°W, FE = FN = 0.  Adds the
-# azimuthal CONFORMAL member (LAEA is the equal-area one); t(φ) is the
-# same Snyder 15-9 conformal function LCC uses, on the WGS84 e.
+# Per-EPSG parameter rows: (family, ellipsoid, params).  Every published
+# value below is from the public EPSG registry; adding a CRS is one line.
+# Datum note: all rows are on WGS84/GRS80-coincident datums (WGS84, ETRS89,
+# NAD83, RGF93, GDA94, NZGD2000, Korea 2000, JGD2011) — no Helmert step.
+# --------------------------------------------------------------------------
 
-_PS_E = np.sqrt(_WGS84_F * (2.0 - _WGS84_F))
-_PS_LON0 = -45.0
-_PS_LAT_TS = np.radians(70.0)
+_BUILDERS = {
+    "tm": _make_tm,
+    "laea": _make_laea,
+    "lcc2": _make_lcc2,
+    "aea": _make_aea,
+    "ps": _make_ps,
+    "cea": _make_cea,
+}
 
+_CRS_TABLE: dict[str, tuple[str, str, dict]] = {
+    # --- azimuthal: Lambert azimuthal equal-area -------------------------
+    # ETRS89-extended / LAEA Europe (the reference's EU energy-domain CRS)
+    "EPSG:3035": ("laea", "GRS80",
+                  dict(lat0=52.0, lon0=10.0, fe=4_321_000.0, fn=3_210_000.0)),
+    # WGS84 / North Pole LAEA Canada / Europe (Arctic atlas grids)
+    "EPSG:3573": ("laea", "WGS84", dict(lat0=90.0, lon0=-100.0, fe=0.0, fn=0.0)),
+    "EPSG:3575": ("laea", "WGS84", dict(lat0=90.0, lon0=10.0, fe=0.0, fn=0.0)),
+    # WGS84 / NSIDC EASE-Grid 2.0 North / South
+    "EPSG:6931": ("laea", "WGS84", dict(lat0=90.0, lon0=0.0, fe=0.0, fn=0.0)),
+    "EPSG:6932": ("laea", "WGS84", dict(lat0=-90.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # --- conic, conformal: Lambert conformal conic 2SP -------------------
+    # ETRS89-extended / LCC Europe
+    "EPSG:3034": ("lcc2", "GRS80",
+                  dict(lat0=52.0, lat1=35.0, lat2=65.0, lon0=10.0,
+                       fe=4_000_000.0, fn=2_800_000.0)),
+    # RGF93 v1 / Lambert-93 (France national grid)
+    "EPSG:2154": ("lcc2", "GRS80",
+                  dict(lat0=46.5, lat1=49.0, lat2=44.0, lon0=3.0,
+                       fe=700_000.0, fn=6_600_000.0)),
+    # NAD83 / Statistics Canada Lambert
+    "EPSG:3347": ("lcc2", "GRS80",
+                  dict(lat0=63.390675, lat1=49.0, lat2=77.0,
+                       lon0=-(91.0 + 52.0 / 60.0),
+                       fe=6_200_000.0, fn=3_000_000.0)),
+    # ETRS89 / LCC Germany (DE national analysis grid)
+    "EPSG:5243": ("lcc2", "GRS80",
+                  dict(lat0=51.0, lat1=48.0 + 40.0 / 60.0,
+                       lat2=53.0 + 40.0 / 60.0, lon0=10.5, fe=0.0, fn=0.0)),
+    # ETRS89 / Austria Lambert
+    "EPSG:3416": ("lcc2", "GRS80",
+                  dict(lat0=47.5, lat1=49.0, lat2=46.0,
+                       lon0=13.0 + 20.0 / 60.0, fe=400_000.0, fn=400_000.0)),
+    # GDA94 / Geoscience Australia Lambert (southern parallels: n < 0)
+    "EPSG:3112": ("lcc2", "GRS80",
+                  dict(lat0=0.0, lat1=-18.0, lat2=-36.0, lon0=134.0,
+                       fe=0.0, fn=0.0)),
+    # NAD83 / New York Long Island (SPCS zone 3104, metres)
+    "EPSG:32118": ("lcc2", "GRS80",
+                   dict(lat0=40.0 + 10.0 / 60.0, lat1=41.0 + 2.0 / 60.0,
+                        lat2=40.0 + 40.0 / 60.0, lon0=-74.0,
+                        fe=300_000.0, fn=0.0)),
+    # --- conic, equal-area: Albers 2SP ------------------------------------
+    # NAD83 / Conus Albers (US federal analysis grid)
+    "EPSG:5070": ("aea", "GRS80",
+                  dict(lat0=23.0, lat1=29.5, lat2=45.5, lon0=-96.0,
+                       fe=0.0, fn=0.0)),
+    # NAD83 / California Albers
+    "EPSG:3310": ("aea", "GRS80",
+                  dict(lat0=0.0, lat1=34.0, lat2=40.5, lon0=-120.0,
+                       fe=0.0, fn=-4_000_000.0)),
+    # GDA94 / Australian Albers (southern parallels: n < 0)
+    "EPSG:3577": ("aea", "GRS80",
+                  dict(lat0=0.0, lat1=-18.0, lat2=-36.0, lon0=132.0,
+                       fe=0.0, fn=0.0)),
+    # --- azimuthal, conformal: polar stereographic ------------------------
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North (variant B)
+    "EPSG:3413": ("ps", "WGS84", dict(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0)),
+    # WGS84 / Arctic / Antarctic Polar Stereographic (variants B)
+    "EPSG:3995": ("ps", "WGS84", dict(lat_ts=71.0, lon0=0.0, fe=0.0, fn=0.0)),
+    "EPSG:3031": ("ps", "WGS84", dict(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS84 / UPS North / South (variant A: k0 at the pole)
+    "EPSG:32661": ("ps", "WGS84",
+                   dict(k0=0.994, lon0=0.0, fe=2_000_000.0, fn=2_000_000.0)),
+    "EPSG:32761": ("ps", "WGS84",
+                   dict(k0=0.994, lon0=0.0, fe=2_000_000.0, fn=2_000_000.0,
+                        south=True)),
+    # --- cylindrical, equal-area ------------------------------------------
+    # WGS84 / NSIDC EASE-Grid 2.0 Global
+    "EPSG:6933": ("cea", "WGS84", dict(lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # --- cylindrical, conformal: national TM grids ------------------------
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    "EPSG:2193": ("tm", "GRS80",
+                  dict(lat0=0.0, lon0=173.0, k0=0.9996,
+                       fe=1_600_000.0, fn=10_000_000.0)),
+    # Korea 2000 / Unified CS
+    "EPSG:5179": ("tm", "GRS80",
+                  dict(lat0=38.0, lon0=127.5, k0=0.9996,
+                       fe=1_000_000.0, fn=2_000_000.0)),
+    # ETRS89 / TM35FIN (Finland national; UTM 35 with national extent)
+    "EPSG:3067": ("tm", "GRS80",
+                  dict(lat0=0.0, lon0=27.0, k0=0.9996, fe=500_000.0, fn=0.0)),
+    # JGD2011 / Japan Plane Rectangular CS IX (Tokyo region)
+    "EPSG:6677": ("tm", "GRS80",
+                  dict(lat0=36.0, lon0=139.0 + 50.0 / 60.0, k0=0.9999,
+                       fe=0.0, fn=0.0)),
+}
 
-def _ps_t(phi: np.ndarray) -> np.ndarray:
-    e = _PS_E
-    sphi = np.sin(phi)
-    return np.tan(np.pi / 4.0 - phi / 2.0) / (
-        (1.0 - e * sphi) / (1.0 + e * sphi)
-    ) ** (e / 2.0)
-
-
-_PS_MC = np.cos(_PS_LAT_TS) / np.sqrt(1.0 - (_PS_E * np.sin(_PS_LAT_TS)) ** 2)
-_PS_TC = float(_ps_t(_PS_LAT_TS))
-
-
-def _ps_forward(lon, lat):
-    lam = np.radians(np.asarray(lon, dtype=np.float64) - _PS_LON0)
-    phi = np.radians(np.asarray(lat, dtype=np.float64))
-    rho = _WGS84_A * _PS_MC * _ps_t(phi) / _PS_TC
-    return rho * np.sin(lam), -rho * np.cos(lam)
-
-
-def _ps_inverse(E, N):
-    x = np.asarray(E, dtype=np.float64)
-    y = np.asarray(N, dtype=np.float64)
-    rho = np.sqrt(x * x + y * y)
-    t = rho * _PS_TC / (_WGS84_A * _PS_MC)
-    with np.errstate(invalid="ignore"):
-        lam = np.arctan2(x, -y)
-    lam = np.where(rho == 0, 0.0, lam)
-    # invert t(phi) by fixed point (Snyder eq. 7-9), as in the LCC inverse
-    e = _PS_E
-    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
-    for _ in range(10):
-        sphi = np.sin(phi)
-        phi = np.pi / 2.0 - 2.0 * np.arctan(
-            t * ((1.0 - e * sphi) / (1.0 + e * sphi)) ** (e / 2.0)
-        )
-    return np.degrees(lam) + _PS_LON0, np.degrees(phi)
+_PROJ_CACHE: dict[str, tuple] = {}
 
 
 def _norm(crs: str) -> str:
@@ -444,29 +644,49 @@ def _proj_pair(crs: str):
         return None
     if crs == "EPSG:3857":
         return _wgs84_to_webmercator, _webmercator_to_wgs84
-    if crs == "EPSG:3035":
-        return _laea_forward, _laea_inverse
-    if crs == "EPSG:3034":
-        return _lcc_forward, _lcc_inverse
-    if crs == "EPSG:5070":
-        return _aea_forward, _aea_inverse
-    if crs == "EPSG:3413":
-        return _ps_forward, _ps_inverse
+    if crs in _PROJ_CACHE:
+        return _PROJ_CACHE[crs]
+    row = _CRS_TABLE.get(crs)
+    if row is not None:
+        family, ellps, params = row
+        pair = _BUILDERS[family](ellps, **params)
+        _PROJ_CACHE[crs] = pair
+        return pair
     m = re.fullmatch(r"EPSG:32([67])(\d{2})", crs)
     if m:
         south = m.group(1) == "7"
         zone = int(m.group(2))
         if 1 <= zone <= 60:
-            return _utm_forward(zone, south), _utm_inverse(zone, south)
+            pair = _utm_forward(zone, south), _utm_inverse(zone, south)
+            _PROJ_CACHE[crs] = pair
+            return pair
     m = re.fullmatch(r"EPSG:258(\d{2})", crs)
     if m:  # ETRS89 / UTM zone NN north (GRS80 ellipsoid) — EU national grids
         zone = int(m.group(1))
         if 28 <= zone <= 38:
-            return (
+            pair = (
                 _utm_forward(zone, False, _TM_GRS80),
                 _utm_inverse(zone, False, _TM_GRS80),
             )
+            _PROJ_CACHE[crs] = pair
+            return pair
+    m = re.fullmatch(r"EPSG:269(\d{2})", crs)
+    if m:  # NAD83 / UTM zone NN north (GRS80) — the US/Canada UTM grids
+        zone = int(m.group(1))
+        if 1 <= zone <= 23:
+            pair = (
+                _utm_forward(zone, False, _TM_GRS80),
+                _utm_inverse(zone, False, _TM_GRS80),
+            )
+            _PROJ_CACHE[crs] = pair
+            return pair
     raise ValueError(f"unsupported CRS {crs}")
+
+
+def supported_crs() -> list[str]:
+    """Every explicitly-tabled EPSG code (UTM zone families 326xx/327xx/
+    258xx/269xx and the geographic codes are pattern-matched on top)."""
+    return sorted(_CRS_TABLE) + ["EPSG:3857", "EPSG:4258", "EPSG:4326"]
 
 
 def reproject(
@@ -530,3 +750,56 @@ def reproject_zones(zones, src: str, dst: str):
             for per_zone in zones.extra_rings
         ]
     return ZoneSet(zones.zone_ids.copy(), xs, ys, dict(zones.values), extra_rings=extra)
+
+
+# --------------------------------------------------------------------------
+# Legacy aliases — the r3-r6 test suites exercise the EPSG:3035/3034/5070/
+# 3413 kernels through these names; they now resolve to the parametrized
+# builders' closures and constants (same Snyder math, same values).
+# --------------------------------------------------------------------------
+
+_LAEA_E = np.sqrt(_GRS80_F * (2.0 - _GRS80_F))
+_LCC_E = _LAEA_E
+_PS_E = np.sqrt(_WGS84_F * (2.0 - _WGS84_F))
+
+
+def _laea_q(sphi: np.ndarray, e: float = _LAEA_E) -> np.ndarray:
+    return _auth_q(sphi, e)
+
+
+def _lcc_m(phi: np.ndarray) -> np.ndarray:
+    return _snyder_m(phi, _LCC_E)
+
+
+def _lcc_t(phi: np.ndarray) -> np.ndarray:
+    return _conf_t(phi, _LCC_E)
+
+
+def _ps_t(phi: np.ndarray) -> np.ndarray:
+    return _conf_t(phi, _PS_E)
+
+
+_LCC_PHI1 = np.radians(35.0)
+_LCC_PHI2 = np.radians(65.0)
+_LCC_N = (np.log(_lcc_m(_LCC_PHI1)) - np.log(_lcc_m(_LCC_PHI2))) / (
+    np.log(_lcc_t(_LCC_PHI1)) - np.log(_lcc_t(_LCC_PHI2))
+)
+_LCC_F = _lcc_m(_LCC_PHI1) / (_LCC_N * _lcc_t(_LCC_PHI1) ** _LCC_N)
+
+_AEA_PHI1 = np.radians(29.5)
+_AEA_PHI2 = np.radians(45.5)
+_AEA_M1 = _snyder_m(_AEA_PHI1, _LAEA_E)
+_AEA_M2 = _snyder_m(_AEA_PHI2, _LAEA_E)
+_AEA_N = (_AEA_M1 * _AEA_M1 - _AEA_M2 * _AEA_M2) / (
+    float(_laea_q(np.sin(_AEA_PHI2))) - float(_laea_q(np.sin(_AEA_PHI1)))
+)
+_AEA_C = _AEA_M1 * _AEA_M1 + _AEA_N * float(_laea_q(np.sin(_AEA_PHI1)))
+
+_PS_LAT_TS = np.radians(70.0)
+_PS_MC = np.cos(_PS_LAT_TS) / np.sqrt(1.0 - (_PS_E * np.sin(_PS_LAT_TS)) ** 2)
+_PS_TC = float(_ps_t(_PS_LAT_TS))
+
+_laea_forward, _laea_inverse = _proj_pair("EPSG:3035")
+_lcc_forward, _lcc_inverse = _proj_pair("EPSG:3034")
+_aea_forward, _aea_inverse = _proj_pair("EPSG:5070")
+_ps_forward, _ps_inverse = _proj_pair("EPSG:3413")

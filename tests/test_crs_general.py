@@ -58,8 +58,10 @@ def test_utm_spelling_and_zone_parsing():
     assert _norm("UTM:33N") == "EPSG:32633"
     assert _norm("utm 7s") == "EPSG:32707"
     assert _norm("EPSG:3035") == "EPSG:3035"
+    # out-of-range UTM zone digits (32699 would be "zone 99") and an
+    # untabled code both raise rather than silently passing through
     with pytest.raises(ValueError):
-        reproject(np.array([0.0]), np.array([0.0]), "EPSG:4326", "EPSG:32661")
+        reproject(np.array([0.0]), np.array([0.0]), "EPSG:4326", "EPSG:32699")
     with pytest.raises(ValueError):
         reproject(np.array([0.0]), np.array([0.0]), "EPSG:4326", "EPSG:9999")
 
@@ -478,3 +480,232 @@ def test_polar_stereo_meridian_geometry():
     assert np.max(np.abs(E)) < 1e-6 and np.all(N < 0)
     E, N = _ps_forward(np.full(3, 45.0), lats)
     assert np.max(np.abs(N)) < 1e-6 and np.all(E > 0)
+
+
+# ============================================================== r7 registry
+# Round-7 parametrized per-EPSG registry: every new family instance gets an
+# exact false-origin anchor, a 1e-9-degree roundtrip, and a defining-property
+# check (unit scale on standard parallels / equal-area Jacobian /
+# conformality), following the r3 verification protocol (pyproj absent).
+
+_E_GRS80 = np.sqrt((1.0 / 298.257222101) * (2.0 - 1.0 / 298.257222101))
+_E_WGS84 = np.sqrt((1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563))
+
+
+def _wrap_lon(x):
+    return (np.asarray(x) + 180.0) % 360.0 - 180.0
+
+
+_R7_ANCHORS = [
+    # (crs, lon0, lat0, FE, FN) — projecting the natural/false origin must
+    # land exactly on the false easting/northing
+    ("EPSG:2154", 3.0, 46.5, 700_000.0, 6_600_000.0),
+    ("EPSG:3347", -(91.0 + 52.0 / 60.0), 63.390675, 6_200_000.0, 3_000_000.0),
+    ("EPSG:5243", 10.5, 51.0, 0.0, 0.0),
+    ("EPSG:3416", 13.0 + 20.0 / 60.0, 47.5, 400_000.0, 400_000.0),
+    ("EPSG:3112", 134.0, 0.0, 0.0, 0.0),
+    ("EPSG:32118", -74.0, 40.0 + 10.0 / 60.0, 300_000.0, 0.0),
+    ("EPSG:3310", -120.0, 0.0, 0.0, -4_000_000.0),
+    ("EPSG:3577", 132.0, 0.0, 0.0, 0.0),
+    ("EPSG:2193", 173.0, 0.0, 1_600_000.0, 10_000_000.0),
+    ("EPSG:5179", 127.5, 38.0, 1_000_000.0, 2_000_000.0),
+    ("EPSG:3067", 27.0, 0.0, 500_000.0, 0.0),
+    ("EPSG:6677", 139.0 + 50.0 / 60.0, 36.0, 0.0, 0.0),
+    ("EPSG:6931", 17.0, 90.0, 0.0, 0.0),   # any lon at the pole
+    ("EPSG:6932", -42.0, -90.0, 0.0, 0.0),
+    ("EPSG:3573", 0.0, 90.0, 0.0, 0.0),
+    ("EPSG:3575", 123.0, 90.0, 0.0, 0.0),
+    ("EPSG:32661", 44.0, 90.0, 2_000_000.0, 2_000_000.0),
+    ("EPSG:32761", 44.0, -90.0, 2_000_000.0, 2_000_000.0),
+    ("EPSG:3031", 77.0, -90.0, 0.0, 0.0),
+    ("EPSG:3995", 77.0, 90.0, 0.0, 0.0),
+    ("EPSG:6933", 0.0, 0.0, 0.0, 0.0),
+]
+
+
+@pytest.mark.parametrize("crs,lon,lat,fe,fn", _R7_ANCHORS)
+def test_r7_false_origin_anchors(crs, lon, lat, fe, fn):
+    E, N = reproject(np.array([lon]), np.array([lat]), "EPSG:4326", crs)
+    assert E[0] == pytest.approx(fe, abs=1e-6)
+    assert N[0] == pytest.approx(fn, abs=1e-6)
+
+
+_R7_DOMAINS = {
+    "EPSG:2154": ((-4.5, 8.0), (41.5, 51.5)),
+    "EPSG:3347": ((-140.0, -55.0), (42.0, 83.0)),
+    "EPSG:5243": ((5.5, 15.5), (47.0, 55.5)),
+    "EPSG:3416": ((9.0, 17.5), (46.0, 49.5)),
+    "EPSG:3112": ((110.0, 155.0), (-44.0, -9.0)),
+    "EPSG:32118": ((-74.8, -71.5), (40.4, 41.4)),
+    "EPSG:3310": ((-125.0, -114.0), (32.0, 42.5)),
+    "EPSG:3577": ((110.0, 155.0), (-44.0, -9.0)),
+    "EPSG:2193": ((166.0, 179.0), (-47.5, -34.0)),
+    "EPSG:5179": ((124.0, 132.0), (33.0, 39.0)),
+    "EPSG:3067": ((19.0, 32.0), (59.0, 70.5)),
+    "EPSG:6677": ((138.5, 141.0), (34.5, 37.5)),
+    "EPSG:6931": ((-180.0, 180.0), (30.0, 90.0)),
+    "EPSG:6932": ((-180.0, 180.0), (-90.0, -30.0)),
+    "EPSG:3573": ((-180.0, 180.0), (45.0, 90.0)),
+    "EPSG:3575": ((-180.0, 180.0), (45.0, 90.0)),
+    "EPSG:32661": ((-180.0, 180.0), (60.0, 90.0)),
+    "EPSG:32761": ((-180.0, 180.0), (-90.0, -60.0)),
+    "EPSG:3031": ((-180.0, 180.0), (-89.999, -55.0)),
+    "EPSG:3995": ((-180.0, 180.0), (55.0, 89.999)),
+    "EPSG:6933": ((-179.0, 179.0), (-85.0, 85.0)),
+    "EPSG:26910": ((-126.0, -120.0), (30.0, 80.0)),
+}
+
+
+@pytest.mark.parametrize("crs", sorted(_R7_DOMAINS))
+def test_r7_roundtrip_1e9_degrees(crs):
+    lon_rng, lat_rng = _R7_DOMAINS[crs]
+    lon = RNG.uniform(*lon_rng, 3000)
+    lat = RNG.uniform(*lat_rng, 3000)
+    E, N = reproject(lon, lat, "EPSG:4326", crs)
+    lo, la = reproject(E, N, crs, "EPSG:4326")
+    assert np.max(np.abs(_wrap_lon(lo - lon))) < 1e-9
+    assert np.max(np.abs(la - lat)) < 1e-9
+
+
+def _num_jacobian(crs, lon, lat, h=1e-7):
+    """|d(E,N)/d(lon_rad, lat_rad)| by central differences."""
+    El, Nl = reproject(lon - h, lat, "EPSG:4326", crs)
+    Er, Nr = reproject(lon + h, lat, "EPSG:4326", crs)
+    Ed, Nd = reproject(lon, lat - h, "EPSG:4326", crs)
+    Eu, Nu = reproject(lon, lat + h, "EPSG:4326", crs)
+    hr = np.radians(2.0 * h)
+    return ((Er - El) * (Nu - Nd) - (Eu - Ed) * (Nr - Nl)) / (hr * hr)
+
+
+@pytest.mark.parametrize("crs,lon_rng,lat_rng,e,a", [
+    ("EPSG:3577", (115.0, 150.0), (-42.0, -12.0), _E_GRS80, 6378137.0),
+    ("EPSG:3310", (-124.0, -115.0), (33.0, 42.0), _E_GRS80, 6378137.0),
+    ("EPSG:6931", (-170.0, 170.0), (35.0, 88.0), _E_WGS84, 6378137.0),
+    ("EPSG:6932", (-170.0, 170.0), (-88.0, -35.0), _E_WGS84, 6378137.0),
+    ("EPSG:6933", (-170.0, 170.0), (-80.0, 80.0), _E_WGS84, 6378137.0),
+])
+def test_r7_equal_area_jacobian(crs, lon_rng, lat_rng, e, a):
+    """Equal-area families: the Jacobian of (E,N) w.r.t. (lon,lat) in
+    radians equals the ellipsoidal area element a²(1−e²)cosφ/(1−e²sin²φ)²
+    everywhere — the projection's defining property."""
+    lon = RNG.uniform(*lon_rng, 400)
+    lat = RNG.uniform(*lat_rng, 400)
+    J = np.abs(_num_jacobian(crs, lon, lat))
+    phi = np.radians(lat)
+    truth = a * a * (1.0 - e * e) * np.cos(phi) / (1.0 - (e * np.sin(phi)) ** 2) ** 2
+    assert np.max(np.abs(J / truth - 1.0)) < 1e-5
+
+
+@pytest.mark.parametrize("crs,parallels,lon_probe,e", [
+    ("EPSG:2154", (49.0, 44.0), 2.0, _E_GRS80),       # LCC north
+    ("EPSG:3112", (-18.0, -36.0), 140.0, _E_GRS80),   # LCC south (n < 0)
+    ("EPSG:3577", (-18.0, -36.0), 140.0, _E_GRS80),   # AEA south
+    ("EPSG:3310", (34.0, 40.5), -120.0, _E_GRS80),    # AEA north
+    ("EPSG:3031", (-71.0,), 30.0, _E_WGS84),          # PS-B south
+    ("EPSG:3995", (71.0,), 30.0, _E_WGS84),           # PS-B north
+    ("EPSG:6933", (30.0, -30.0), 10.0, _E_WGS84),     # CEA (lat_ts = ±30)
+])
+def test_r7_unit_scale_on_standard_parallels(crs, parallels, lon_probe, e):
+    """Along-parallel scale k = proj distance / (a·m(φ)·dλ) is exactly 1
+    on every standard parallel, for every conic/azimuthal/cylindrical
+    family — checked numerically with central differences."""
+    a = 6378137.0
+    for lat_sp in parallels:
+        h = 1e-6
+        El, Nl = reproject(np.array([lon_probe - h]), np.array([lat_sp]),
+                           "EPSG:4326", crs)
+        Er, Nr = reproject(np.array([lon_probe + h]), np.array([lat_sp]),
+                           "EPSG:4326", crs)
+        d_proj = float(np.hypot(Er - El, Nr - Nl)[0])
+        phi = np.radians(lat_sp)
+        m = np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+        d_true = a * m * np.radians(2.0 * h)
+        assert d_proj / d_true == pytest.approx(1.0, abs=1e-7), (crs, lat_sp)
+
+
+@pytest.mark.parametrize("crs,lon0,k0", [
+    ("EPSG:2193", 173.0, 0.9996),
+    ("EPSG:5179", 127.5, 0.9996),
+    ("EPSG:6677", 139.0 + 50.0 / 60.0, 0.9999),
+    ("EPSG:3067", 27.0, 0.9996),
+])
+def test_r7_tm_central_meridian_scale(crs, lon0, k0):
+    """National TM grids: meridian scale on the central meridian is k0
+    (d(N)/d(meridian arc) via the meridian curvature radius)."""
+    e2 = _E_GRS80 * _E_GRS80
+    for lat in (-40.0, 5.0, 38.0, 61.0):
+        h = 1e-6
+        _, N0 = reproject(np.array([lon0]), np.array([lat - h]), "EPSG:4326", crs)
+        _, N1 = reproject(np.array([lon0]), np.array([lat + h]), "EPSG:4326", crs)
+        phi = np.radians(lat)
+        rm = 6378137.0 * (1.0 - e2) / (1.0 - e2 * np.sin(phi) ** 2) ** 1.5
+        arc = np.radians(2.0 * h) * rm
+        # rel 1e-7, not 1e-9: N ~ 10^7 m, so the central difference
+        # cancels ~9 digits — the residual is FD noise, not projection
+        assert float((N1 - N0)[0]) / arc == pytest.approx(k0, rel=1e-7), (crs, lat)
+
+
+def test_r7_ups_scale_at_pole():
+    """UPS (PS variant A): the defining k0 = 0.994 applies AT the pole —
+    check the meridian scale d(rho)/d(arc) just off the pole."""
+    for crs, sgn in (("EPSG:32661", 1.0), ("EPSG:32761", -1.0)):
+        lat1, lat2 = sgn * 89.999, sgn * 89.998
+        E1, N1 = reproject(np.array([0.0]), np.array([lat1]), "EPSG:4326", crs)
+        E2, N2 = reproject(np.array([0.0]), np.array([lat2]), "EPSG:4326", crs)
+        rho1 = float(np.hypot(E1 - 2e6, N1 - 2e6)[0])
+        rho2 = float(np.hypot(E2 - 2e6, N2 - 2e6)[0])
+        e2 = _E_WGS84 * _E_WGS84
+        phi = np.radians((lat1 + lat2) / 2.0)
+        rm = 6378137.0 * (1.0 - e2) / (1.0 - e2 * np.sin(phi) ** 2) ** 1.5
+        arc = np.radians(0.001) * rm
+        assert (rho2 - rho1) / arc == pytest.approx(0.994, abs=1e-6)
+
+
+def test_r7_lcc_south_is_conformal():
+    """GA Lambert (southern parallels, n < 0): the Jacobian in
+    (lon_rad, isometric-lat) coordinates is a scaled rotation."""
+    lon = RNG.uniform(115.0, 150.0, 200)
+    lat = RNG.uniform(-42.0, -12.0, 200)
+    e = _E_GRS80
+
+    def psi(lat_deg):
+        phi = np.radians(lat_deg)
+        s = np.sin(phi)
+        return np.log(np.tan(np.pi / 4 + phi / 2)) - (e / 2) * np.log(
+            (1 + e * s) / (1 - e * s)
+        )
+
+    h = 1e-7
+    E0, N0 = reproject(lon, lat, "EPSG:4326", "EPSG:3112")
+    E1, N1 = reproject(lon + np.degrees(h), lat, "EPSG:4326", "EPSG:3112")
+    dE_dl, dN_dl = (E1 - E0) / h, (N1 - N0) / h
+    dlat = 1e-6
+    E2, N2 = reproject(lon, lat + dlat, "EPSG:4326", "EPSG:3112")
+    dpsi = psi(lat + dlat) - psi(lat)
+    dE_dp, dN_dp = (E2 - E0) / dpsi, (N2 - N0) / dpsi
+    dot = dE_dl * dE_dp + dN_dl * dN_dp
+    n1 = np.hypot(dE_dl, dN_dl)
+    n2 = np.hypot(dE_dp, dN_dp)
+    assert np.max(np.abs(dot) / (n1 * n2)) < 1e-4
+    assert np.max(np.abs(n1 / n2 - 1.0)) < 1e-4
+
+
+def test_r7_nad83_utm_matches_wgs84_utm_to_the_mm():
+    """EPSG:26910 (NAD83 UTM 10N, GRS80) vs EPSG:32610 (WGS84 UTM 10N):
+    the ellipsoids differ only in the flattening's 12th digit, so the
+    projected coordinates agree to sub-mm — while both must ROUNDTRIP
+    exactly through their own ellipsoid constants."""
+    lon = RNG.uniform(-126.0, -120.0, 500)
+    lat = RNG.uniform(32.0, 60.0, 500)
+    En, Nn = reproject(lon, lat, "EPSG:4326", "EPSG:26910")
+    Ew, Nw = reproject(lon, lat, "EPSG:4326", "EPSG:32610")
+    assert np.max(np.abs(En - Ew)) < 1e-3
+    assert np.max(np.abs(Nn - Nw)) < 1e-3
+
+
+def test_r7_supported_crs_listing():
+    from gregor_spark.geo.crs import supported_crs
+
+    codes = supported_crs()
+    assert "EPSG:2154" in codes and "EPSG:6933" in codes
+    assert len(codes) >= 25

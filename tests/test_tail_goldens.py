@@ -110,6 +110,7 @@ def _assert_oracle_match(spark, ddb, name):
         # cost_distance: promoted to the driver window r7 (displaced
         # frechet_sim, which is rows-only/no-oracle — its tail coverage is
         # the DP parity suite in test_trajectory.py, not a SQL golden)
+        "reproject_lambert93",  # born-tail r7 (parametrized CRS registry)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
