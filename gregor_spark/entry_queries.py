@@ -1942,6 +1942,70 @@ REGISTRY.update(
 )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 perceptual image near-dup (the multimodal dedup tier): planted
+    near-duplicate BMPs (odd ids perturb their even anchor by +3 at
+    sparse pixels) decoded by the REAL byte parser, dHashed (integer
+    gradient hash on the 8x9 nearest-neighbour thumbnail,
+    ops/media.py::dhash64), and paired by the pigeonhole banded Hamming
+    join shared with simhash_pairs (ops/dedup.py::banded_hamming_pairs).
+    All-integer end-to-end, so the oracle re-derives every hash bit from
+    the same modular pixel arithmetic and brute-forces the pairs — if
+    the decoder, the resize index mapping, the bit packing, or the
+    banding drops or invents a single pair, the row goes red."""
+    from .ops.media import image_near_dup, synthetic_media_bmp_pairs
+
+    media = synthetic_media_bmp_pairs(spark, 240)
+    return image_near_dup(media, algo="dhash", max_hamming=6)
+
+
+# pixel k of image mid (base = mid - mid%2, w = base%13+9, h = base%11+8)
+# is ((base*1000003 + 12345 + k*(base*7919+104729)) % 100003) % 256, +60 at
+# k%37=0 for odd mids; dHash thumbnail T(i,j) = pixel((i*h//8)*w + j*w//9)
+# over 8 rows x 9 cols; bit (i,j) = T(i,j) > T(i,j+1); hamming = count of
+# differing bits, brute-forced over all id pairs (the banded join's
+# pigeonhole guarantee makes the sub-quadratic path exactly equal)
+_IMAGE_NEAR_DUP_SQL = """
+WITH dims AS (
+  SELECT g.g AS mid, (g.g - (g.g % 2)) AS base,
+         (g.g - (g.g % 2)) % 13 + 9 AS w,
+         (g.g - (g.g % 2)) % 11 + 8 AS h
+  FROM generate_series(0, 239) g(g)
+),
+cells AS (
+  SELECT mid, base, i.g AS i, j.g AS j,
+         ((i.g * h) // 8) * w + ((j.g * w) // 9) AS k
+  FROM dims
+  CROSS JOIN generate_series(0, 7) i(g)
+  CROSS JOIN generate_series(0, 8) j(g)
+),
+vals AS (
+  SELECT mid, i, j,
+         (((base * 1000003 + 12345 + k * (base * 7919 + 104729)) % 100003) % 256
+          + CASE WHEN mid % 2 = 1 AND k % 37 = 0 THEN 60 ELSE 0 END) % 256 AS v
+  FROM cells
+),
+bits AS (
+  SELECT l.mid, l.i * 8 + l.j AS b,
+         CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+  FROM vals l JOIN vals r ON l.mid = r.mid AND l.i = r.i AND r.j = l.j + 1
+  WHERE l.j < 8
+),
+pairs AS (
+  SELECT x.mid AS media_a, y.mid AS media_b,
+         SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hd
+  FROM bits x JOIN bits y ON x.b = y.b AND x.mid < y.mid
+  GROUP BY 1, 2
+)
+SELECT CAST(media_a AS BIGINT) AS media_a,
+       CAST(media_b AS BIGINT) AS media_b,
+       CAST(hd AS BIGINT) AS hamming
+FROM pairs WHERE hd <= 6
+"""
+
+REGISTRY.update({"image_near_dup": (q_image_near_dup, _IMAGE_NEAR_DUP_SQL)})
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 as-of join: each purchase matched to the user's latest
     view at-or-before it (backward inclusive).  Engine = union-tag + one
@@ -6054,6 +6118,10 @@ _WINDOW_TAIL = (
                             # CRS kernels stay in-window via reproject_laea/
                             # _albers; full Snyder-forward SQL oracle +
                             # test_crs_general.py registry coverage
+    "image_near_dup",  # born-tail r7: perceptual dHash + banded Hamming
+                       # pairs over planted near-dup BMPs; the media decode
+                       # path stays in-window via media_decode and the
+                       # banding machinery via the simhash family
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

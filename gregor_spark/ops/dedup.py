@@ -888,20 +888,30 @@ def dedup_clusters(
     return labels.select(F.col("id").alias(key), F.col("label").alias("cluster_id"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    text: str = "text",
-    bits: int = 16,
-    max_hamming: int = 2,
+def banded_hamming_pairs(
+    build_side,
+    key: str,
+    sig: str,
+    bits: int,
+    max_hamming: int,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits of
-    SimHash distance — the pigeonhole banded join: split the ``bits``-wide
-    fingerprint into ``max_hamming + 1`` chunks; any pair within the
-    distance budget agrees EXACTLY on at least one chunk, so candidates
-    come from an equi-join on (chunk_idx, chunk_value) — never a cartesian
-    — and ``bit_count(xor)`` verifies exactly.  Sub-quadratic as long as
-    no chunk value is degenerate (the SimHash analog of the MinHash LSH
-    band join)."""
+    """(out_a, out_b, hamming) for pairs of rows within ``max_hamming``
+    bits of Hamming distance on an integer fingerprint — the pigeonhole
+    banded join shared by SimHash text dedup and perceptual image dedup
+    (ops/media.py::image_near_dup): split the ``bits``-wide fingerprint
+    into ``max_hamming + 1`` chunks; any pair within the distance budget
+    agrees EXACTLY on at least one chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_value) — never a cartesian — and
+    ``bit_count(xor)`` verifies exactly.  Sub-quadratic as long as no
+    chunk value is degenerate (the LSH-band contract).
+
+    ``build_side`` is a zero-arg callable returning a fresh (key, sig)
+    DataFrame — called once per join side so the self-join has
+    independent lineage (see similarity.py).  Top-chunk extraction is
+    sign-safe for two's-complement fingerprints: arithmetic shiftright
+    sign-extends, but the mask keeps only the true logical bits."""
     n_chunks = max_hamming + 1
     widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
     offs = [sum(widths[:i]) for i in range(n_chunks)]
@@ -918,26 +928,44 @@ def simhash_pairs(
         )
 
     def side(alias_key: str, alias_sh: str) -> DataFrame:
-        # fresh projection per side (self-join lineage, see similarity.py)
-        b = simhash_fast(docs, text, bits)
+        b = build_side()
         return b.select(
-            F.col("doc_id").alias(alias_key),
-            F.col("simhash").alias(alias_sh),
-            F.explode(chunks_of(F.col("simhash"))).alias("_c"),
+            F.col(key).alias(alias_key),
+            F.col(sig).alias(alias_sh),
+            F.explode(chunks_of(F.col(sig))).alias("_c"),
         ).select(alias_key, alias_sh, F.col("_c.ci").alias("ci"), F.col("_c.cv").alias("cv"))
 
-    a = side("doc_a", "_sha")
-    b = side("doc_b", "_shb")
+    a = side(out_a, "_sha")
+    b = side(out_b, "_shb")
     return (
         a.join(b, ["ci", "cv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col(out_a) < F.col(out_b))
         .select(
-            "doc_a",
-            "doc_b",
+            out_a,
+            out_b,
             F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` bits of
+    SimHash distance — :func:`banded_hamming_pairs` over
+    :func:`simhash_fast` fingerprints (the SimHash analog of the MinHash
+    LSH band join)."""
+    return banded_hamming_pairs(
+        lambda: simhash_fast(docs, text, bits),
+        key="doc_id",
+        sig="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
     )
 
 

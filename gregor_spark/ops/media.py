@@ -522,3 +522,175 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (r7): dHash (gradient hash) and pHash
+# (integer-DCT hash) over the REAL decoders, + banded Hamming near-dup
+# pairs — the multimodal tier of the dedup family.  Everything below is
+# integer arithmetic end-to-end (nearest-neighbour resize by floor index
+# mapping, integer DCT matrix, integer median), so results are exact,
+# engine-independent, and SQL-replayable.
+# --------------------------------------------------------------------------
+
+
+def _nn_resize(px: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Nearest-neighbour resize by floor index mapping (r_i = i*h//rows,
+    c_j = j*w//cols) — the deterministic integer stand-in for the
+    area-interpolated resize a PIL-based pHash uses; any monotone
+    downsample works for hashing as long as both compare sides use the
+    same one."""
+    h, w = px.shape
+    ri = (np.arange(rows, dtype=np.int64) * h) // rows
+    cj = (np.arange(cols, dtype=np.int64) * w) // cols
+    return px[np.ix_(ri, cj)].astype(np.int64)
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (Krawetz's dHash, public algorithm): resize
+    to 8 rows x 9 cols, bit (i,j) = T[i,j] > T[i,j+1], packed row-major
+    (bit index i*8+j).  Returned as the two's-complement int64 (bit 63
+    set -> negative), matching Spark's LongType."""
+    t = _nn_resize(px, 8, 9)
+    bits = (t[:, :-1] > t[:, 1:]).astype(np.uint64)
+    h = int((bits.reshape(-1) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_PHASH_DCT = None
+
+
+def _phash_dct_matrix() -> np.ndarray:
+    """Integer DCT-II basis, D[u,x] = floor(64*cos((2x+1)*u*pi/64) + 0.5),
+    32x32 int64.  cos(k*pi/64) is never an exact odd multiple of 1/128
+    (it is rational only at 0, ±1/2, ±1), so the +0.5 floor has no
+    half-way ties and every engine derives the identical matrix."""
+    global _PHASH_DCT
+    if _PHASH_DCT is None:
+        x = np.arange(32, dtype=np.float64)
+        u = np.arange(32, dtype=np.float64)[:, None]
+        _PHASH_DCT = np.floor(
+            64.0 * np.cos((2.0 * x + 1.0) * u * np.pi / 64.0) + 0.5
+        ).astype(np.int64)
+    return _PHASH_DCT
+
+
+def phash64(px: np.ndarray) -> int:
+    """63-bit perceptual hash (pHash family, public algorithm): resize to
+    32x32, 2-D integer DCT (C = D @ T @ D^T, all int64 — max |C| is
+    ~1.1e9, far inside the range), keep the low-frequency top-left 8x8
+    block minus the DC term (63 coefficients), threshold each against
+    the integer median (sorted[31] of 63).  Bit p = u*8+v-1; bit 63 is
+    never set, so the value is a non-negative int64."""
+    t = _nn_resize(px, 32, 32)
+    d = _phash_dct_matrix()
+    c = d @ t @ d.T
+    block = c[:8, :8].reshape(-1)[1:]  # drop DC
+    med = int(np.sort(block)[31])
+    bits = (block > med).astype(np.uint64)
+    return int((bits << np.arange(63, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def _decode_any(rec) -> np.ndarray:
+    """Magic-sniffed decode shared with extract_features: BMP and PNG via
+    the real parsers, WAV as a 1xn grid, anything else the documented
+    deterministic stub."""
+    head = bytes(rec.payload[:8]) if rec.payload is not None else b""
+    if head[:2] == b"BM":
+        return decode_bmp(rec.payload)
+    if head == _PNG_SIG:
+        return decode_png(rec.payload)
+    if head[:4] == b"RIFF":
+        samples, _rate = decode_wav(rec.payload)
+        return np.atleast_2d(samples)
+    return _fake_decode(rec.payload, int(rec.meta["width"]), int(rec.meta["height"]))
+
+
+HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("hash64", T.LongType(), False),
+    ]
+)
+
+
+def image_hashes(media: DataFrame, algo: str = "dhash") -> DataFrame:
+    """(media_id, hash64) — perceptual hash per image, decode + hash in
+    one Arrow-batched pass (mapInPandas, partition-parallel, no shuffle;
+    the same 100 TB shape as extract_features)."""
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash {algo!r}")
+    fn = dhash64 if algo == "dhash" else phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [(int(rec.media_id), fn(_decode_any(rec))) for rec in pdf.itertuples()]
+            yield pd.DataFrame(out, columns=["media_id", "hash64"])
+
+    return media.mapInPandas(run, schema=HASH_SCHEMA)
+
+
+def image_near_dup(
+    media: DataFrame, algo: str = "dhash", max_hamming: int = 6
+) -> DataFrame:
+    """(media_a, media_b, hamming) — perceptual near-duplicate image
+    pairs within ``max_hamming`` bits, via the same pigeonhole banded
+    join as ops/dedup.py::simhash_pairs: split the 64-bit hash into
+    ``max_hamming + 1`` chunks; any pair inside the budget agrees
+    exactly on at least one chunk, so candidates come from an equi-join
+    on (chunk_idx, chunk_value) — never a cartesian — and
+    ``bit_count(xor)`` verifies exactly.  Scale shape: candidates are
+    bounded by per-chunk-value collision counts (the LSH-band contract
+    shared by the whole dedup family)."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        lambda: image_hashes(media, algo),
+        key="media_id",
+        sig="hash64",
+        bits=64,
+        max_hamming=max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+    )
+
+
+def synthetic_media_bmp_pairs(spark: SparkSession, n: int) -> DataFrame:
+    """Planted near-duplicate BMP fixture, built distributed: even ids
+    are anchors, odd ids re-encode id-1's image with a sparse +60
+    perturbation (flat index k where k % 37 == 0).  Pixel k of pair-base
+    b = 2*(id//2): ``((b*1000003 + 12345 + k*(b*7919 + 104729)) %
+    100003) % 256`` over (b%13+9) x (b%11+8) pixels — a per-image LCG
+    over a large prime, so unrelated images have rich, independent hash
+    bits (measured: twin dHash Hamming ≤ 4, unrelated ≥ 6) and the
+    perturbation flips only the few bits whose thumbnail samples it hits
+    (a REAL near-dup, not an identical copy).  Pure modular arithmetic,
+    so an independent SQL oracle re-derives every hash bit
+    (entry_queries ``image_near_dup``)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                base = mid - (mid % 2)
+                w = base % 13 + 9
+                h = base % 11 + 8
+                k = np.arange(w * h, dtype=np.int64)
+                flat = ((base * 1000003 + 12345 + k * (base * 7919 + 104729)) % 100003) % 256
+                if mid % 2 == 1:
+                    flat = (flat + np.where(k % 37 == 0, 60, 0)) % 256
+                rows.append(
+                    (
+                        mid,
+                        "doc%012d" % mid,
+                        "image",
+                        make_bmp_gray24(flat.reshape(h, w).astype(np.uint8)),
+                        {"width": w, "height": h, "sample_rate": None, "n_frames": None},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "doc_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(build, schema=MEDIA_SCHEMA)

@@ -111,6 +111,7 @@ def _assert_oracle_match(spark, ddb, name):
         # frechet_sim, which is rows-only/no-oracle — its tail coverage is
         # the DP parity suite in test_trajectory.py, not a SQL golden)
         "reproject_lambert93",  # born-tail r7 (parametrized CRS registry)
+        "image_near_dup",  # born-tail r7 (perceptual dHash near-dup)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
