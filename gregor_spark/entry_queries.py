@@ -5383,6 +5383,78 @@ LEFT JOIN (SELECT * FROM rk WHERE r_min = 1) mn
 REGISTRY.update({"focal_majority": (q_focal_majority, _FOCAL_MAJORITY_SQL)})
 
 
+def q_terrain_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 gdaldem completion — TPI, TRI (Wilson AND Riley), roughness
+    from one pivoted 3×3 window (operators/terrain.py::surface_metrics)
+    over the same 64×64 DEM as aspect.  One hash-exact row covers all
+    three tools: every metric is its own exported column (micro-int /
+    exact double), so a defect in any of them flips the hash.
+    Born-tail; the window shape is driver-anchored via the in-window
+    terrain rows."""
+    from .operators.terrain import surface_metrics
+
+    n = 64
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = ((F.col("row") * 31 + F.col("col") * 17) % 97).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 7 + F.col("col") * 13) % 23 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+    return surface_metrics(cells)
+
+
+_TERRAIN_METRICS_SQL = """
+WITH g AS (
+  SELECT row, col,
+         CASE WHEN (row * 7 + col * 13) % 23 = 0 THEN NULL
+              ELSE CAST((row * 31 + col * 17) % 97 AS DOUBLE) END AS value
+  FROM (SELECT CAST(floor(range / 64) AS INT) AS row,
+               CAST(range % 64 AS INT) AS col
+        FROM range(4096))),
+offs AS (
+  SELECT a.d AS dr, b.d AS dc
+  FROM (SELECT CAST(range AS INT) - 1 AS d FROM range(0, 3)) a
+  CROSS JOIN (SELECT CAST(range AS INT) - 1 AS d FROM range(0, 3)) b
+  WHERE NOT (a.d = 0 AND b.d = 0)),
+ctr AS (SELECT row, col, value AS c FROM g WHERE value IS NOT NULL),
+nb AS (
+  SELECT g.row - o.dr AS row, g.col - o.dc AS col, g.value AS v
+  FROM g CROSS JOIN offs o WHERE g.value IS NOT NULL),
+nnb AS (SELECT row, col, count(*) AS n_nb FROM nb GROUP BY 1, 2),
+m AS MATERIALIZED (
+  SELECT nb.row, nb.col,
+         any_value(ctr.c) AS c,
+         sum(nb.v) AS s8,
+         sum(abs(ctr.c - nb.v)) AS sabs,
+         sum((ctr.c - nb.v) * (ctr.c - nb.v)) AS ssq,
+         min(nb.v) AS mn, max(nb.v) AS mx
+  FROM nb JOIN ctr ON ctr.row = nb.row AND ctr.col = nb.col
+  GROUP BY 1, 2)
+SELECT t.row, t.col,
+       CAST(coalesce(nnb.n_nb, 0) AS BIGINT) AS n_nb,
+       CASE WHEN nnb.n_nb = 8 THEN
+         CAST(floor((m.c - m.s8 / 8.0) * 1000000.0) AS BIGINT) END AS tpi_u6,
+       CASE WHEN nnb.n_nb = 8 THEN
+         CAST(floor((m.sabs / 8.0) * 1000000.0) AS BIGINT) END AS tri_wilson_u6,
+       CASE WHEN nnb.n_nb = 8 THEN
+         CAST(floor(sqrt(m.ssq) * 1000000.0) AS BIGINT) END AS tri_riley_u6,
+       CASE WHEN nnb.n_nb = 8 THEN
+         (CASE WHEN m.c > m.mx THEN m.c ELSE m.mx END)
+         - (CASE WHEN m.c < m.mn THEN m.c ELSE m.mn END) END AS roughness
+FROM (SELECT row, col FROM g) t
+LEFT JOIN nnb ON nnb.row = t.row AND nnb.col = t.col
+LEFT JOIN m ON m.row = t.row AND m.col = t.col
+"""
+
+REGISTRY.update({"terrain_metrics": (q_terrain_metrics, _TERRAIN_METRICS_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6122,6 +6194,9 @@ _WINDOW_TAIL = (
                        # pairs over planted near-dup BMPs; the media decode
                        # path stays in-window via media_decode and the
                        # banding machinery via the simhash family
+    "terrain_metrics",  # born-tail r7: gdaldem TPI/TRI/roughness from one
+                        # pivoted 3x3 window; terrain family anchored
+                        # in-window via flow_d8/flow_accum/viewshed/contours
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

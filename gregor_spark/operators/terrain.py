@@ -976,3 +976,134 @@ def cost_distance(
     return base.select("row", "col", "cell").join(out, "cell").select(
         "row", "col", F.col("dist").alias("cost_u6")
     )
+
+
+def surface_metrics(
+    cells: DataFrame,
+    value: str = "value",
+    nodata: float | None = None,
+) -> DataFrame:
+    """(row, col, n_nb, tpi_u6, tri_wilson_u6, tri_riley_u6, roughness)
+    — the remaining ``gdaldem`` terrain tools, all from ONE pivoted 3×3
+    window:
+
+    * TPI (topographic position index): center − mean(8 neighbors) —
+      positive on ridges, negative in valleys (Weiss 2001 / gdaldem tpi).
+    * TRI, Wilson et al. 2007 (``gdaldem tri -alg Wilson``): mean
+      |center − neighbor| over the 8 neighbors.
+    * TRI, Riley et al. 1999 (``gdaldem tri``'s default): sqrt of the
+      sum of squared center−neighbor differences.
+    * Roughness: max − min over the full 3×3 window (gdaldem roughness).
+
+    Edge semantics follow the other terrain ops (GDAL without
+    ``-compute_edges``): every input cell gets a row; metrics are NULL
+    unless the center and all 8 neighbors are valid.
+
+    Scale shape: the slope_gradients explode — each valid cell emits to
+    its 9 targets tagged (dr, dc), one groupBy pivots the window into 9
+    columns (single Exchange partitioned by cell key), and every metric
+    is a row-local expression.  Determinism: with integer-valued cells
+    the sums/differences are exact and sqrt is correctly rounded IEEE,
+    so the micro-int exports (floor(metric·10⁶)) are engine-identical."""
+    v = F.col(value)
+    valid = v.isNotNull() if nodata is None else v.isNotNull() & (v != F.lit(nodata))
+    offsets = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+
+    kern = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                for dr, dc in offsets
+            ]
+        )
+    )
+    contrib = (
+        cells.where(valid)
+        .select(F.col("row"), F.col("col"), v.alias("_v"))
+        .withColumn("_k", kern)
+        .select(
+            (F.col("row") - F.col("_k.dr")).alias("row"),
+            (F.col("col") - F.col("_k.dc")).alias("col"),
+            "_v",
+            F.col("_k.dr").alias("_dr"),
+            F.col("_k.dc").alias("_dc"),
+            F.lit(0).alias("_id"),
+        )
+    )
+    ident = cells.select(
+        "row",
+        "col",
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(None).cast("int").alias("_dr"),
+        F.lit(None).cast("int").alias("_dc"),
+        F.lit(1).alias("_id"),
+    )
+    zcols = {
+        (dr, dc): F.max(
+            F.when((F.col("_dr") == dr) & (F.col("_dc") == dc), F.col("_v"))
+        ).alias(f"_z{dr + 1}{dc + 1}")
+        for dr, dc in offsets
+    }
+    agg = (
+        contrib.unionByName(ident)
+        .groupBy("row", "col")
+        .agg(
+            F.max("_id").alias("_present"),
+            F.count(F.when((F.col("_dr") != 0) | (F.col("_dc") != 0), F.col("_v"))
+                    ).alias("n_nb"),
+            *zcols.values(),
+        )
+        .where(F.col("_present") == 1)
+    )
+    c = F.col("_z11")
+    nbs = [F.col(f"_z{dr + 1}{dc + 1}") for dr, dc in offsets if (dr, dc) != (0, 0)]
+    full = (F.col("n_nb") == 8) & c.isNotNull()
+    s8 = nbs[0]
+    sabs = F.abs(c - nbs[0])
+    ssq = (c - nbs[0]) * (c - nbs[0])
+    for nb in nbs[1:]:
+        s8 = s8 + nb
+        sabs = sabs + F.abs(c - nb)
+        ssq = ssq + (c - nb) * (c - nb)
+    allv = [c] + nbs
+    micro = F.lit(1000000.0)
+    return agg.select(
+        "row",
+        "col",
+        "n_nb",
+        F.when(full, F.floor((c - s8 / F.lit(8.0)) * micro).cast("long"))
+        .alias("tpi_u6"),
+        F.when(full, F.floor((sabs / F.lit(8.0)) * micro).cast("long"))
+        .alias("tri_wilson_u6"),
+        F.when(full, F.floor(F.sqrt(ssq) * micro).cast("long"))
+        .alias("tri_riley_u6"),
+        F.when(full, F.greatest(*allv) - F.least(*allv)).alias("roughness"),
+    )
+
+
+def tpi(cells: DataFrame, value: str = "value", nodata: float | None = None) -> DataFrame:
+    """gdaldem tpi: (row, col, n_nb, tpi_u6) — see :func:`surface_metrics`."""
+    return surface_metrics(cells, value, nodata).select("row", "col", "n_nb", "tpi_u6")
+
+
+def tri(
+    cells: DataFrame,
+    value: str = "value",
+    nodata: float | None = None,
+    alg: str = "Riley",
+) -> DataFrame:
+    """gdaldem tri (-alg Riley|Wilson): (row, col, n_nb, tri_u6)."""
+    if alg not in ("Riley", "Wilson"):
+        raise ValueError(f"unknown TRI algorithm {alg!r}")
+    col = "tri_riley_u6" if alg == "Riley" else "tri_wilson_u6"
+    m = surface_metrics(cells, value, nodata)
+    return m.select("row", "col", "n_nb", F.col(col).alias("tri_u6"))
+
+
+def roughness(
+    cells: DataFrame, value: str = "value", nodata: float | None = None
+) -> DataFrame:
+    """gdaldem roughness: (row, col, n_nb, roughness)."""
+    return surface_metrics(cells, value, nodata).select(
+        "row", "col", "n_nb", "roughness"
+    )

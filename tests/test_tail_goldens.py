@@ -112,6 +112,7 @@ def _assert_oracle_match(spark, ddb, name):
         # the DP parity suite in test_trajectory.py, not a SQL golden)
         "reproject_lambert93",  # born-tail r7 (parametrized CRS registry)
         "image_near_dup",  # born-tail r7 (perceptual dHash near-dup)
+        "terrain_metrics",  # born-tail r7 (gdaldem TPI/TRI/roughness)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

@@ -936,3 +936,106 @@ def test_cost_distance_multi_source_nodata_and_invariance(spark):
         "row", "col", "value")
     with _pt.raises(ValueError, match="positive"):
         cost_distance(flat, src, max_rounds=2)
+
+
+# ------------------------------------------------- r7: gdaldem completion
+
+
+def _brute_surface_metrics(z):
+    """Loop-wise TPI/TRI(Wilson+Riley)/roughness from the gdaldem specs,
+    independent of the Spark pivot plan.  z: 2-D float array with NaN
+    nodata."""
+    import math
+
+    h, w = z.shape
+    rows = []
+    for r in range(h):
+        for c in range(w):
+            win = [
+                z[r + dr, c + dc]
+                for dr in (-1, 0, 1)
+                for dc in (-1, 0, 1)
+                if 0 <= r + dr < h and 0 <= c + dc < w
+                and not np.isnan(z[r + dr, c + dc])
+            ]
+            ctr = z[r, c]
+            nbs = [
+                z[r + dr, c + dc]
+                for dr in (-1, 0, 1)
+                for dc in (-1, 0, 1)
+                if (dr, dc) != (0, 0)
+                and 0 <= r + dr < h and 0 <= c + dc < w
+                and not np.isnan(z[r + dr, c + dc])
+            ]
+            n_nb = len(nbs)
+            if n_nb == 8 and not np.isnan(ctr):
+                tpi = math.floor((ctr - sum(nbs) / 8.0) * 1e6)
+                tw = math.floor((sum(abs(ctr - v) for v in nbs) / 8.0) * 1e6)
+                tr = math.floor(math.sqrt(sum((ctr - v) ** 2 for v in nbs)) * 1e6)
+                rough = max(win) - min(win)
+            else:
+                tpi = tw = tr = rough = None
+            rows.append((r, c, n_nb, tpi, tw, tr, rough))
+    return sorted(rows)
+
+
+def test_surface_metrics_matches_brute(spark):
+    from gregor_spark.operators.terrain import surface_metrics
+
+    rng = np.random.RandomState(5)
+    n = 20
+    z = rng.randint(0, 500, size=(n, n)).astype(float)
+    z[rng.uniform(size=(n, n)) < 0.07] = np.nan
+    rows = [
+        (r, c, None if np.isnan(z[r, c]) else float(z[r, c]))
+        for r in range(n)
+        for c in range(n)
+    ]
+    df = spark.createDataFrame(rows, "row int, col int, value double")
+    got = sorted(
+        (
+            r["row"], r["col"], r["n_nb"], r["tpi_u6"],
+            r["tri_wilson_u6"], r["tri_riley_u6"], r["roughness"],
+        )
+        for r in surface_metrics(df).collect()
+    )
+    assert got == _brute_surface_metrics(z)
+
+
+def test_surface_metrics_flat_plane(spark):
+    """A constant surface: TPI/TRI/roughness all exactly 0 on interior
+    cells, NULL on edges."""
+    from gregor_spark.operators.terrain import surface_metrics
+
+    n = 6
+    rows = [(r, c, 42.0) for r in range(n) for c in range(n)]
+    df = spark.createDataFrame(rows, "row int, col int, value double")
+    out = {(r["row"], r["col"]): r for r in surface_metrics(df).collect()}
+    assert len(out) == n * n
+    for (r, c), rec in out.items():
+        interior = 1 <= r <= n - 2 and 1 <= c <= n - 2
+        if interior:
+            assert rec["tpi_u6"] == 0 and rec["tri_wilson_u6"] == 0
+            assert rec["tri_riley_u6"] == 0 and rec["roughness"] == 0.0
+        else:
+            assert rec["tpi_u6"] is None and rec["roughness"] is None
+
+
+def test_tri_alg_wrappers(spark):
+    from gregor_spark.operators.terrain import roughness, tpi, tri
+
+    rows = [(r, c, float((r * 3 + c * 7) % 11)) for r in range(5) for c in range(5)]
+    df = spark.createDataFrame(rows, "row int, col int, value double")
+    assert tri(df, alg="Riley").columns == ["row", "col", "n_nb", "tri_u6"]
+    assert tri(df, alg="Wilson").columns == ["row", "col", "n_nb", "tri_u6"]
+    assert tpi(df).columns == ["row", "col", "n_nb", "tpi_u6"]
+    assert roughness(df).columns == ["row", "col", "n_nb", "roughness"]
+    with pytest.raises(ValueError):
+        tri(df, alg="riley")
+    # Riley >= Wilson pointwise is NOT generally true; instead check the
+    # Cauchy-Schwarz bound sqrt(ssq) >= sabs/sqrt(8) > sabs/8 on interior
+    w = {(r["row"], r["col"]): r["tri_u6"] for r in tri(df, alg="Wilson").collect()}
+    ry = {(r["row"], r["col"]): r["tri_u6"] for r in tri(df, alg="Riley").collect()}
+    for k, v in ry.items():
+        if v is not None:
+            assert v >= w[k]
