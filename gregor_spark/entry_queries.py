@@ -4934,6 +4934,63 @@ ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 256)),
 REGISTRY.update({"bpe_merges": (q_bpe_merges, _bpe_merges_sql())})
 
 
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 BYTE-level BPE training (the GPT-2-family tokenizer shape):
+    6 merge rounds over UTF-8 bytes within whitespace pre-tokenizer
+    segments (ops/text.py::bpe_train_bytes — hex-unit delimited
+    rendering keeps the replace identity total over any byte, and the
+    bare-space segment separator keeps merges inside segments).  The
+    oracle replays the full training loop: the identical encode → hex →
+    regexp_replace rendering, then 6 unrolled MATERIALIZED
+    count/argmax/replace rounds."""
+    from .ops.text import bpe_train_bytes
+
+    mdf, _ = bpe_train_bytes(_docs(spark, sf_dir), n_merges=6)
+    return mdf
+
+
+def _bpe_bytes_round(i: int) -> str:
+    # MATERIALIZED is load-bearing (see _bpe_round): each round
+    # references the previous corpus + argmax several times
+    return f"""q{i} AS MATERIALIZED (
+  SELECT list_extract(t, k) AS l, list_extract(t, k + 1) AS r
+  FROM (SELECT string_split(substring(s, 2, length(s) - 2), ')(') AS t
+        FROM (SELECT unnest(string_split(enc, ' ')) AS s
+              FROM f{i} WHERE length(enc) > 1) ss
+        WHERE length(s) > 1) tt
+  CROSS JOIN ks WHERE k <= len(t) - 1),
+c{i} AS MATERIALIZED (
+  SELECT l, r, CAST(count(*) AS BIGINT) AS cnt
+  FROM q{i} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+f{i + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(enc, '(' || c.l || ')(' || c.r || ')',
+                      '(' || c.l || c.r || ')') AS enc
+  FROM f{i} CROSS JOIN c{i} c)"""
+
+
+def _bpe_bytes_sql(n_merges: int = 6) -> str:
+    rounds = ",\n".join(_bpe_bytes_round(i) for i in range(n_merges))
+    final = "\nUNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS "rank", l AS "left", r AS "right", cnt'
+        f" FROM c{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+WITH f0 AS MATERIALIZED (
+  SELECT doc_id,
+         replace(regexp_replace(hex(encode(text)), '(..)', '(\\1)', 'g'),
+                 '(20)', ' ') AS enc
+  FROM documents),
+ks AS (SELECT CAST(range AS INT) AS k FROM range(1, 256)),
+{rounds}
+{final}
+"""
+
+
+REGISTRY.update({"bpe_bytes": (q_bpe_bytes, _bpe_bytes_sql())})
+
+
 def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixture sampling over the per-language corpus shares
     (ops/sampling.py::sample_quota — α=0.5 smoothing to a 200-doc
@@ -6197,6 +6254,10 @@ _WINDOW_TAIL = (
     "terrain_metrics",  # born-tail r7: gdaldem TPI/TRI/roughness from one
                         # pivoted 3x3 window; terrain family anchored
                         # in-window via flow_d8/flow_accum/viewshed/contours
+    "bpe_bytes",   # born-tail r7: byte-level BPE trainer (hex-unit
+                   # rendering, segment-bounded merges); the BPE family's
+                   # word-level training loop stays in-window via
+                   # bpe_merges over the same corpus
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -745,3 +745,128 @@ def dsir_select(
     return keyed.select(
         "*", (F.row_number().over(w) <= F.lit(int(k_docs))).alias("selected")
     )
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE (r7): the GPT-2-family trainer — merges operate on BYTES
+# within whitespace pre-tokenizer segments, never across them.
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_bytes(text_col: Column) -> Column:
+    """Byte-level delimited rendering: UTF-8 bytes as 2-hex-digit units,
+    each wrapped in parens, with the space byte (0x20) rendered as a
+    bare separator — ``(68)(C3)(A9) (77)``.  Hex units make the
+    rendering TOTAL (any byte, including literal parens, maps to two
+    hex digits — no character stripping needed), and the bare space
+    between segments means a literal ``(L)(R)`` replace can never match
+    across a pre-tokenizer boundary, so the replace identity of
+    :func:`_bpe_encode` (non-overlapping left-to-right replace == greedy
+    single-pass merge) carries over unchanged.  Every step is a native
+    codegen expression (encode → hex → regexp_replace → replace), and
+    the identical chain replays in DuckDB (hex casing and regex
+    semantics agree — parity asserted by the contract row)."""
+    hx = F.hex(F.encode(text_col, "UTF-8"))
+    wrapped = F.regexp_replace(hx, "(..)", "($1)")
+    return F.replace(wrapped, F.lit("(20)"), F.lit(" "))
+
+
+def _bpe_top_pair_bytes(enc_df: DataFrame):
+    """argmax adjacent pair of the byte-encoded corpus — the segment
+    explode keeps pairs inside pre-tokenizer boundaries; otherwise the
+    same explode + partial-agg + TakeOrdered(1) as ``_bpe_top_pair``."""
+    seg = (
+        enc_df.where(F.length("_enc") > 1)
+        .select(F.explode(F.split("_enc", " ")).alias("_s"))
+        .where(F.length("_s") > 1)
+    )
+    t = F.split(F.expr("substring(_s, 2, length(_s) - 2)"), r"\)\(")
+    return (
+        seg.select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("left"), F.col("p.1").alias("right"))
+        .groupBy("left", "right")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("left"), F.col("right"))
+        .limit(1)
+        .collect()
+    )
+
+
+def bpe_train_bytes(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text: str = "text",
+):
+    """(rank, left, right, cnt) — BYTE-level BPE merge learning, the
+    real-tokenizer-training shape (Sennrich 2016 as used by GPT-2/
+    RoBERTa byte-level vocabularies): the unit alphabet is the 256
+    bytes, the whitespace pre-tokenizer splits on 0x20, and merges
+    apply within segments only.  Tokens in the returned table are hex
+    strings ("C3A9" = the merged é byte pair); ties break
+    lexicographically on (left, right) so training is deterministic.
+
+    Same 100 TB shape as :func:`bpe_train`: rendering is one map-only
+    pass; each round is one explode + partial-agg pair count (hot pairs
+    pre-summed map-side), a 1-row argmax collect, and a map-only
+    literal replace; round plans stats-truncated.  Returns
+    (merges_df, encoded_docs)."""
+    from .dedup import _materialize_truncated
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = docs.sparkSession
+    enc = _materialize_truncated(
+        docs.select("doc_id", _bpe_encode_bytes(F.col(text)).alias("_enc"))
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = _bpe_top_pair_bytes(enc)
+        if not top:
+            break
+        l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
+        merges.append((rank, l, r, cnt))
+        enc = _materialize_truncated(
+            enc.select(
+                "doc_id",
+                F.replace(
+                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("_enc"),
+            )
+        )
+    mdf = spark.createDataFrame(
+        merges, "rank long, left string, right string, cnt long"
+    )
+    return mdf, enc
+
+
+def bpe_apply_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bytes, n_tokens) — apply a learned byte-merge list in
+    rank order to new documents (tokenizer inference): a map-only
+    literal replace chain; counts are paren counts (one per token),
+    excluding the pre-tokenizer spaces from n_bytes."""
+    out = _bpe_encode_bytes(F.col(text))
+    before = out
+    for l, r in merges:
+        out = F.replace(out, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+
+    def n_parens(c):
+        return (F.length(c) - F.length(F.replace(c, F.lit("("), F.lit("")))).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n_parens(before).alias("n_bytes"),
+        n_parens(out).alias("n_tokens"),
+    )

@@ -246,3 +246,85 @@ def test_dsir_select_gumbel_topk(spark):
     flat = {r["doc_id"] for r in dsir_select(wdf, 10, tau=1e9).collect()
             if r["selected"]}
     assert flat != sel
+
+
+# --------------------------------------------------- r7: byte-level BPE
+
+
+def _py_byte_bpe(texts, n_merges):
+    """Independent greedy byte-level BPE reference: per-segment byte
+    tuples, explicit pair counting, explicit left-to-right greedy merge
+    — no string-replace trick, no Spark."""
+    segs = []
+    for t in texts:
+        for w in t.encode("utf-8").split(b" "):
+            if w:
+                segs.append([f"{b:02X}" for b in w])
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for s in segs:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        new_segs = []
+        for s in segs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_segs.append(out)
+        segs = new_segs
+    return merges, segs
+
+
+def test_bpe_bytes_matches_independent_reference(spark):
+    """Multi-byte UTF-8 fixture (é = C3 A9, ö = C3 B6, € = E2 82 AC):
+    the Spark replace-trick trainer reproduces the explicit greedy
+    reference merge-for-merge, including merges that cross the
+    multi-byte character's interior."""
+    from gregor_spark.ops.text import bpe_train_bytes
+
+    texts = [
+        "héllo héllo wörld",
+        "héllo wörld wörld",
+        "the €uro the €uro",
+        "aaaa aaaa baa",
+        "(par)ens mid‐dash",   # literal parens + U+2010 (E2 80 90)
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    mdf, _enc = bpe_train_bytes(df, n_merges=8)
+    got = [(r["rank"], r["left"], r["right"], r["cnt"]) for r in mdf.collect()]
+    want, _ = _py_byte_bpe(texts, 8)
+    assert got == sorted(want)
+
+
+def test_bpe_bytes_merges_stay_inside_segments(spark):
+    """'ab ab ab' can merge (61)(62) but NEVER (62)(61) — that pair only
+    exists across the space boundary."""
+    from gregor_spark.ops.text import bpe_train_bytes
+
+    df = spark.createDataFrame([(0, "ab ab ab ab")], "doc_id long, text string")
+    mdf, enc = bpe_train_bytes(df, n_merges=3)
+    rows = [(r["left"], r["right"]) for r in mdf.collect()]
+    assert rows == [("61", "62")]  # one merge then nothing mergeable
+    assert enc.collect()[0]["_enc"] == "(6162) (6162) (6162) (6162)"
+
+
+def test_bpe_apply_bytes_counts(spark):
+    from gregor_spark.ops.text import bpe_apply_bytes
+
+    df = spark.createDataFrame([(0, "héllo héllo")], "doc_id long, text string")
+    # "héllo" = 68 C3 A9 6C 6C 6F (6 bytes); merge C3+A9 then 6C+6C
+    out = bpe_apply_bytes(df, [("C3", "A9"), ("6C", "6C")]).collect()[0]
+    assert out["n_bytes"] == 12
+    assert out["n_tokens"] == 8  # per word: 68 (C3A9) (6C6C) 6F

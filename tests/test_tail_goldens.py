@@ -113,6 +113,7 @@ def _assert_oracle_match(spark, ddb, name):
         "reproject_lambert93",  # born-tail r7 (parametrized CRS registry)
         "image_near_dup",  # born-tail r7 (perceptual dHash near-dup)
         "terrain_metrics",  # born-tail r7 (gdaldem TPI/TRI/roughness)
+        "bpe_bytes",       # born-tail r7 (byte-level BPE trainer)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
