@@ -96,30 +96,39 @@ def write_table(
         prior = read_manifest(path).get("snapshots", [])
     out.write.mode(mode).partitionBy("bucket").parquet(path)
     all_files = _walk_data_files(path, "bucket")
+    now_ms = int(time.time() * 1000)
+    snap_id = max(now_ms, (prior[-1]["snapshot_id"] + 1) if prior else 0)
     if prior:
         # an appending commit = the current snapshot's files plus whatever
         # the write just added — NOT a blind directory walk, which would
         # resurrect files kept on disk only for older snapshots' time
-        # travel (e.g. pre-compaction small files awaiting expiry)
+        # travel (e.g. pre-compaction small files awaiting expiry).
+        # Inherited entries keep their data sequence number ("seq" —
+        # missing on pre-r7 entries means 0); new files stamp this
+        # commit's, so merge-on-read equality deletes scope correctly.
         known = {f["path"] for s in prior for f in s["files"]}
-        files = [(f["path"], f["rows"]) for f in prior[-1]["files"]] + [
-            (p, n) for p, n in all_files if p not in known
+        files = [dict(f) for f in prior[-1]["files"]] + [
+            {"path": p, "rows": n, "seq": snap_id}
+            for p, n in all_files
+            if p not in known
         ]
     else:
-        files = all_files
+        files = [{"path": p, "rows": n, "seq": snap_id} for p, n in all_files]
     counts: dict[str, int] = {}
-    for p, n in files:
-        key = os.path.dirname(p).split("=", 1)[1]
-        counts[key] = counts.get(key, 0) + n
-    now_ms = int(time.time() * 1000)
-    snap_id = max(now_ms, (prior[-1]["snapshot_id"] + 1) if prior else 0)
+    for f in files:
+        key = os.path.dirname(f["path"]).split("=", 1)[1]
+        counts[key] = counts.get(key, 0) + f["rows"]
     snapshot = {
         "snapshot_id": snap_id,
         "timestamp_ms": now_ms,
         "operation": mode,
-        "files": [{"path": p, "rows": n} for p, n in files],
-        "total_rows": sum(n for _p, n in files),
+        "files": files,
+        "total_rows": sum(f["rows"] for f in files),
     }
+    if prior and prior[-1].get("delete_files"):
+        # merge-on-read deletes keep applying to the files they were
+        # committed against; an append inherits them untouched
+        snapshot["delete_files"] = list(prior[-1]["delete_files"])
     manifest = {
         "format": "gregor-iceberg-like/2",
         "snapshot_id": snap_id,            # current (legacy top-level field)
@@ -178,7 +187,81 @@ def read_table(
     files = [os.path.join(path, f["path"]) for f in snap["files"]]
     if not files:
         raise ValueError(f"snapshot {snap['snapshot_id']} lists no files")
-    return spark.read.option("basePath", path).parquet(*files)
+    df = spark.read.option("basePath", path).parquet(*files)
+    if snap.get("delete_files"):
+        df = _apply_mor_deletes(spark, path, snap, df)
+    return df
+
+
+#: per-row relative data-file path, derived from the parquet scan's
+#: hidden _metadata column (bucket layout is always bucket=N/<file>)
+_REL_FILE = r"bucket=\d+/[^/]+$"
+
+
+def _apply_mor_deletes(spark, path: str, snap: dict, df: DataFrame) -> DataFrame:
+    """Merge-on-read: anti-join the snapshot's delete files onto the
+    data scan (the Iceberg v2 reader contract).
+
+    * POSITION deletes carry (file_path, pos) rows and are naturally
+      scoped — they name exact (file, row-index) coordinates, matched
+      against the scan's ``_metadata.file_path`` / ``row_index``.
+    * EQUALITY deletes carry key values and apply only to data files
+      with a data sequence number BELOW the delete's (``applies_seq``):
+      rows appended after the delete keep the key.  NULL keys never
+      match (SQL join semantics), i.e. a NULL-keyed row is undeletable
+      by equality — same as Iceberg.
+
+    Shape: one map-side projection of the hidden metadata, one anti-join
+    per delete kind.  Delete frames are typically tiny next to the data
+    and broadcast; the equality path's non-equi seq guard rides on the
+    key equi-join."""
+    dels = snap["delete_files"]
+    pos = [d for d in dels if d["kind"] == "position"]
+    eq = [d for d in dels if d["kind"] == "equality"]
+    data = df.withColumn(
+        "_file", F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE, 0)
+    ).withColumn("_pos", F.col("_metadata.row_index"))
+    if pos:
+        pframes = [
+            spark.read.parquet(os.path.join(path, d["path"])) for d in pos
+        ]
+        pdel = pframes[0]
+        for fr in pframes[1:]:
+            pdel = pdel.unionByName(fr)
+        pdel = pdel.select(
+            F.col("file_path").alias("_df"), F.col("pos").alias("_dp")
+        )
+        data = data.join(
+            F.broadcast(pdel),
+            (data["_file"] == pdel["_df"]) & (data["_pos"] == pdel["_dp"]),
+            "left_anti",
+        )
+    if eq:
+        seqmap = spark.createDataFrame(
+            [(f["path"], int(f.get("seq", 0))) for f in snap["files"]],
+            "_file string, _seq long",
+        )
+        data = data.join(F.broadcast(seqmap), "_file", "left")
+        by_col: dict[str, list[dict]] = {}
+        for d in eq:
+            by_col.setdefault(d["col"], []).append(d)
+        for col, group in by_col.items():
+            frames = [
+                spark.read.parquet(os.path.join(path, d["path"]))
+                .select(F.col(col).alias("_dk"))
+                .withColumn("_dseq", F.lit(int(d["applies_seq"])))
+                for d in group
+            ]
+            edel = frames[0]
+            for fr in frames[1:]:
+                edel = edel.unionByName(fr)
+            data = data.join(
+                F.broadcast(edel),
+                (data[col] == edel["_dk"]) & (data["_seq"] < edel["_dseq"]),
+                "left_anti",
+            )
+        data = data.drop("_seq")
+    return data.drop("_file", "_pos")
 
 
 def read_table_changes(
@@ -238,10 +321,16 @@ def compact_table(spark: SparkSession, path: str) -> dict:
     cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
     n_buckets = m["partition_spec"]["n_buckets"]
     src = [os.path.join(path, f["path"]) for f in cur["files"]]
+    src_df = spark.read.option("basePath", path).parquet(*src)
+    has_dels = bool(cur.get("delete_files"))
+    if has_dels:
+        # compaction FOLDS merge-on-read deletes: the rewrite reads
+        # through the anti-joins, so the compacted snapshot carries no
+        # delete files and readers pay nothing again
+        src_df = _apply_mor_deletes(spark, path, cur, src_df)
     tmp = os.path.join(path, "_compact_tmp")
     (
-        spark.read.option("basePath", path)
-        .parquet(*src)
+        src_df
         .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -265,14 +354,21 @@ def compact_table(spark: SparkSession, path: str) -> dict:
             )
     shutil.rmtree(tmp)
     new_total = sum(n for _p, n in new_files)
-    assert new_total == cur["total_rows"], (
-        f"compaction row drift: {new_total} != {cur['total_rows']}"
-    )
+    if has_dels:
+        # with folded deletes the exact survivor count is only known
+        # post-write; it can only shrink
+        assert new_total <= cur["total_rows"], (
+            f"compaction grew rows: {new_total} > {cur['total_rows']}"
+        )
+    else:
+        assert new_total == cur["total_rows"], (
+            f"compaction row drift: {new_total} != {cur['total_rows']}"
+        )
     snapshot = {
         "snapshot_id": snap_id,
         "timestamp_ms": now_ms,
         "operation": "compact",
-        "files": [{"path": p, "rows": n} for p, n in new_files],
+        "files": [{"path": p, "rows": n, "seq": snap_id} for p, n in new_files],
         "total_rows": new_total,
     }
     counts: dict[str, int] = {}
@@ -330,18 +426,28 @@ def expire_snapshots(
             keep = True
         if keep:
             retained.append(s)
-    live = {f["path"] for s in retained for f in s["files"]}
+    live = {f["path"] for s in retained for f in s["files"]} | {
+        d["path"] for s in retained for d in s.get("delete_files", [])
+    }
     dead = sorted(
-        {f["path"] for s in snaps for f in s["files"]} - live
+        (
+            {f["path"] for s in snaps for f in s["files"]}
+            | {d["path"] for s in snaps for d in s.get("delete_files", [])}
+        )
+        - live
     )
     m["snapshots"] = retained
     tmp = os.path.join(path, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1)
     os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit
+    import shutil
+
     for rel in dead:
         full = os.path.join(path, rel)
-        if os.path.exists(full):
+        if os.path.isdir(full):  # MoR delete files are parquet dirs
+            shutil.rmtree(full)
+        elif os.path.exists(full):
             os.remove(full)
     return {
         "retained": [s["snapshot_id"] for s in retained],
@@ -370,7 +476,9 @@ def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
     m = read_manifest(path)
     if not m.get("snapshots"):
         raise ValueError("table has no snapshot history (pre-v2 manifest)")
-    live = {f["path"] for s in m["snapshots"] for f in s["files"]}
+    live = {f["path"] for s in m["snapshots"] for f in s["files"]} | {
+        d["path"] for s in m["snapshots"] for d in s.get("delete_files", [])
+    }
     cutoff = time.time() - grace_seconds
     deleted: list[str] = []
     for dirname in sorted(os.listdir(path)):
@@ -379,6 +487,14 @@ def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
             if os.path.getmtime(pdir) <= cutoff:
                 shutil.rmtree(pdir)
                 deleted.append(dirname + "/")
+            continue
+        if dirname == "_deletes" and os.path.isdir(pdir):
+            for sub in sorted(os.listdir(pdir)):
+                rel = os.path.join(dirname, sub)
+                full = os.path.join(pdir, sub)
+                if rel not in live and os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full)
+                    deleted.append(rel + "/")
             continue
         if not dirname.startswith("bucket=") or not os.path.isdir(pdir):
             continue
@@ -765,7 +881,7 @@ def _cow_commit(
             new_files.append((rel, rows))
     shutil.rmtree(tmp)
     files = [f for f in cur["files"] if f["path"] not in replaced] + [
-        {"path": p, "rows": n} for p, n in new_files
+        {"path": p, "rows": n, "seq": snap_id} for p, n in new_files
     ]
     total = sum(f["rows"] for f in files)
     snapshot = {
@@ -816,6 +932,12 @@ def merge_table(
     m = read_manifest(path)
     if not m.get("snapshots"):
         raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    if _resolve_snapshot(m, m["current_snapshot_id"], None).get("delete_files"):
+        raise ValueError(
+            "table has merge-on-read delete files; run compact_table "
+            "before a copy-on-write MERGE (a file-granular rewrite would "
+            "resurrect MoR-deleted rows)"
+        )
     spec = m["partition_spec"]
     # pin the source before planning: it is referenced several times
     # (dup check, semi-joins, the rewrite, the summary counts) — a
@@ -880,6 +1002,12 @@ def delete_where(spark: SparkSession, path: str, condition) -> dict:
     cond = F.expr(condition) if isinstance(condition, str) else condition
     hit = F.coalesce(cond, F.lit(False))
     cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    if cur.get("delete_files"):
+        raise ValueError(
+            "table has merge-on-read delete files; run compact_table "
+            "before a copy-on-write DELETE (a file-granular rewrite "
+            "would resurrect MoR-deleted rows) — or use delete_where_mor"
+        )
     cur_files = [os.path.join(path, f["path"]) for f in cur["files"]]
     tagged = (
         spark.read.option("basePath", path)
@@ -906,3 +1034,135 @@ def delete_where(spark: SparkSession, path: str, condition) -> dict:
     summary = _cow_commit(spark, path, m, replaced, out, "delete")
     summary["rows_deleted"] = cur["total_rows"] - summary["total_rows"]
     return summary
+
+
+# ------------------------------------------------ merge-on-read deletes
+
+
+def _mor_commit(path: str, m: dict, entry: dict, operation: str) -> dict:
+    """Commit a merge-on-read delete: a new snapshot with the SAME data
+    files and one more delete-file entry — no data file is touched (the
+    cheap-write/deferred-read half of the Iceberg v2 contract; COW is
+    the other half).  Atomic manifest swap as everywhere."""
+    snaps = m["snapshots"]
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    now_ms = int(time.time() * 1000)
+    snap_id = max(now_ms, snaps[-1]["snapshot_id"] + 1)
+    entry = dict(entry)
+    snapshot = {
+        "snapshot_id": snap_id,
+        "timestamp_ms": now_ms,
+        "operation": operation,
+        "files": [dict(f) for f in cur["files"]],
+        "total_rows": cur["total_rows"],
+        "delete_files": list(cur.get("delete_files", [])) + [entry],
+    }
+    m["snapshots"] = snaps + [snapshot]
+    m["snapshot_id"] = snap_id
+    m["current_snapshot_id"] = snap_id
+    tmpf = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmpf, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmpf, os.path.join(path, MANIFEST))  # atomic commit
+    return {
+        "snapshot_id": snap_id,
+        "operation": operation,
+        "delete_file": entry["path"],
+        "delete_rows": entry["rows"],
+        "delete_files_total": len(snapshot["delete_files"]),
+    }
+
+
+def delete_where_mor(spark: SparkSession, path: str, condition) -> dict:
+    """DELETE WHERE, merge-on-read via a POSITION delete file: matching
+    rows are recorded as (file_path, pos) coordinates — derived from the
+    scan's hidden ``_metadata`` (file path + row index) — and data files
+    are NOT rewritten; readers anti-join the coordinates at scan time.
+    The write costs one filtered scan plus a delete file proportional to
+    the MATCHES (a 100-row delete on a 100 TB table writes ~100 rows),
+    trading read-side work until ``compact_table`` folds the deletes
+    back into clean files.  NULL predicate results keep the row; a
+    no-match delete commits nothing."""
+    m = read_manifest(path)
+    if not m.get("snapshots"):
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hit = F.coalesce(cond, F.lit(False))
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    cur_files = [os.path.join(path, f["path"]) for f in cur["files"]]
+    base = spark.read.option("basePath", path).parquet(*cur_files)
+    # apply EXISTING deletes first so re-deleting an already-deleted row
+    # cannot double-record a position
+    if cur.get("delete_files"):
+        base = _apply_mor_deletes(spark, path, cur, base)
+    hits = (
+        base.where(hit)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE, 0)
+            .alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    snaps = m["snapshots"]
+    snap_id = max(int(time.time() * 1000), snaps[-1]["snapshot_id"] + 1)
+    rel = f"_deletes/posdel-{snap_id}"
+    hits.write.mode("errorifexists").parquet(os.path.join(path, rel))
+    n = spark.read.parquet(os.path.join(path, rel)).count()
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, rel))
+        return {
+            "snapshot_id": m["current_snapshot_id"],
+            "operation": "delete-mor",
+            "delete_file": None,
+            "delete_rows": 0,
+            "delete_files_total": len(cur.get("delete_files", [])),
+        }
+    return _mor_commit(
+        path, m, {"path": rel, "rows": n, "kind": "position"}, "delete-mor"
+    )
+
+
+def delete_keys_mor(spark: SparkSession, path: str, keys: DataFrame, col: str) -> dict:
+    """DELETE BY KEY, merge-on-read via an EQUALITY delete file: the
+    distinct key values are written once and readers anti-join them
+    against every data file whose data sequence number predates this
+    commit — rows APPENDED LATER with the same key survive (the Iceberg
+    v2 equality-delete scoping).  The write never scans the table at
+    all: cost is O(|keys|) regardless of table size — the GDPR/right-
+    to-be-forgotten shape.  NULL keys are dropped (undeletable by
+    equality)."""
+    m = read_manifest(path)
+    if not m.get("snapshots"):
+        raise ValueError("table has no snapshot history (pre-v2 manifest)")
+    cur = _resolve_snapshot(m, m["current_snapshot_id"], None)
+    snaps = m["snapshots"]
+    snap_id = max(int(time.time() * 1000), snaps[-1]["snapshot_id"] + 1)
+    rel = f"_deletes/eqdel-{snap_id}"
+    vals = keys.select(F.col(col)).where(F.col(col).isNotNull()).distinct()
+    vals.write.mode("errorifexists").parquet(os.path.join(path, rel))
+    n = spark.read.parquet(os.path.join(path, rel)).count()
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, rel))
+        return {
+            "snapshot_id": m["current_snapshot_id"],
+            "operation": "delete-mor-eq",
+            "delete_file": None,
+            "delete_rows": 0,
+            "delete_files_total": len(cur.get("delete_files", [])),
+        }
+    return _mor_commit(
+        path,
+        m,
+        {
+            "path": rel,
+            "rows": n,
+            "kind": "equality",
+            "col": col,
+            "applies_seq": snap_id,
+        },
+        "delete-mor-eq",
+    )
