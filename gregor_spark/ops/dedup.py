@@ -1010,6 +1010,7 @@ def connected_components_twostar(
     b: str = "doc_b",
     max_iters: int = 60,
     round_hook=None,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(key, cluster_id) — connected components via the ALTERNATING
     large-star/small-star algorithm (Kiveris, Lattanzi, Mirrokni,
@@ -1045,6 +1046,56 @@ def connected_components_twostar(
     )
     edges = _materialize_truncated(e0)
 
+    # Small-graph fast path (r7): below ~2M edges the star loop is pure
+    # scheduler latency — every round costs ~1.5 s of fixed overhead on
+    # a graph one task chews through in milliseconds (measured on the
+    # sf0.1 ST-DBSCAN graph: 9 rounds × 1.5 s for 180k edges).  Run an
+    # exact single-TASK union-find instead: one Arrow-batched pass over
+    # the edges in one executor task — the same bounded-work class as
+    # the k-means k×dim driver collect (2M edges ≈ 32 MB).  At scale
+    # the count exceeds the threshold and the O(log² n) star loop
+    # engages; both paths produce the identical min-root labels
+    # (parity-tested in test_dedup/test_dbscan).
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        utype = dict(edges.dtypes)["u"]
+
+        def _uf(batches):
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            rows = None
+            import pandas as _pd
+
+            for pdf in batches:
+                for u, v in zip(pdf["u"], pdf["v"]):
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        if rv < ru:
+                            ru, rv = rv, ru
+                        parent[rv] = ru
+            rows = [(x, find(x)) for x in parent]
+            yield _pd.DataFrame(rows, columns=["u", "v"])
+
+        star = edges.coalesce(1).mapInPandas(_uf, f"u {utype}, v {utype}")
+        ids = docs.select(F.col(key).alias("id"))
+        lab = ids.join(
+            star.where(F.col("u") != F.col("v"))
+            .select(F.col("u").alias("id"), F.col("v").alias("_root")),
+            "id",
+            "left",
+        )
+        return lab.select(
+            F.col("id").alias(key),
+            F.coalesce("_root", "id").alias("cluster_id"),
+        )
+
     def _large_star(E: DataFrame) -> DataFrame:
         # neighborhoods over BOTH directions; m(x) = min(Γ(x) ∪ {x});
         # emit (y, m) for strictly larger neighbors y of x
@@ -1052,12 +1103,16 @@ def connected_components_twostar(
             E.select(F.col("v").alias("x"), F.col("u").alias("y"))
         )
         m = nbrs.groupBy("x").agg(F.least(F.min("y"), F.first("x")).alias("m"))
+        # NO distinct here: duplicates (several x hanging y under the
+        # same m) are bounded by |E| and small_star's final distinct
+        # cleans them — dropping the intermediate dedup saves one
+        # shuffle per round (measured ~15% of round time on the sf0.1
+        # ST-DBSCAN graph)
         out = (
             nbrs.join(m, "x")
             .where(F.col("y") > F.col("x"))
             .select(F.col("y").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         return out
 
@@ -1086,9 +1141,17 @@ def connected_components_twostar(
     for i in range(max_iters):
         t0 = _time.monotonic()
         new_edges = _materialize_truncated(_small_star(_large_star(edges)))
+        # ONE symmetric-difference job, not two anti-join actions: both
+        # sides are distinct, so an edge in exactly one of them shows up
+        # with count 1 in the union (per-round job count matters — each
+        # extra action costs fixed scheduler latency every round)
         changed = bool(
-            new_edges.join(edges, ["u", "v"], "left_anti").take(1)
-        ) or bool(edges.join(new_edges, ["u", "v"], "left_anti").take(1))
+            new_edges.unionByName(edges)
+            .groupBy("u", "v")
+            .count()
+            .where(F.col("count") == 1)
+            .take(1)
+        )
         if round_hook is not None:
             round_hook(i, _time.monotonic() - t0, changed)
         edges = new_edges

@@ -19,7 +19,10 @@ def _edges(spark, pairs):
 
 
 def _both(spark, n, pairs, **kw):
+    # small_graph_edges=0 pins the star LOOP (the at-scale path) — the
+    # r7 single-task fast path is parity-tested against it separately
     ids, e = _ids(spark, n), _edges(spark, pairs)
+    kw.setdefault("small_graph_edges", 0)
     ts = {r.doc_id: r.cluster_id
           for r in connected_components_twostar(ids, e, **kw).collect()}
     pr = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, e).collect()}
@@ -60,7 +63,8 @@ def test_twostar_adversarial_id_order(spark):
     rounds = []
     ids, e = _ids(spark, 60), _edges(spark, pairs)
     out = connected_components_twostar(
-        ids, e, round_hook=lambda i, s, c: rounds.append(i)
+        ids, e, round_hook=lambda i, s, c: rounds.append(i),
+        small_graph_edges=0,  # pin the loop: this test measures rounds
     )
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert set(got.values()) == {0} and len(got) == 60
@@ -135,3 +139,38 @@ def test_dedup_clusters_escalation_disabled_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(ids, e, max_iters=10, escalate_after=None,
                        pointer_jumping=False)
+
+
+def test_small_graph_fast_path_parity_with_star_loop(spark):
+    """r7 single-task union-find fast path == the distributed star loop,
+    label-for-label, on random graphs, chains, cliques, and string keys."""
+    for seed in (1, 2):
+        n = 150
+        pairs = sorted({
+            (min(a, b), max(a, b))
+            for k in range(200)
+            for a, b in [((k * 48271 + seed) % n, (k * 16807 + 3 * seed) % n)]
+            if a != b
+        })
+        ids, e = _ids(spark, n), _edges(spark, pairs)
+        fast = {r.doc_id: r.cluster_id
+                for r in connected_components_twostar(ids, e).collect()}
+        loop = {r.doc_id: r.cluster_id
+                for r in connected_components_twostar(
+                    ids, e, small_graph_edges=0).collect()}
+        assert fast == loop, f"seed {seed}"
+
+
+def test_small_graph_fast_path_string_keys(spark):
+    ids = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(10)], "doc_id string"
+    )
+    e = spark.createDataFrame(
+        [("d003", "d001"), ("d001", "d002"), ("d007", "d008")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components_twostar(ids, e).collect()}
+    assert got["d001"] == got["d002"] == got["d003"] == "d001"
+    assert got["d007"] == got["d008"] == "d007"
+    assert got["d005"] == "d005"
