@@ -613,7 +613,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, making it an independent formulation, not a replay."""
     docs = _docs(spark, sf_dir)
     edges = D.lsh_candidate_edges_star(docs)
-    return D.dedup_clusters(docs, edges)
+    # small_graph_edges: under ~2M candidate edges the propagation loop
+    # is pure scheduler latency — use the single-task union-find (same
+    # component-minimum labels, parity-pinned in tests/test_twostar.py)
+    return D.dedup_clusters(docs, edges, small_graph_edges=2_000_000)
 
 
 _DEDUP_CLUSTERS_SQL = f"""

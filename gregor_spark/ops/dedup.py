@@ -759,6 +759,7 @@ def dedup_clusters(
     round_hook=None,
     pointer_jumping: bool | str = "auto",
     escalate_after: int | None = 16,
+    small_graph_edges: int = 0,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over a near-dup pair
     graph (canonical-keep clustering: cluster_id = the minimum doc id
@@ -814,6 +815,12 @@ def dedup_clusters(
     including the convergence probe (2 plain rounds reach r=2, then
     r ← 2r+1 per halving round) — the caller gets O(log d) without
     knowing the flag exists (pinned in tests/test_round5.py).
+
+    ``small_graph_edges`` (r7, default 0 = off): when > 0 and the pair
+    count is under it, skip the loop entirely and run the single-task
+    union-find (:func:`_single_task_components`) — identical labels, no
+    per-round scheduler latency.  Off by default because the loop IS
+    the subject for round-count/convergence-contract callers.
     """
     import time as _time
 
@@ -822,6 +829,15 @@ def dedup_clusters(
             pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         )
     )
+    # Opt-in small-graph shortcut (r7; default OFF — callers and tests
+    # that pin round counts / convergence raises keep the loop): under
+    # the threshold, run the single-task union-find instead of paying
+    # per-round scheduler latency.  Doubled edges are harmless there,
+    # so gate on the materialized both-direction table (2× the pairs).
+    if small_graph_edges and edges.count() <= 2 * small_graph_edges:
+        return _single_task_components(
+            docs, edges.select(F.col("src").alias("u"), F.col("dst").alias("v")), key
+        )
     labels = _materialize_truncated(
         docs.select(F.col(key).alias("id")).withColumn("label", F.col("id"))
     )
@@ -1002,6 +1018,53 @@ def simhash_fast(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFra
     )
 
 
+def _single_task_components(docs: DataFrame, edges: DataFrame, key: str) -> DataFrame:
+    """Exact connected components of a SMALL materialized edge table
+    (columns ``u``, ``v``) via one Arrow-batched union-find pass in a
+    single executor task; ``cluster_id`` = component minimum, identical
+    to both iterative algorithms (parity-pinned in tests/test_twostar.py).
+    Callers gate on an edge count ≤ ~2M (≈32 MB in one task) — the same
+    bounded-work class as the k-means k×dim driver collect.  Duplicate
+    or doubled (both-direction) edges are harmless to union-find."""
+    utype = dict(edges.dtypes)["u"]
+
+    def _uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        import pandas as _pd
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        rows = [(x, find(x)) for x in parent]
+        yield _pd.DataFrame(rows, columns=["u", "v"])
+
+    roots = edges.coalesce(1).mapInPandas(_uf, f"u {utype}, v {utype}")
+    ids = docs.select(F.col(key).alias("id"))
+    lab = ids.join(
+        roots.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("id"), F.col("v").alias("_root")),
+        "id",
+        "left",
+    )
+    return lab.select(
+        F.col("id").alias(key),
+        F.coalesce("_root", "id").alias("cluster_id"),
+    )
+
+
 def connected_components_twostar(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1057,44 +1120,7 @@ def connected_components_twostar(
     # engages; both paths produce the identical min-root labels
     # (parity-tested in test_dedup/test_dbscan).
     if small_graph_edges and edges.count() <= small_graph_edges:
-        utype = dict(edges.dtypes)["u"]
-
-        def _uf(batches):
-            parent: dict = {}
-
-            def find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            rows = None
-            import pandas as _pd
-
-            for pdf in batches:
-                for u, v in zip(pdf["u"], pdf["v"]):
-                    ru, rv = find(u), find(v)
-                    if ru != rv:
-                        if rv < ru:
-                            ru, rv = rv, ru
-                        parent[rv] = ru
-            rows = [(x, find(x)) for x in parent]
-            yield _pd.DataFrame(rows, columns=["u", "v"])
-
-        star = edges.coalesce(1).mapInPandas(_uf, f"u {utype}, v {utype}")
-        ids = docs.select(F.col(key).alias("id"))
-        lab = ids.join(
-            star.where(F.col("u") != F.col("v"))
-            .select(F.col("u").alias("id"), F.col("v").alias("_root")),
-            "id",
-            "left",
-        )
-        return lab.select(
-            F.col("id").alias(key),
-            F.coalesce("_root", "id").alias("cluster_id"),
-        )
+        return _single_task_components(docs, edges, key)
 
     def _large_star(E: DataFrame) -> DataFrame:
         # neighborhoods over BOTH directions; m(x) = min(Γ(x) ∪ {x});

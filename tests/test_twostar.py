@@ -161,6 +161,23 @@ def test_small_graph_fast_path_parity_with_star_loop(spark):
         assert fast == loop, f"seed {seed}"
 
 
+def test_dedup_clusters_small_graph_opt_in_parity(spark):
+    """dedup_clusters(small_graph_edges=N) == the propagation loop,
+    label-for-label; default (0) keeps the loop engaged."""
+    n = 120
+    pairs = sorted({
+        (min(a, b), max(a, b))
+        for k in range(160)
+        for a, b in [((k * 40503 + 7) % n, (k * 69621 + 11) % n)]
+        if a != b
+    })
+    ids, e = _ids(spark, n), _edges(spark, pairs)
+    fast = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(ids, e, small_graph_edges=10**6).collect()}
+    loop = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, e).collect()}
+    assert fast == loop
+
+
 def test_small_graph_fast_path_string_keys(spark):
     ids = spark.createDataFrame(
         [(f"d{i:03d}",) for i in range(10)], "doc_id string"
