@@ -5515,6 +5515,165 @@ LEFT JOIN m ON m.row = t.row AND m.col = t.col
 REGISTRY.update({"terrain_metrics": (q_terrain_metrics, _TERRAIN_METRICS_SQL)})
 
 
+# --------------------------------------------------------------------------
+# r7: vector-vector overlay — segment intersections + snap-to-segment
+# (operators/overlay.py).  Fixture: two LCG segment layers over a
+# 20000-unit integer world derived from events (capped at event_id <
+# 2000 so the BRUTE-FORCE oracle stays ~1M pairs at any SF — scale
+# evidence for the grid-blocked join lives in BENCH/BASELINE.md).  The
+# two layers use DIFFERENT LCG multipliers: same-multiplier streams put
+# both layers on parallel lattice lines (LCG hyperplane structure) and
+# they would barely ever cross.
+
+_SEG_WORLD, _SEG_MAXD = 20000, 1500
+_SEG_A = (1103515245, 69069, 48271, 16807)
+_SEG_B = (40692, 22695477, 134775813, 69621)
+
+
+def _seg_layer(ev, parity: int, mults, id_name: str):
+    c1, c2, c3, c4 = mults
+    e = ev.where(F.col("event_id") % 2 == parity)
+    m1 = (F.col("event_id") * F.lit(c1) + F.lit(12345)) % F.lit(100003)
+    m2 = (F.col("event_id") * F.lit(c2) + F.lit(54321)) % F.lit(100003)
+    m3 = (F.col("event_id") * F.lit(c3) + F.lit(7)) % F.lit(100003)
+    m4 = (F.col("event_id") * F.lit(c4) + F.lit(11)) % F.lit(100003)
+    x1 = (m1 % F.lit(_SEG_WORLD)).alias("x1")
+    y1 = (m2 % F.lit(_SEG_WORLD)).alias("y1")
+    dx = m3 % F.lit(2 * _SEG_MAXD + 1) - F.lit(_SEG_MAXD)
+    dy0 = m4 % F.lit(2 * _SEG_MAXD + 1) - F.lit(_SEG_MAXD)
+    dy = F.when((dx == 0) & (dy0 == 0), F.lit(1)).otherwise(dy0)
+    return e.select(
+        F.col("event_id").alias(id_name),
+        x1,
+        y1,
+        (m1 % F.lit(_SEG_WORLD) + dx).alias("x2"),
+        (m2 % F.lit(_SEG_WORLD) + dy).alias("y2"),
+    )
+
+
+def _seg_layer_sql(parity: int, mults, id_name: str) -> str:
+    c1, c2, c3, c4 = mults
+    w, d = _SEG_WORLD, _SEG_MAXD
+    return f"""
+  SELECT event_id AS {id_name},
+         ((event_id * {c1} + 12345) % 100003) % {w} AS x1,
+         ((event_id * {c2} + 54321) % 100003) % {w} AS y1,
+         ((event_id * {c1} + 12345) % 100003) % {w}
+           + ((event_id * {c3} + 7) % 100003) % {2 * d + 1} - {d} AS x2,
+         ((event_id * {c2} + 54321) % 100003) % {w}
+           + CASE WHEN ((event_id * {c3} + 7) % 100003) % {2 * d + 1} - {d} = 0
+                   AND ((event_id * {c4} + 11) % 100003) % {2 * d + 1} - {d} = 0
+                  THEN 1
+                  ELSE ((event_id * {c4} + 11) % 100003) % {2 * d + 1} - {d} END AS y2
+  FROM events WHERE event_id < 2000 AND event_id % 2 = {parity}"""
+
+
+def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper segment-segment crossings between two line layers —
+    operators/overlay.py::segment_intersections: grid-blocked cell
+    equi-join (never a nested loop), EXACT int64 orientation predicate,
+    exactly-once emission via intersection-point cell ownership.  The
+    oracle is an independent brute-force all-pairs replay of the same
+    integer cross products."""
+    from .operators.overlay import segment_intersections
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 2000
+    )
+    a = _seg_layer(ev, 0, _SEG_A, "a_id")
+    b = _seg_layer(ev, 1, _SEG_B, "b_id")
+    return segment_intersections(a, b, cell=500)
+
+
+_SEG_INTERSECTIONS_SQL = f"""
+WITH a AS ({_seg_layer_sql(0, _SEG_A, "a_id")}),
+b AS ({_seg_layer_sql(1, _SEG_B, "b_id")}),
+p AS (
+  SELECT a_id, b_id,
+         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS d1,
+         (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS d2,
+         (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS d3,
+         (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS d4
+  FROM a CROSS JOIN b),
+q AS (
+  SELECT a_id, b_id, ax1, ay1, ax2, ay2,
+         CAST(d1 AS DOUBLE) / CAST(d1 - d2 AS DOUBLE) AS t
+  FROM p
+  WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+    AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+SELECT a_id, b_id,
+       ax1 + t * (ax2 - ax1) AS px,
+       ay1 + t * (ay2 - ay1) AS py
+FROM q
+"""
+
+REGISTRY.update(
+    {"seg_intersections": (q_seg_intersections, _SEG_INTERSECTIONS_SQL)}
+)
+
+
+def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap-to-nearest-segment (map-matching) —
+    operators/overlay.py::snap_to_segments: points keep their single
+    grid cell, segments explode over radius-dilated bbox cells (each
+    in-range pair meets exactly once), clamped-projection distance in
+    identical IEEE doubles, deterministic (d2, seg_id) winner.  Oracle:
+    brute-force all-pairs + ROW_NUMBER over the same ordering."""
+    from .operators.overlay import snap_to_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 2000
+    )
+    segs = _seg_layer(ev, 0, _SEG_A, "seg_id")
+    pe = ev.where(F.col("event_id") % 2 == 1)
+    pts = pe.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("event_id") * F.lit(40692) + F.lit(999)) % F.lit(100003) % F.lit(_SEG_WORLD)).alias("x"),
+        (
+            (F.col("event_id") * F.lit(22695477) + F.lit(555)) % F.lit(100003) % F.lit(_SEG_WORLD)
+        ).alias("y"),
+    )
+    return snap_to_segments(pts, segs, radius=500.0, cell=500)
+
+
+_SNAP_POINTS_SQL = f"""
+WITH s AS ({_seg_layer_sql(0, _SEG_A, "seg_id")}),
+pt AS (
+  SELECT event_id AS point_id,
+         ((event_id * 40692 + 999) % 100003) % {_SEG_WORLD} AS x,
+         ((event_id * 22695477 + 555) % 100003) % {_SEG_WORLD} AS y
+  FROM events WHERE event_id < 2000 AND event_id % 2 = 1),
+c AS (
+  SELECT point_id, seg_id, x, y, x1, y1,
+         x2 - x1 AS lx, y2 - y1 AS ly,
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS len2,
+         (x - x1) * (x2 - x1) + (y - y1) * (y2 - y1) AS dt
+  FROM pt CROSS JOIN s),
+proj AS (
+  SELECT point_id, seg_id,
+         x1 + (CASE WHEN len2 > 0
+                    THEN LEAST(GREATEST(CAST(dt AS DOUBLE) / CAST(len2 AS DOUBLE), 0.0), 1.0)
+                    ELSE 0.0 END) * lx AS sx,
+         y1 + (CASE WHEN len2 > 0
+                    THEN LEAST(GREATEST(CAST(dt AS DOUBLE) / CAST(len2 AS DOUBLE), 0.0), 1.0)
+                    ELSE 0.0 END) * ly AS sy,
+         x, y
+  FROM c),
+d AS (
+  SELECT point_id, seg_id, sx, sy,
+         (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2
+  FROM proj),
+r AS (
+  SELECT point_id, seg_id, sx, sy, d2,
+         ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY d2, seg_id) AS rn
+  FROM d WHERE d2 <= 250000.0)
+SELECT point_id, seg_id, sx, sy, d2 FROM r WHERE rn = 1
+"""
+
+REGISTRY.update({"snap_points": (q_snap_points, _SNAP_POINTS_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6261,6 +6420,13 @@ _WINDOW_TAIL = (
                    # rendering, segment-bounded merges); the BPE family's
                    # word-level training loop stays in-window via
                    # bpe_merges over the same corpus
+    "seg_intersections",  # born-tail r7: vector-vector overlay — exact
+                          # int64 orientation predicate, cell-ownership
+                          # exactly-once; the grid-blocked join family
+                          # stays in-window via dbscan/doc_pairs_nearby
+    "snap_points",  # born-tail r7: snap-to-nearest-segment map-matching;
+                    # same dilated-bbox cell join, deterministic
+                    # (d2, seg_id) winner with brute-force SQL oracle
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -114,6 +114,8 @@ def _assert_oracle_match(spark, ddb, name):
         "image_near_dup",  # born-tail r7 (perceptual dHash near-dup)
         "terrain_metrics",  # born-tail r7 (gdaldem TPI/TRI/roughness)
         "bpe_bytes",       # born-tail r7 (byte-level BPE trainer)
+        "seg_intersections",  # born-tail r7 (segment overlay crossings)
+        "snap_points",     # born-tail r7 (snap-to-nearest-segment)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
