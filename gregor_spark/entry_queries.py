@@ -5674,6 +5674,70 @@ SELECT point_id, seg_id, sx, sy, d2 FROM r WHERE rn = 1
 REGISTRY.update({"snap_points": (q_snap_points, _SNAP_POINTS_SQL)})
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone strict convex hull — operators/hull.py::convex_hull:
+    two-level exact hull-of-hulls reduction (salted partial monotone
+    chains → final chain over ≤ salt × hull-size vertices), int64 cross
+    products throughout.  The oracle is DEFINITIONAL, not a replay: a
+    point is a strict hull vertex iff it is NOT in the convex hull of
+    the zone's other points (Carathéodory: inside some non-degenerate
+    closed triangle, or on some segment, of the others).  Fixture capped
+    at event_id < 320 (40 points/zone) so the O(n⁴) oracle stays ~3M
+    predicate rows; seq is dropped here because SQL cannot cheaply
+    express the CCW ordering (pinned instead in tests/test_hull.py)."""
+    from .operators.hull import convex_hull
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 320
+    )
+    pts = ev.select(
+        (F.col("event_id") % F.lit(8)).alias("zone_id"),
+        ((F.col("event_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003) % F.lit(20000)).alias("x"),
+        ((F.col("event_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003) % F.lit(20000)).alias("y"),
+    )
+    return convex_hull(pts, by="zone_id").select("zone_id", "x", "y")
+
+
+_CONVEX_HULL_SQL = """
+WITH p AS (
+  SELECT DISTINCT event_id % 8 AS zone_id,
+         ((event_id * 1103515245 + 12345) % 100003) % 20000 AS x,
+         ((event_id * 69069 + 54321) % 100003) % 20000 AS y
+  FROM events WHERE event_id < 320),
+seg AS (
+  SELECT DISTINCT t.zone_id, t.x, t.y
+  FROM p t
+  JOIN p a ON a.zone_id = t.zone_id AND (a.x <> t.x OR a.y <> t.y)
+  JOIN p b ON b.zone_id = t.zone_id AND (b.x <> t.x OR b.y <> t.y)
+          AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  WHERE (b.x - a.x) * (t.y - a.y) - (b.y - a.y) * (t.x - a.x) = 0
+    AND t.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+    AND t.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y)),
+tri AS (
+  SELECT DISTINCT t.zone_id, t.x, t.y
+  FROM p t
+  JOIN p a ON a.zone_id = t.zone_id AND (a.x <> t.x OR a.y <> t.y)
+  JOIN p b ON b.zone_id = t.zone_id AND (b.x <> t.x OR b.y <> t.y)
+          AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  JOIN p c ON c.zone_id = t.zone_id AND (c.x <> t.x OR c.y <> t.y)
+          AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+  WHERE (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+    AND (
+      ((b.x - a.x) * (t.y - a.y) - (b.y - a.y) * (t.x - a.x) >= 0
+       AND (c.x - b.x) * (t.y - b.y) - (c.y - b.y) * (t.x - b.x) >= 0
+       AND (a.x - c.x) * (t.y - c.y) - (a.y - c.y) * (t.x - c.x) >= 0)
+      OR
+      ((b.x - a.x) * (t.y - a.y) - (b.y - a.y) * (t.x - a.x) <= 0
+       AND (c.x - b.x) * (t.y - b.y) - (c.y - b.y) * (t.x - b.x) <= 0
+       AND (a.x - c.x) * (t.y - c.y) - (a.y - c.y) * (t.x - c.x) <= 0)))
+SELECT zone_id, x, y FROM p
+EXCEPT SELECT zone_id, x, y FROM seg
+EXCEPT SELECT zone_id, x, y FROM tri
+"""
+
+REGISTRY.update({"convex_hull": (q_convex_hull, _CONVEX_HULL_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6427,6 +6491,9 @@ _WINDOW_TAIL = (
     "snap_points",  # born-tail r7: snap-to-nearest-segment map-matching;
                     # same dilated-bbox cell join, deterministic
                     # (d2, seg_id) winner with brute-force SQL oracle
+    "convex_hull",  # born-tail r7: two-level hull-of-hulls reduction with
+                    # a DEFINITIONAL O(n^4) oracle (vertex iff not in the
+                    # others' hull); CCW ordering pinned in test_hull.py
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

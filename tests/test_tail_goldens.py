@@ -116,6 +116,7 @@ def _assert_oracle_match(spark, ddb, name):
         "bpe_bytes",       # born-tail r7 (byte-level BPE trainer)
         "seg_intersections",  # born-tail r7 (segment overlay crossings)
         "snap_points",     # born-tail r7 (snap-to-nearest-segment)
+        "convex_hull",     # born-tail r7 (hull-of-hulls, definitional oracle)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
