@@ -5738,6 +5738,38 @@ EXCEPT SELECT zone_id, x, y FROM tri
 REGISTRY.update({"convex_hull": (q_convex_hull, _CONVEX_HULL_SQL)})
 
 
+def q_hilbert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve ranks for doc grid coords — geo/hilbert.py: the
+    locality-tighter clustering alternative to the Morton index (range
+    boxes fragment into ~40% fewer rank runs, tests/test_hilbert.py).
+    Integer-exact end to end; the oracle replays the per-level
+    rotate/flip recurrence as a generated DuckDB CTE chain
+    (geo/hilbert.py::hilbert_sql_cte)."""
+    from .geo.hilbert import hilbert_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ix = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(100003) % F.lit(256)
+    iy = (F.col("doc_id") * F.lit(69069) + F.lit(54321)) % F.lit(100003) % F.lit(256)
+    return docs.select(
+        "doc_id", ix.alias("ix"), iy.alias("iy")
+    ).withColumn("hd", hilbert_col(F.col("ix"), F.col("iy"), 8))
+
+
+from .geo.hilbert import hilbert_sql_cte as _hilbert_sql_cte  # noqa: E402
+
+_HILBERT_DOCS_SQL = f"""
+WITH src AS (
+  SELECT doc_id,
+         ((doc_id * 1103515245 + 12345) % 100003) % 256 AS ix,
+         ((doc_id * 69069 + 54321) % 100003) % 256 AS iy
+  FROM documents),
+{_hilbert_sql_cte('src', 8)}
+SELECT doc_id, ix, iy, hd FROM hfinal
+"""
+
+REGISTRY.update({"hilbert_docs": (q_hilbert_docs, _HILBERT_DOCS_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6494,6 +6526,9 @@ _WINDOW_TAIL = (
     "convex_hull",  # born-tail r7: two-level hull-of-hulls reduction with
                     # a DEFINITIONAL O(n^4) oracle (vertex iff not in the
                     # others' hull); CCW ordering pinned in test_hull.py
+    "hilbert_docs",  # born-tail r7: Hilbert-curve ranks (integer-exact,
+                     # generated CTE-chain oracle); Morton cell encode
+                     # stays in-window via tile_rollup/knn_cell_join
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -117,6 +117,7 @@ def _assert_oracle_match(spark, ddb, name):
         "seg_intersections",  # born-tail r7 (segment overlay crossings)
         "snap_points",     # born-tail r7 (snap-to-nearest-segment)
         "convex_hull",     # born-tail r7 (hull-of-hulls, definitional oracle)
+        "hilbert_docs",    # born-tail r7 (Hilbert ranks, CTE-chain oracle)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
