@@ -5770,6 +5770,55 @@ SELECT doc_id, ix, iy, hd FROM hfinal
 REGISTRY.update({"hilbert_docs": (q_hilbert_docs, _HILBERT_DOCS_SQL)})
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer acoustic features (peak / Σ|s| / Σs² / zero
+    crossings / loudest 16-sample block) of REAL PCM16 WAV payloads —
+    ops/media.py::audio_features over ::synthetic_media_wav's
+    distributed-built clips.  The oracle never sees a byte of WAV: it
+    replays the synthetic sample formula ((id·17 + i·11) mod 4096) −
+    2048 and re-derives every feature, so a single mis-parsed byte in
+    the RIFF walk diverges the integer sums."""
+    from .ops.media import audio_features, synthetic_media_wav
+
+    return audio_features(synthetic_media_wav(spark, 300))
+
+
+_AUDIO_FEATURES_SQL = """
+WITH ids AS (SELECT g.g AS media_id FROM generate_series(0, 299) g(g)),
+sz AS (SELECT media_id, media_id % 50 + 20 AS n_samp FROM ids),
+samp AS (
+  SELECT media_id, i.i AS i,
+         ((media_id * 17 + i.i * 11) % 4096) - 2048 AS v
+  FROM sz CROSS JOIN generate_series(0, 68) i(i)
+  WHERE i.i < n_samp),
+agg AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(abs(v)) AS BIGINT) AS peak,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(sum(v * v) AS BIGINT) AS energy
+  FROM samp GROUP BY 1),
+zc AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN nv IS NOT NULL AND (v < 0) <> (nv < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM (SELECT media_id, v,
+               lead(v) OVER (PARTITION BY media_id ORDER BY i) AS nv
+        FROM samp)
+  GROUP BY 1),
+we AS (
+  SELECT media_id, i // 16 AS blk, sum(v * v) AS e
+  FROM samp GROUP BY 1, 2),
+mwe AS (SELECT media_id, CAST(max(e) AS BIGINT) AS max_window_energy
+        FROM we GROUP BY 1)
+SELECT agg.media_id, n_samples, peak, sum_abs, energy,
+       zero_crossings, max_window_energy
+FROM agg JOIN zc USING (media_id) JOIN mwe USING (media_id)
+"""
+
+REGISTRY.update({"audio_features": (q_audio_features, _AUDIO_FEATURES_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6529,6 +6578,9 @@ _WINDOW_TAIL = (
     "hilbert_docs",  # born-tail r7: Hilbert-curve ranks (integer-exact,
                      # generated CTE-chain oracle); Morton cell encode
                      # stays in-window via tile_rollup/knn_cell_join
+    "audio_features",  # born-tail r7: exact integer acoustic features of
+                       # real PCM16 WAV; the decode family stays in-window
+                       # via media_decode (same RIFF walk)
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

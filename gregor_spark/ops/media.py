@@ -613,6 +613,82 @@ HASH_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("max_window_energy", T.LongType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, window: int = 16) -> DataFrame:
+    """(media_id, n_samples, peak, sum_abs, energy, zero_crossings,
+    max_window_energy) — EXACT integer acoustic features of PCM16 WAV
+    payloads, decoded by the real RIFF parser (``decode_wav``; mono
+    clips; multi-channel flattens frame-major, matching the raw data
+    chunk order).
+
+    All features are int64 reductions, so an external oracle can replay
+    them bit-for-bit from the synthetic sample formula:
+
+    * ``peak`` = max |s|; ``sum_abs`` = Σ|s|; ``energy`` = Σ s²
+      (PCM16 keeps Σ s² < 2^31 per million samples — far inside int64);
+    * ``zero_crossings`` = #{i : (s_i < 0) ≠ (s_{i+1} < 0)} — the
+      classic voiced/unvoiced and noisiness discriminator, with the
+      deterministic sign(0) = + convention;
+    * ``max_window_energy`` = max over NON-OVERLAPPING ``window``-sample
+      blocks (last block partial) of Σ s² — the loudest-moment feature.
+
+    Same 100 TB shape as ``extract_features``: one Arrow-batched
+    map-only pass, partition-parallel, no shuffle.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples():
+                samples, _rate = decode_wav(rec.payload)
+                s = samples.reshape(-1).astype(np.int64)
+                n = s.size
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
+                sq = s * s
+                mwe = 0
+                for k in range(0, n, window):
+                    mwe = max(mwe, int(sq[k : k + window].sum()))
+                out.append(
+                    (
+                        int(rec.media_id),
+                        n,
+                        int(np.abs(s).max()) if n else 0,
+                        int(np.abs(s).sum()),
+                        int(sq.sum()),
+                        zc,
+                        mwe,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "peak",
+                    "sum_abs",
+                    "energy",
+                    "zero_crossings",
+                    "max_window_energy",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
 
 def image_hashes(media: DataFrame, algo: str = "dhash") -> DataFrame:
     """(media_id, hash64) — perceptual hash per image, decode + hash in
