@@ -5819,6 +5819,49 @@ FROM agg JOIN zc USING (media_id) JOIN mwe USING (media_id)
 REGISTRY.update({"audio_features": (q_audio_features, _AUDIO_FEATURES_SQL)})
 
 
+def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercover line rasterization — operators/overlay.py::
+    rasterize_lines: bbox-cell explode + exact integer separating-axis
+    keep, ENTIRELY codegen with zero shuffle (plan pinned Exchange-free
+    in tests/test_overlay.py; exact-rational parity there too).  Oracle:
+    lateral generate_series over the same bbox with the same integer
+    corner cross products — note floor(x/w), not DuckDB's //, which
+    truncates toward zero for negative coords."""
+    from .operators.overlay import rasterize_lines
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 2000
+    )
+    return rasterize_lines(_seg_layer(ev, 0, _SEG_A, "seg_id"), cell=250)
+
+
+_RASTERIZE_LINES_SQL = f"""
+WITH a AS ({_seg_layer_sql(0, _SEG_A, "seg_id")}),
+c AS (
+  -- constant offset series (lateral column params unsupported): max
+  -- segment extent is 1500 units = 7 cells of width 250 per axis
+  SELECT seg_id, x1, y1, x2, y2,
+         CAST(floor(LEAST(x1, x2) / 250.0) AS BIGINT) + gx.g AS cx,
+         CAST(floor(LEAST(y1, y2) / 250.0) AS BIGINT) + gy.g AS cy
+  FROM a, generate_series(0, 6) gx(g), generate_series(0, 6) gy(g)
+  WHERE CAST(floor(LEAST(x1, x2) / 250.0) AS BIGINT) + gx.g
+          <= CAST(floor(GREATEST(x1, x2) / 250.0) AS BIGINT)
+    AND CAST(floor(LEAST(y1, y2) / 250.0) AS BIGINT) + gy.g
+          <= CAST(floor(GREATEST(y1, y2) / 250.0) AS BIGINT)),
+k AS (
+  SELECT seg_id, cx, cy,
+         (x2 - x1) * ((cy + 0) * 250 - y1) - (y2 - y1) * ((cx + 0) * 250 - x1) AS c00,
+         (x2 - x1) * ((cy + 1) * 250 - y1) - (y2 - y1) * ((cx + 0) * 250 - x1) AS c01,
+         (x2 - x1) * ((cy + 0) * 250 - y1) - (y2 - y1) * ((cx + 1) * 250 - x1) AS c10,
+         (x2 - x1) * ((cy + 1) * 250 - y1) - (y2 - y1) * ((cx + 1) * 250 - x1) AS c11
+  FROM c)
+SELECT seg_id, cx, cy FROM k
+WHERE LEAST(c00, c01, c10, c11) <= 0 AND GREATEST(c00, c01, c10, c11) >= 0
+"""
+
+REGISTRY.update({"rasterize_lines": (q_rasterize_lines, _RASTERIZE_LINES_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6581,6 +6624,9 @@ _WINDOW_TAIL = (
     "audio_features",  # born-tail r7: exact integer acoustic features of
                        # real PCM16 WAV; the decode family stays in-window
                        # via media_decode (same RIFF walk)
+    "rasterize_lines",  # born-tail r7: supercover vector→raster, codegen
+                        # SAT keep, Exchange-free plan pinned in
+                        # test_overlay.py with exact-rational parity
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

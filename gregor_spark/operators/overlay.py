@@ -141,6 +141,56 @@ def segment_intersections(
     )
 
 
+def rasterize_lines(
+    segs: DataFrame,
+    cell: int,
+    seg_id: str = "seg_id",
+    max_cells_per_seg: int = 4096,
+) -> DataFrame:
+    """(seg_id, cx, cy) — every grid cell whose CLOSED square the
+    segment touches (supercover rasterization; the vector→raster
+    companion of operators/terrain.py's raster ops and the exact
+    inverse-shape of marching-squares contours).
+
+    ENTIRELY codegen, zero shuffle, zero Python: explode the segment's
+    bbox cells (bounded by ``max_cells_per_seg``), then keep cells by
+    the exact integer separating-axis test — the bbox explode already
+    settles the x and y axes, and the remaining axis (the segment's
+    normal) passes iff the cell's four corners do not lie strictly on
+    one side of the segment's line:
+
+        min over corners of cross(p1, p2, corner) ≤ 0 ≤ max(...)
+
+    Closed-square convention: corner/edge touches count (consistent in
+    the SQL oracle).  This is the map-only 100 TB shape — per-segment
+    work bounded by length/cell, no exchange anywhere.
+    """
+    w = int(cell)
+    if w <= 0:
+        raise ValueError("cell width must be positive")
+    s = _cells_for_bbox(
+        segs.select(
+            F.col(seg_id).alias("_sid"),
+            F.col("x1").alias("_x1"), F.col("y1").alias("_y1"),
+            F.col("x2").alias("_x2"), F.col("y2").alias("_y2"),
+        ),
+        w, 0, max_cells_per_seg, "_x1", "_y1", "_x2", "_y2",
+    )
+    dx = F.col("_x2") - F.col("_x1")
+    dy = F.col("_y2") - F.col("_y1")
+
+    def corner_cross(cx_off: int, cy_off: int):
+        px = (F.col("_cx") + F.lit(cx_off)) * F.lit(w)
+        py = (F.col("_cy") + F.lit(cy_off)) * F.lit(w)
+        return dx * (py - F.col("_y1")) - dy * (px - F.col("_x1"))
+
+    crosses = [corner_cross(a, b) for a in (0, 1) for b in (0, 1)]
+    hit = (F.least(*crosses) <= 0) & (F.greatest(*crosses) >= 0)
+    return s.where(hit).select(
+        F.col("_sid").alias(seg_id), F.col("_cx").alias("cx"), F.col("_cy").alias("cy")
+    )
+
+
 def snap_to_segments(
     pts: DataFrame,
     segs: DataFrame,

@@ -105,6 +105,70 @@ def test_overlay_long_segment_guard(spark):
         ).collect()
 
 
+def _cells_hit_ref(seg, w):
+    """Independent exact supercover reference: cell square [cx·w,(cx+1)·w]
+    × [cy·w,(cy+1)·w] is hit iff the parameter interval where the segment
+    lies inside it is nonempty — solved in exact rationals (Fractions),
+    a completely different formulation from the engine's SAT test."""
+    from fractions import Fraction as Fr
+
+    _, x1, y1, x2, y2 = seg
+    cells = set()
+    cx_lo, cx_hi = min(x1, x2) // w, max(x1, x2) // w
+    cy_lo, cy_hi = min(y1, y2) // w, max(y1, y2) // w
+    for cx in range(cx_lo, cx_hi + 1):
+        for cy in range(cy_lo, cy_hi + 1):
+            lo, hi = Fr(0), Fr(1)
+            ok = True
+            for p0, dp, b0, b1 in (
+                (x1, x2 - x1, cx * w, (cx + 1) * w),
+                (y1, y2 - y1, cy * w, (cy + 1) * w),
+            ):
+                if dp == 0:
+                    if not (b0 <= p0 <= b1):
+                        ok = False
+                        break
+                else:
+                    t0, t1 = Fr(b0 - p0, dp), Fr(b1 - p0, dp)
+                    if t0 > t1:
+                        t0, t1 = t1, t0
+                    lo, hi = max(lo, t0), min(hi, t1)
+            if ok and lo <= hi:
+                cells.add((cx, cy))
+    return cells
+
+
+def test_rasterize_lines_exact_reference_parity(spark):
+    from gregor_spark.operators.overlay import rasterize_lines
+
+    segs = _lcg_segs(150, (1103515245, 69069, 48271, 16807), seed=5)
+    # plus adversarial exact-touch cases: axis-aligned on cell borders,
+    # diagonal through a corner, zero-length on a corner
+    segs += [
+        (1000, 500, 0, 500, 900),     # vertical ON a cell boundary
+        (1001, 0, 250, 990, 250),     # horizontal crossing cells
+        (1002, 0, 0, 750, 750),       # diagonal through corners
+        (1003, 250, 250, 250, 250),   # degenerate point
+        (1004, 500, 500, 500, 500),   # degenerate point ON a corner
+    ]
+    out = rasterize_lines(_seg_df(spark, segs, "seg_id"), cell=250).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.seg_id, set()).add((r.cx, r.cy))
+    for seg in segs:
+        assert got.get(seg[0], set()) == _cells_hit_ref(seg, 250), seg
+
+
+def test_rasterize_lines_plan_is_map_only(spark):
+    from gregor_spark.operators.overlay import rasterize_lines
+
+    segs = _lcg_segs(10, (1103515245, 69069, 48271, 16807), seed=1)
+    plan = rasterize_lines(
+        _seg_df(spark, segs, "seg_id"), cell=250
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle: explode + filter only
+
+
 def _brute_snap(pts, segs, radius):
     best = {}
     for pid, px, py in pts:

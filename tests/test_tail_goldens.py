@@ -119,6 +119,7 @@ def _assert_oracle_match(spark, ddb, name):
         "convex_hull",     # born-tail r7 (hull-of-hulls, definitional oracle)
         "hilbert_docs",    # born-tail r7 (Hilbert ranks, CTE-chain oracle)
         "audio_features",  # born-tail r7 (PCM16 acoustic features)
+        "rasterize_lines",  # born-tail r7 (supercover rasterization)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
