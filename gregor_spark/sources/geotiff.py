@@ -28,11 +28,12 @@ ops/media.py and the GeoJSON parser in sources/geojson.py:
   a (rows, cols, bands) view.
 
 Limits (raise, never silently misread): no palette, no JPEG/CCITT
-codecs, no floating-point predictor (3), one BitsPerSample/SampleFormat
-across bands.  The writer emits little-endian files — strips (one per
-≤ 8K rows) or square tiles, optional ``compress="deflate"|"lzw"``, and
-2-D ``(h, w)`` or 3-D ``(bands, h, w)`` grids in either planar layout —
-which GDAL/QGIS/rasterio open directly.
+codecs, one BitsPerSample/SampleFormat across bands.  Predictors 1/2/3
+are all supported (3 = TechNote-3 floating-point byte-plane
+differencing, r7).  The writer emits little-endian files — strips (one
+per ≤ 8K rows) or square tiles, optional ``compress="deflate"|"lzw"``
+and ``predictor=2|3``, and 2-D ``(h, w)`` or 3-D ``(bands, h, w)``
+grids in either planar layout — which GDAL/QGIS/rasterio open directly.
 
 Scale note: like zone layers, GeoTIFF is the driver-side INTERCHANGE
 format at the pipeline edge; at 100 TB rasters live as Morton-
@@ -243,7 +244,37 @@ def _undo_predictor(arr: np.ndarray, predictor: int, dt: np.dtype, path: str) ->
         u = np.dtype(f"u{dt.itemsize}")
         acc = np.cumsum(arr.astype(u, copy=False), axis=1, dtype=u)
         return acc.view(np.dtype(f"{dt.kind}{dt.itemsize}"))
-    raise NotImplementedError(f"{path}: Predictor={predictor} (1 or 2 only)")
+    raise NotImplementedError(f"{path}: Predictor={predictor} (1, 2 or 3 only)")
+
+
+def _undo_predictor3(
+    raw: bytes, n_rows: int, n_cols: int, seg_spp: int, dt: np.dtype, path: str
+) -> np.ndarray:
+    """Predictor=3 (TIFF TechNote 3 floating-point horizontal
+    differencing, libtiff ``fpAcc`` semantics): each scanline stores its
+    samples' bytes split into byte PLANES — all most-significant bytes
+    first, then the next byte, … (big-endian plane order regardless of
+    file endianness) — with horizontal byte differencing at stride =
+    samples-per-pixel applied over the planed row.  Decode = per-row
+    modular byte accumulation, then de-interleave the planes and
+    reassemble big-endian floats."""
+    if dt.kind != "f":
+        raise NotImplementedError(f"{path}: Predictor=3 with non-float samples")
+    bps = dt.itemsize
+    n = n_cols * seg_spp
+    want = n_rows * n * bps
+    if len(raw) < want:
+        raise ValueError(
+            f"{path}: predictor-3 segment has {len(raw)} bytes, expected {want}"
+        )
+    b = np.frombuffer(raw, dtype=np.uint8, count=want).reshape(n_rows, n * bps)
+    # undo byte differencing: independent chains at indices ≡ k (mod
+    # stride) → reshape groups each chain contiguously in axis 1
+    chains = b.reshape(n_rows, (n * bps) // seg_spp, seg_spp)
+    b = np.cumsum(chains, axis=1, dtype=np.uint8).reshape(n_rows, bps, n)
+    be = np.ascontiguousarray(b.transpose(0, 2, 1))  # (rows, samples, bytes)
+    flo = np.frombuffer(be.tobytes(), dtype=np.dtype(f">f{bps}"), count=n_rows * n)
+    return flo.reshape(n_rows, n_cols, seg_spp).astype(dt)
 
 
 def _epsg_from_geokeys(keys: list[int]) -> str | None:
@@ -310,6 +341,14 @@ def _read_geotiff_impl(path: str) -> tuple[RasterMeta, np.ndarray]:
         """One strip or tile as an (n_rows, n_cols, seg_spp) array:
         slice → decompress → dtype view → per-channel predictor undo."""
         n_samples = n_rows * n_cols * seg_spp
+        if predictor == 3:
+            # float predictor works on the raw BYTE stream (byte planes),
+            # before any dtype view
+            if compression == 1:
+                raw = bytes(buf[off : off + cnt])
+            else:
+                raw = _decompress(bytes(buf[off : off + cnt]), compression, path)
+            return _undo_predictor3(raw, n_rows, n_cols, seg_spp, dt, path)
         if compression == 1:
             arr = np.frombuffer(buf, dtype=dt, count=n_samples, offset=off)
             if arr.nbytes > cnt:
@@ -436,6 +475,37 @@ def read_geotiff_bands(path: str) -> tuple[RasterMeta, np.ndarray]:
     return _read_geotiff_impl(path)
 
 
+def _predict_encode(seg: np.ndarray, predictor: int, stride: int) -> bytes:
+    """Writer-side predictor application to one segment (rows first
+    axis; samples flattened row-major within a row).  Predictor 2:
+    per-channel modular sample differencing.  Predictor 3: the exact
+    inverse of ``_undo_predictor3`` — big-endian byte-plane split per
+    row, then byte differencing at ``stride``."""
+    a = np.ascontiguousarray(seg)
+    rows = a.shape[0]
+    n = a.size // rows if rows else 0
+    if predictor == 2:
+        if a.dtype.kind not in "iu":
+            raise NotImplementedError("Predictor=2 needs integer samples")
+        u = a.reshape(rows, n).astype(np.dtype(f"u{a.dtype.itemsize}"), copy=True)
+        ch = u.reshape(rows, n // stride, stride)
+        out = ch.copy()
+        out[:, 1:, :] = ch[:, 1:, :] - ch[:, :-1, :]
+        return out.view(a.dtype).tobytes()
+    if predictor == 3:
+        if a.dtype.kind != "f":
+            raise NotImplementedError("Predictor=3 needs float samples")
+        bps = a.dtype.itemsize
+        be = a.reshape(rows, n).astype(np.dtype(f">f{bps}"))
+        b = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, n, bps)
+        planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, n * bps)
+        ch = planes.reshape(rows, (n * bps) // stride, stride)
+        out = ch.copy()
+        out[:, 1:, :] = ch[:, 1:, :] - ch[:, :-1, :]
+        return out.tobytes()
+    raise ValueError(f"predictor={predictor}")
+
+
 def write_geotiff(
     path: str,
     meta: RasterMeta,
@@ -444,6 +514,7 @@ def write_geotiff(
     compress: str | None = None,
     tile: int | None = None,
     planar: str = "chunky",
+    predictor: int = 1,
 ) -> None:
     """Write a (height, width) or (bands, height, width) grid as a
     little-endian GeoTIFF (pixel scale + tiepoint + EPSG geokeys +
@@ -544,14 +615,22 @@ def write_geotiff(
         add(323, 4, [th])
         off_tag, cnt_tag = 324, 325
 
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"predictor={predictor} (1, 2 or 3)")
+    if predictor != 1:
+        add(317, 3, [predictor])
+        pred_stride = spp if planar_code == 1 else 1
+        seg_bytes = [_predict_encode(s, predictor, pred_stride) for s in seg_arrays]
+    else:
+        seg_bytes = [np.ascontiguousarray(s).tobytes() for s in seg_arrays]
     if compress == "deflate":
         import zlib
 
-        segments = [zlib.compress(np.ascontiguousarray(s).tobytes()) for s in seg_arrays]
+        segments = [zlib.compress(b) for b in seg_bytes]
     elif compress == "lzw":
-        segments = [_lzw_encode(np.ascontiguousarray(s).tobytes()) for s in seg_arrays]
+        segments = [_lzw_encode(b) for b in seg_bytes]
     else:
-        segments = [np.ascontiguousarray(s).tobytes() for s in seg_arrays]
+        segments = seg_bytes
     byte_counts = [len(s) for s in segments]
     add(off_tag, 4, [0] * n_segs)  # offsets patched below
     add(cnt_tag, 4, byte_counts)

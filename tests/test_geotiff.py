@@ -455,3 +455,57 @@ def test_cli_geotiff_raster_poly_multiband(spark, tmp_path):
     assert rows == [(0, float(sum(range(16, 32))))]
     with pytest.raises(ValueError, match="2 bands"):
         main(["raster-poly", tif, zones_json, str(tmp_path / "nope.parquet")])
+
+
+# ----------------------------------------------------- r7: predictor 3
+
+
+@pytest.mark.parametrize("dtype", ["f4", "f8"])
+@pytest.mark.parametrize("compress", [None, "deflate", "lzw"])
+def test_geotiff_predictor3_roundtrip(tmp_path, dtype, compress):
+    """Float predictor (TechNote 3 byte-plane differencing): writer
+    encode + reader fpAcc must roundtrip bit-exactly for f4/f8 under
+    every codec."""
+    g = _grid(6, 7) * 1.7 + 0.125
+    meta = RasterMeta(width=7, height=6, origin_x=0.0, origin_y=3.0,
+                      pixel=0.5, crs="EPSG:4326", nodata=-1.0)
+    p = str(tmp_path / f"p3_{dtype}_{compress}.tif")
+    write_geotiff(p, meta, g, dtype=dtype, compress=compress, predictor=3)
+    m2, g2 = read_geotiff(p)
+    assert np.array_equal(g2, g.astype(np.dtype(dtype)).astype(np.float64))
+
+
+@pytest.mark.parametrize("planar", ["chunky", "planar"])
+@pytest.mark.parametrize("tile", [None, 4])
+def test_geotiff_predictor3_multiband(tmp_path, planar, tile):
+    """Multi-band predictor 3: chunky interleaves samples, so the byte
+    differencing runs at stride = samples-per-pixel — the subtle path."""
+    bands = np.stack([_grid(5, 6) * k - 0.5 for k in (1.0, -2.0, 3.25)])
+    meta = RasterMeta(width=6, height=5, origin_x=0.0, origin_y=9.0,
+                      pixel=1.0, crs="EPSG:4326", nodata=0.0)
+    p = str(tmp_path / f"p3mb_{planar}_{tile}.tif")
+    write_geotiff(p, meta, bands, dtype="f4", compress="deflate",
+                  tile=tile, planar=planar, predictor=3)
+    m2, b = read_geotiff_bands(p)
+    assert np.array_equal(b, bands.astype(np.float32).astype(np.float64))
+
+
+def test_geotiff_predictor3_non_float_raises(tmp_path):
+    meta = RasterMeta(width=5, height=4, origin_x=0.0, origin_y=2.0,
+                      pixel=0.5, crs="EPSG:4326", nodata=0.0)
+    with pytest.raises(NotImplementedError, match="float"):
+        write_geotiff(str(tmp_path / "x.tif"), meta,
+                      np.abs(_grid()), dtype="u2", predictor=3)
+
+
+def test_geotiff_writer_predictor2_roundtrip(tmp_path):
+    """The writer-side integer predictor (new in r7; the reader-side
+    undo was already pinned by the tag-rewrite test above)."""
+    g = (np.abs(_grid(8, 9)) * 31).astype(np.int64) % 4096
+    meta = RasterMeta(width=9, height=8, origin_x=0.0, origin_y=4.0,
+                      pixel=0.5, crs="EPSG:4326", nodata=0.0)
+    p = str(tmp_path / "p2.tif")
+    write_geotiff(p, meta, g.astype(np.float64), dtype="u2",
+                  compress="lzw", predictor=2)
+    m2, g2 = read_geotiff(p)
+    assert np.array_equal(g2, g.astype(np.float64))
