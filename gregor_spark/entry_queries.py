@@ -5862,6 +5862,65 @@ WHERE LEAST(c00, c01, c10, c11) <= 0 AND GREATEST(c00, c01, c10, c11) >= 0
 REGISTRY.update({"rasterize_lines": (q_rasterize_lines, _RASTERIZE_LINES_SQL)})
 
 
+def q_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Visvalingam–Whyatt simplification — ops/trajectory.py::
+    simplify_tracks_vw: per round remove each track's smallest-area
+    interior vertex (tie: lowest seq) iff its doubled area is under the
+    threshold; 6 rounds.  The one-removal-per-round cap makes the op
+    exactly SQL-unrollable: the oracle replays every round as a
+    lag/lead-window area scan + ROW_NUMBER pick + anti-join removal."""
+    from .ops.trajectory import simplify_tracks_vw
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id") < 2000
+    )
+    pts = ev.select(
+        (F.col("event_id") % F.lit(100)).alias("track_id"),
+        F.col("event_id").alias("seq"),
+        ((F.col("event_id") * F.lit(48271) + F.lit(7)) % F.lit(100003) % F.lit(20000)).alias("x"),
+        ((F.col("event_id") * F.lit(16807) + F.lit(11)) % F.lit(100003) % F.lit(20000)).alias("y"),
+    )
+    return simplify_tracks_vw(pts, min_area2=50_000_000, rounds=6)
+
+
+def _vw_sql(rounds: int, thr: int) -> str:
+    ctes = [
+        """p0 AS (
+  SELECT event_id % 100 AS track_id, event_id AS seq,
+         ((event_id * 48271 + 7) % 100003) % 20000 AS x,
+         ((event_id * 16807 + 11) % 100003) % 20000 AS y
+  FROM events WHERE event_id < 2000)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""a{r} AS (
+  SELECT track_id, seq,
+         abs((x - lag(x) OVER w) * (lead(y) OVER w - lag(y) OVER w)
+           - (y - lag(y) OVER w) * (lead(x) OVER w - lag(x) OVER w)) AS a2
+  FROM p{r} WINDOW w AS (PARTITION BY track_id ORDER BY seq)),
+r{r} AS (
+  SELECT track_id, seq FROM (
+    SELECT track_id, seq,
+           ROW_NUMBER() OVER (PARTITION BY track_id ORDER BY a2, seq) AS rn
+    FROM a{r} WHERE a2 IS NOT NULL AND a2 < {thr})
+  WHERE rn = 1),
+p{r + 1} AS (
+  SELECT p.* FROM p{r} p
+  WHERE NOT EXISTS (SELECT 1 FROM r{r} r
+                    WHERE r.track_id = p.track_id AND r.seq = p.seq))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT track_id, seq, x, y FROM p{rounds}"
+    )
+
+
+_SIMPLIFY_VW_SQL = _vw_sql(6, 50_000_000)
+
+REGISTRY.update({"simplify_vw": (q_simplify_vw, _SIMPLIFY_VW_SQL)})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6627,6 +6686,9 @@ _WINDOW_TAIL = (
     "rasterize_lines",  # born-tail r7: supercover vector→raster, codegen
                         # SAT keep, Exchange-free plan pinned in
                         # test_overlay.py with exact-rational parity
+    "simplify_vw",  # born-tail r7: bounded Visvalingam-Whyatt — the
+                    # oracle-backed simplification row (RDP sibling is
+                    # pytest-only by its data-dependent recursion)
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -282,6 +282,68 @@ def simplify_tracks(
     return df.groupBy(user).applyInPandas(fn, schema=out_schema)
 
 
+def simplify_tracks_vw(
+    df: DataFrame,
+    min_area2: int,
+    rounds: int,
+    track: str = "track_id",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Bounded Visvalingam–Whyatt polyline simplification — the
+    ORACLE-BACKED member of the simplification family (its RDP sibling
+    above is data-dependent recursion, pytest-only).
+
+    Integer coords; per round, each track's interior vertex with the
+    smallest (doubled triangle area, seq) is removed iff its doubled
+    area |cross(prev→cur, prev→next)| < ``min_area2``; endpoints are
+    never removed; AT MOST ONE removal per track per round, ``rounds``
+    rounds.  The per-round cap is what makes the operator exactly
+    SQL-unrollable (entry_queries ``simplify_vw`` replays each round as
+    a window + anti-join CTE pair) while keeping classic VW behavior in
+    the limit of enough rounds.  All arithmetic is int64 — exact.
+
+    Scale shape: one applyInPandas grouped on the track key (one
+    shuffle), O(track length × rounds) per task — tracks are bounded by
+    the same per-key contract every track op here assumes.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if rounds < 0:
+        raise ValueError("rounds must be non-negative")
+
+    out_schema = T.StructType(
+        [df.schema[track], df.schema[seq], df.schema[x], df.schema[y]]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq, kind="mergesort").reset_index(drop=True)
+        xs = [int(v) for v in pdf[x]]
+        ys = [int(v) for v in pdf[y]]
+        ss = [int(v) for v in pdf[seq]]
+        alive = list(range(len(pdf)))
+        for _ in range(rounds):
+            if len(alive) <= 2:
+                break
+            best = None  # (area2, seq, position-in-alive)
+            for k in range(1, len(alive) - 1):
+                p, c, n = alive[k - 1], alive[k], alive[k + 1]
+                a2 = abs(
+                    (xs[c] - xs[p]) * (ys[n] - ys[p])
+                    - (ys[c] - ys[p]) * (xs[n] - xs[p])
+                )
+                if a2 < min_area2 and (best is None or (a2, ss[c]) < best[:2]):
+                    best = (a2, ss[c], k)
+            if best is None:
+                break  # nothing qualifies now; nothing will later
+            alive.pop(best[2])
+        return pdf.iloc[alive][[track, seq, x, y]]
+
+    return df.groupBy(track).applyInPandas(fn, schema=out_schema)
+
+
 def od_matrix(
     df: DataFrame,
     x0: float,

@@ -120,6 +120,7 @@ def _assert_oracle_match(spark, ddb, name):
         "hilbert_docs",    # born-tail r7 (Hilbert ranks, CTE-chain oracle)
         "audio_features",  # born-tail r7 (PCM16 acoustic features)
         "rasterize_lines",  # born-tail r7 (supercover rasterization)
+        "simplify_vw",     # born-tail r7 (bounded VW simplification)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):

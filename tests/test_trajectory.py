@@ -501,3 +501,56 @@ def test_track_similarity_guards(spark):
         track_similarity(df, p, metric="euclid")
     with pytest.raises(Exception, match="max_len"):
         track_similarity(df, p, max_len=1).collect()
+
+
+# ------------------------------------------------ r7: bounded VW
+
+
+def _vw_df(spark, rows):
+    return spark.createDataFrame(rows, "track_id long, seq long, x long, y long")
+
+
+def test_simplify_vw_hand_golden(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks_vw
+
+    # track 0: near-collinear middle vertices with doubled areas 2 and 8;
+    # thr=10 removes seq=1 (area 2) round 1, then seq=2's area RECOMPUTES
+    # against new neighbors — the iterative part a one-pass filter misses
+    rows = [(0, 0, 0, 0), (0, 1, 10, 1), (0, 2, 20, 0), (0, 3, 40, 2)]
+    out = sorted(
+        (r.seq for r in simplify_tracks_vw(
+            _vw_df(spark, rows), min_area2=25, rounds=1).collect())
+    )
+    assert out == [0, 2, 3]
+    out2 = sorted(
+        (r.seq for r in simplify_tracks_vw(
+            _vw_df(spark, rows), min_area2=100, rounds=5).collect())
+    )
+    assert out2 == [0, 3]  # everything interior eventually qualifies
+
+
+def test_simplify_vw_endpoints_and_caps(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks_vw
+
+    rows = [(7, s, s * 10, (s * s) % 7) for s in range(12)]
+    for rounds in (0, 3):
+        out = simplify_tracks_vw(
+            _vw_df(spark, rows), min_area2=10**9, rounds=rounds
+        ).collect()
+        seqs = sorted(r.seq for r in out)
+        assert len(seqs) == 12 - rounds      # one removal per round
+        assert 0 in seqs and 11 in seqs      # endpoints survive
+
+
+def test_simplify_vw_parallelism_invariance(spark):
+    from gregor_spark.ops.trajectory import simplify_tracks_vw
+
+    rows = [
+        (int(i % 5), int(i), int((i * 48271 + 7) % 997), int((i * 16807 + 11) % 991))
+        for i in range(200)
+    ]
+    a = sorted(map(tuple, simplify_tracks_vw(
+        _vw_df(spark, rows), 40_000, 4).collect()))
+    b = sorted(map(tuple, simplify_tracks_vw(
+        _vw_df(spark, rows).repartition(13), 40_000, 4).collect()))
+    assert a == b and len(a) < 200
