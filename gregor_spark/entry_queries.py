@@ -5921,6 +5921,51 @@ _SIMPLIFY_VW_SQL = _vw_sql(6, 50_000_000)
 REGISTRY.update({"simplify_vw": (q_simplify_vw, _SIMPLIFY_VW_SQL)})
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous fixed-round label propagation over the 8 km doc
+    ε-graph — ops/graph.py::lpa_communities: every node simultaneously
+    adopts its neighbors' majority label (ties → smallest), 3 rounds,
+    bit-deterministic at any parallelism.  Oracle: 3 unrolled
+    count/argmax/update rounds over the same edge CTE."""
+    from .ops.graph import lpa_communities
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return lpa_communities(
+        docs, _doc_graph_edges(spark, sf_dir), rounds=3,
+        a="a_doc_id", b="b_doc_id",
+    )
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = []
+    for i in range(rounds):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT de.v AS id, l.label AS label, count(*) AS n
+  FROM de JOIN l{i} l ON l.id = de.u GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+    FROM c{i}) WHERE rn = 1),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.id, coalesce(b.label, l.label) AS label
+  FROM l{i} l LEFT JOIN b{i} b USING (id))"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_DOCPTS},
+{_GRAPH_E},
+de AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM documents),
+{body}
+SELECT id AS doc_id, label FROM l{rounds}
+"""
+
+
+REGISTRY.update({"lpa_communities": (q_lpa_communities, _lpa_sql(3))})
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6689,6 +6734,9 @@ _WINDOW_TAIL = (
     "simplify_vw",  # born-tail r7: bounded Visvalingam-Whyatt — the
                     # oracle-backed simplification row (RDP sibling is
                     # pytest-only by its data-dependent recursion)
+    "lpa_communities",  # born-tail r7: synchronous fixed-round label
+                        # propagation; the graph family stays in-window
+                        # via triangles/pagerank/kcore3/graph_summary
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -187,6 +187,66 @@ def pagerank_quantized(
     )
 
 
+def lpa_communities(
+    ids: DataFrame,
+    pairs: DataFrame,
+    rounds: int = 3,
+    key: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """(key, label) — synchronous label propagation (Raghavan et al.
+    2007) after a FIXED number of rounds with a total deterministic tie
+    rule, so the result is bit-identical at any parallelism and exactly
+    SQL-unrollable (one window + anti-join pair per round in the
+    oracle):
+
+    * labels start as the node's own id;
+    * each round, EVERY node simultaneously adopts the label with the
+      highest count among its neighbors' current labels, ties broken by
+      the SMALLEST label; isolated nodes keep their label.
+
+    Asynchronous/randomized LPA (the usual presentation) is
+    order-dependent — the fixed-round synchronous variant trades the
+    oscillation-damping of randomness for determinism, which is the
+    right trade for a replayable pipeline feature (run more rounds or
+    post-process oscillating bipartite cores if needed).
+
+    Scale: one join + partial-agg count + per-node argmax per round over
+    stats-truncated checkpoints — the dedup_clusters loop shape with a
+    (label, count) argmax instead of a min."""
+    if rounds < 0:
+        raise ValueError("rounds must be non-negative")
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    dir_e = _materialize_truncated(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = _materialize_truncated(
+        ids.select(F.col(key).alias("id")).withColumn("label", F.col("id"))
+    )
+    for _ in range(rounds):
+        counts = (
+            dir_e.join(labels.select(F.col("id").alias("u"), "label"), "u")
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # argmax by (count desc, label asc): lexicographic MIN of the
+        # struct (-count, label) — pure partial-agg, no window shuffle
+        best = counts.groupBy("id").agg(
+            F.min(F.struct((-F.col("_n")).alias("_neg"), F.col("label"))).alias("_b")
+        )
+        labels = _materialize_truncated(
+            labels.join(best, "id", "left").select(
+                "id", F.coalesce(F.col("_b.label"), F.col("label")).alias("label")
+            )
+        )
+    return labels.select(F.col("id").alias(key), "label")
+
+
 def link_prediction(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", min_common: int = 1
 ) -> DataFrame:

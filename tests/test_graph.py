@@ -472,3 +472,74 @@ def test_sssp_rejects_negative_weights(spark):
     seeds = spark.createDataFrame([(0,)], "doc_id long")
     with pytest.raises(ValueError, match="non-negative"):
         sssp_bounded(_ids(spark, 3), _wedges(spark, [(0, 1, -2)]), seeds, 2)
+
+
+# --------------------------------------------------- r7: synchronous LPA
+
+
+def _lpa(spark, n, pairs, rounds):
+    from gregor_spark.ops.graph import lpa_communities
+
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    e = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {
+        r.doc_id: r.label
+        for r in lpa_communities(ids, e, rounds=rounds).collect()
+    }
+
+
+def _lpa_ref(n, pairs, rounds):
+    """Independent reference: dict-based synchronous rounds."""
+    nbrs = {i: [] for i in range(n)}
+    for a, b in pairs:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {i: i for i in range(n)}
+    for _ in range(rounds):
+        new = {}
+        for v in range(n):
+            if not nbrs[v]:
+                new[v] = lab[v]
+                continue
+            cnt = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = new
+    return lab
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # two 4-cliques joined by one bridge edge: after 2 rounds each side
+    # collapses to its clique minimum
+    cl1 = list(itertools.combinations(range(4), 2))
+    cl2 = list(itertools.combinations(range(4, 8), 2))
+    pairs = cl1 + cl2 + [(3, 4)]
+    got = _lpa(spark, 8, pairs, rounds=2)
+    assert got == _lpa_ref(8, pairs, 2)
+    assert len({got[i] for i in range(4)}) == 1
+
+
+def test_lpa_reference_parity_random(spark):
+    n = 60
+    pairs = sorted({
+        (min(a, b), max(a, b))
+        for k in range(90)
+        for a, b in [((k * 48271 + 3) % n, (k * 16807 + 5) % n)]
+        if a != b
+    })
+    for rounds in (0, 1, 3):
+        assert _lpa(spark, n, pairs, rounds) == _lpa_ref(n, pairs, rounds)
+
+
+def test_lpa_parallelism_invariance(spark):
+    from gregor_spark.ops.graph import lpa_communities
+
+    n = 80
+    pairs = [(i, (i * 7 + 3) % n) for i in range(n) if i != (i * 7 + 3) % n]
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    e = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    a = sorted(map(tuple, lpa_communities(ids, e, rounds=3).collect()))
+    b = sorted(map(tuple, lpa_communities(
+        ids.repartition(17), e.repartition(11), rounds=3).collect()))
+    assert a == b

@@ -121,6 +121,7 @@ def _assert_oracle_match(spark, ddb, name):
         "audio_features",  # born-tail r7 (PCM16 acoustic features)
         "rasterize_lines",  # born-tail r7 (supercover rasterization)
         "simplify_vw",     # born-tail r7 (bounded VW simplification)
+        "lpa_communities",  # born-tail r7 (fixed-round synchronous LPA)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
