@@ -118,6 +118,18 @@ HEADLINE = [
     "aspect",              # r6: gdaldem aspect (downslope azimuth)
     "focal_majority",      # r6: modal filter over classified rasters
     "cost_distance",       # r6: accumulated-cost rings (16 BF rounds)
+    "seg_intersections",   # r7: exact segment overlay (cell equi-join)
+    "snap_points",         # r7: snap-to-nearest-segment map-matching
+    "rasterize_lines",     # r7: supercover rasterization (zero Exchange)
+    "convex_hull",         # r7: two-level hull-of-hulls reduction
+    "hilbert_docs",        # r7: Hilbert rank encode (Arrow batch)
+    "audio_features",      # r7: PCM16 acoustic features (map-only)
+    "simplify_vw",         # r7: bounded VW simplification (1 shuffle)
+    "lpa_communities",     # r7: fixed-round synchronous LPA
+    "terrain_metrics",     # r7: gdaldem TPI/TRI/roughness (focal)
+    "image_near_dup",      # r7: perceptual dHash + banded Hamming
+    "bpe_bytes",           # r7: byte-level BPE training
+    "reproject_lambert93",  # r7: parametrized per-EPSG CRS (LCC-2SP)
 ]
 
 NORTH_DOCS = int(os.environ.get("SPARK_GRAFT_NORTH_DOCS", "2000000"))
