@@ -619,30 +619,57 @@ def zorder_table(
     y: str = "y",
     n_files: int = 16,
     mode: str = "overwrite",
+    curve: str = "morton",
 ) -> dict:
-    """Z-ORDER file clustering — the Delta ``OPTIMIZE ... ZORDER BY``
-    analog for spatial keys (Morton IS the z-curve, so one range sort
-    does it): range-repartition + sort the table by ``cell_id`` so each
-    data file covers a TIGHT contiguous z-interval, then record every
-    file's ``[min_cell, max_cell]`` from its parquet FOOTER statistics
-    into the manifest.  :func:`read_zordered` turns a bbox into a small
-    set of z-intervals and opens ONLY the files whose interval
-    intersects — file-level skipping on top of (or instead of)
-    partition pruning.
+    """Space-filling-curve file clustering — the Delta ``OPTIMIZE ...
+    ZORDER BY`` analog for spatial keys: range-repartition + sort the
+    table by its curve rank so each data file covers a TIGHT contiguous
+    rank interval, then record every file's footer statistics into the
+    manifest for read-time file skipping.
+
+    ``curve="morton"`` (default): sort key is the Morton ``cell_id``
+    and skipping decomposes a bbox into exact z-intervals (BigMin
+    splitting, :func:`_bbox_z_intervals`).  ``curve="hilbert"`` (r7):
+    sort key is the Hilbert rank (geo/hilbert.py) — no cheap interval
+    decomposition exists, so the manifest instead records each file's
+    TILE RECTANGLE ``[min_ix, max_ix] × [min_iy, max_iy]`` and skipping
+    is a rect-overlap test; Hilbert's tighter locality (~40% fewer rank
+    runs per box, tests/test_hilbert.py) makes those per-file
+    rectangles smaller, which is where the extra skipping comes from.
 
     Scale shape: one range Exchange (sampled bounds) + a within-
     partition sort; stats collection reads footers, never data pages.
     ``n_files`` sizes the layout — at cluster scale pick
     ``total_bytes / 128 MiB``."""
-    from ..operators.spatial_join import with_cell_id
+    from ..operators.spatial_join import cell_tile_cols, with_cell_id
 
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"curve={curve!r} (morton or hilbert)")
     keyed = with_cell_id(df, res, bounds, x=x, y=y, out="cell_id")
-    (
-        keyed.repartitionByRange(n_files, "cell_id")
-        .sortWithinPartitions("cell_id")
-        .write.mode(mode)
-        .parquet(path)
+    tx, ty = cell_tile_cols(F.col("cell_id"))
+    # tile coords land in the files for BOTH curves: they are the
+    # hilbert skip index, and for morton they make the layouts'
+    # per-file rectangles comparable (tests/test_zorder.py)
+    keyed = keyed.withColumn("_ix", tx).withColumn("_iy", ty)
+    stat_cols = ["cell_id", "_ix", "_iy"]
+    if curve == "hilbert":
+        from ..geo.hilbert import hilbert_col
+
+        keyed = keyed.withColumn(
+            "_hrank", hilbert_col(F.col("_ix"), F.col("_iy"), res)
+        )
+        sort_key = "_hrank"
+    else:
+        sort_key = "cell_id"
+    clustered = keyed.repartitionByRange(n_files, sort_key).sortWithinPartitions(
+        sort_key
     )
+    if curve == "hilbert":
+        # the rank did its job (ordering); only the tile coords need to
+        # land in the files for footer-stat skipping.  A projection is
+        # order-preserving, so the sort survives the drop.
+        clustered = clustered.drop("_hrank")
+    clustered.write.mode(mode).parquet(path)
     import pyarrow.parquet as pq
 
     files = []
@@ -650,23 +677,28 @@ def zorder_table(
         if not fname.endswith(".parquet"):
             continue
         md = pq.ParquetFile(os.path.join(path, fname)).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["cell_id"]
-        lo, hi, rows = None, None, 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            rows += md.row_group(rg).num_rows
-            if st is not None and st.has_min_max:
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        files.append(
-            {"file": fname, "rows": rows, "min_cell": lo, "max_cell": hi}
-        )
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rows = sum(md.row_group(rg).num_rows for rg in range(md.num_row_groups))
+        entry = {"file": fname, "rows": rows}
+        for col in stat_cols:
+            idx = name_to_idx[col]
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            tag = "cell" if col == "cell_id" else col.lstrip("_")
+            entry[f"min_{tag}"] = lo
+            entry[f"max_{tag}"] = hi
+        files.append(entry)
     manifest = {
         "format": "gregor-iceberg-like/1",
         "snapshot_id": int(time.time() * 1000),
         "schema": df.sparkSession.read.parquet(path).schema.jsonValue(),
         "layout": {
             "kind": "zorder",
+            "curve": curve,
             "res": res,
             "bounds": list(bounds),
             "x": x,
@@ -678,6 +710,42 @@ def zorder_table(
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def _tile_rect(
+    bbox: tuple[float, float, float, float],
+    res: int,
+    bounds: tuple[float, float, float, float],
+) -> tuple[int, int, int, int]:
+    """Query bbox → inclusive tile rectangle (ix0, iy0, ix1, iy1)."""
+    import numpy as np
+
+    from ..geo import cells as C
+
+    minx, miny, maxx, maxy = bbox
+    ix0, iy0 = (
+        int(v[0]) for v in C.xy_to_tile(np.array([minx]), np.array([miny]), res, bounds)
+    )
+    ix1, iy1 = (
+        int(v[0]) for v in C.xy_to_tile(np.array([maxx]), np.array([maxy]), res, bounds)
+    )
+    return ix0, iy0, ix1, iy1
+
+
+def _file_survives(f: dict, lay: dict, ivs, rect) -> bool:
+    """Shared skip predicate: z-interval overlap (morton) or per-file
+    tile-rectangle overlap (hilbert)."""
+    if lay.get("curve", "morton") == "hilbert":
+        if f.get("min_ix") is None:
+            return True
+        ix0, iy0, ix1, iy1 = rect
+        return (
+            f["min_ix"] <= ix1 and f["max_ix"] >= ix0
+            and f["min_iy"] <= iy1 and f["max_iy"] >= iy0
+        )
+    if f["min_cell"] is None:
+        return True
+    return any(f["min_cell"] <= hi and f["max_cell"] >= lo for lo, hi in ivs)
 
 
 def _bbox_z_intervals(
@@ -781,12 +849,15 @@ def read_zordered(
     if bbox is None:
         return spark.read.parquet(path)
     lay = m["layout"]
-    ivs = _bbox_z_intervals(bbox, lay["res"], tuple(lay["bounds"]))
+    hil = lay.get("curve", "morton") == "hilbert"
+    ivs = None if hil else _bbox_z_intervals(bbox, lay["res"], tuple(lay["bounds"]))
+    rect = _tile_rect(bbox, lay["res"], tuple(lay["bounds"])) if hil else None
+    # NOTE: a stats-less file is KEPT (conservative) — pre-r7 it was
+    # silently dropped, which would lose its rows from the result
     keep = [
         os.path.join(path, f["file"])
         for f in m["files"]
-        if f["min_cell"] is not None
-        and any(f["min_cell"] <= hi and f["max_cell"] >= lo for lo, hi in ivs)
+        if _file_survives(f, lay, ivs, rect)
     ]
     minx, miny, maxx, maxy = bbox
     xc, yc = lay["x"], lay["y"]
@@ -802,21 +873,26 @@ def read_zordered(
 
 
 def zorder_skip_report(
-    path: str, bbox: tuple[float, float, float, float]
+    path: str, bbox: tuple[float, float, float, float], method: str = "auto"
 ) -> dict:
     """Pruning evidence for a bbox: how many files/rows the manifest
     skips without opening anything — the number a lakehouse OPTIMIZE
-    report shows."""
+    report shows.  ``method="rect"`` forces the per-file tile-rectangle
+    predicate for BOTH curves — the apples-to-apples layout-locality
+    comparison (morton's production path keeps the stronger exact
+    z-interval decomposition, which out-prunes any rectangle test)."""
     m = read_manifest(path)
     lay = m["layout"]
-    ivs = _bbox_z_intervals(bbox, lay["res"], tuple(lay["bounds"]))
+    if method == "rect":
+        lay = {**lay, "curve": "hilbert"}
+    hil = lay.get("curve", "morton") == "hilbert"
+    ivs = None if hil else _bbox_z_intervals(bbox, lay["res"], tuple(lay["bounds"]))
+    rect = _tile_rect(bbox, lay["res"], tuple(lay["bounds"])) if hil else None
     tot_f, tot_r, keep_f, keep_r = 0, 0, 0, 0
     for f in m["files"]:
         tot_f += 1
         tot_r += f["rows"]
-        if f["min_cell"] is not None and any(
-            f["min_cell"] <= hi and f["max_cell"] >= lo for lo, hi in ivs
-        ):
+        if _file_survives(f, lay, ivs, rect):
             keep_f += 1
             keep_r += f["rows"]
     return {
@@ -824,7 +900,7 @@ def zorder_skip_report(
         "files_read": keep_f,
         "rows_total": tot_r,
         "rows_in_read_files": keep_r,
-        "intervals": len(ivs),
+        "intervals": 1 if hil else len(ivs),
     }
 
 
