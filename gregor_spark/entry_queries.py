@@ -5966,6 +5966,68 @@ SELECT id AS doc_id, label FROM l{rounds}
 REGISTRY.update({"lpa_communities": (q_lpa_communities, _lpa_sql(3))})
 
 
+def q_zone_metrics_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic twin of zone_metrics — functions/geometry.py::
+    ring_geodesic_signed_area_m2 (Chamberlain–Duquette spherical
+    excess) + ring_geodesic_perimeter_km (per-edge haversine fold) over
+    the same concave+holed ring fixture, treated as lon/lat degrees.
+    Trig outputs can differ by 1 ulp across libm builds, so the hashed
+    values are FLOORED integers at coarse granularity (100 m² area
+    buckets, micro-km perimeter) per the no-round-tie rule."""
+    from .functions.geometry import (
+        ring_geodesic_perimeter_km,
+        ring_geodesic_signed_area_m2,
+    )
+
+    rings = spark.sql(
+        f"SELECT * FROM VALUES {_ring_values_spark()} AS t(zone_id, sign, xs, ys)"
+    )
+    xs, ys = F.col("xs"), F.col("ys")
+    per = rings.select(
+        "zone_id",
+        "sign",
+        F.abs(ring_geodesic_signed_area_m2(xs, ys)).alias("a"),
+        ring_geodesic_perimeter_km(xs, ys).alias("perim"),
+    )
+    return per.groupBy("zone_id").agg(
+        F.floor(F.sum(F.col("sign") * F.col("a")) / F.lit(100.0)).alias("area_h"),
+        F.floor(F.sum("perim") * F.lit(1e6)).alias("perim_ukm"),
+    )
+
+
+_CD_TERMS = (
+    "list_transform(list_zip(xs, xr, ys, yr), "
+    "s -> radians(s[2] - s[1]) * (2.0 + sin(radians(s[3])) + sin(radians(s[4]))))"
+)
+_HAV_TERMS = (
+    "list_transform(list_zip(xs, ys, xr, yr), s -> "
+    + _hav4("s[1]", "s[2]", "s[3]", "s[4]")
+    + ")"
+)
+
+_ZONE_METRICS_GEODESIC_SQL = f"""
+WITH rings(zone_id, sign, xs, ys) AS (SELECT * FROM (VALUES {{vals}})),
+rot AS (
+  SELECT zone_id, sign, xs, ys,
+         xs[2:] || [xs[1]] AS xr, ys[2:] || [ys[1]] AS yr
+  FROM rings),
+per AS (
+  SELECT zone_id, sign,
+         abs({_FOLD.format(t=_CD_TERMS)}
+             * CAST({6371.0088 * 6371.0088 * 1e6 / 2.0!r} AS DOUBLE)) AS a,
+         {_FOLD.format(t=_HAV_TERMS)} AS perim
+  FROM rot)
+SELECT zone_id,
+       CAST(floor(sum(sign * a) / 100.0) AS BIGINT) AS area_h,
+       CAST(floor(sum(perim) * 1000000.0) AS BIGINT) AS perim_ukm
+FROM per GROUP BY zone_id
+""".format(vals=_ring_values_sql())
+
+REGISTRY.update(
+    {"zone_metrics_geodesic": (q_zone_metrics_geodesic, _ZONE_METRICS_GEODESIC_SQL)}
+)
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulated-cost distance from two seed cells over a 16×16
     positive cost surface (operators/terrain.py::cost_distance —
@@ -6737,6 +6799,10 @@ _WINDOW_TAIL = (
     "lpa_communities",  # born-tail r7: synchronous fixed-round label
                         # propagation; the graph family stays in-window
                         # via triangles/pagerank/kcore3/graph_summary
+    "zone_metrics_geodesic",  # born-tail r7: spherical-excess area +
+                              # haversine perimeter folds; planar twin
+                              # zone_metrics tail-goldened, geodesic
+                              # joins in-window via doc_pairs family
 )
 REGISTRY = {
     **{k: v for k, v in REGISTRY.items() if k not in _WINDOW_TAIL},

@@ -74,6 +74,42 @@ def ring_perimeter(xs: Column, ys: Column) -> Column:
     )
 
 
+def ring_geodesic_signed_area_m2(xs: Column, ys: Column) -> Column:
+    """Signed spherical ring area in m² — the Chamberlain & Duquette
+    (1989, NGS) spherical-excess formula used by turf.js/geographiclib's
+    fast path:  A = R²/2 · Σ_edges radians(λ₂−λ₁)·(2 + sin φ₁ + sin φ₂).
+    Positive for counter-clockwise rings (matching the planar shoelace
+    sign), exact enough for zone-layer extents; callers wanting
+    ellipsoidal precision reproject.  Pure fold — same interpreted-HOF
+    note as the planar metrics: zone layers are driver-sized."""
+    t = F.zip_with(
+        F.zip_with(xs, _rot(xs), lambda a, b: F.radians(b - a)),
+        F.zip_with(
+            ys,
+            _rot(ys),
+            lambda a, b: F.lit(2.0) + F.sin(F.radians(a)) + F.sin(F.radians(b)),
+        ),
+        lambda dl, s: dl * s,
+    )
+    # the raw Chamberlain–Duquette sum is NEGATIVE for counter-clockwise
+    # rings; negate so the sign convention matches the planar shoelace
+    return _fold_sum(t) * F.lit(-(R_EARTH_KM * R_EARTH_KM * 1e6 / 2.0))
+
+
+def ring_geodesic_perimeter_km(xs: Column, ys: Column) -> Column:
+    """Great-circle ring perimeter in km — per-edge haversine fold
+    (same constants and clamp as :func:`haversine_km`)."""
+    edges = F.arrays_zip(
+        xs.alias("ax"), ys.alias("ay"), _rot(xs).alias("bx"), _rot(ys).alias("by")
+    )
+    return _fold_sum(
+        F.transform(
+            edges,
+            lambda e: haversine_km(e["ax"], e["ay"], e["bx"], e["by"]),
+        )
+    )
+
+
 # ---------------------------------------------------- point-in-polygon
 #
 # Catalyst-expression twins of the numpy PIP kernels (geo/kernels.py:

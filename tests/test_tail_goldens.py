@@ -122,6 +122,7 @@ def _assert_oracle_match(spark, ddb, name):
         "rasterize_lines",  # born-tail r7 (supercover rasterization)
         "simplify_vw",     # born-tail r7 (bounded VW simplification)
         "lpa_communities",  # born-tail r7 (fixed-round synchronous LPA)
+        "zone_metrics_geodesic",  # born-tail r7 (spherical excess area)
     ],
 )
 def test_rotated_query_matches_oracle(spark, ddb, name):
