@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.spread import spread
 from .text import _token_int, tokens, word_shingles
 
 MERSENNE = 2147483647  # 2^31-1, modulus for the minhash permutations
@@ -114,7 +115,7 @@ def dedup_chunks(
     share a shape."""
     toks = F.split(normalized_text(F.col(text)), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunked = docs.select(
+    chunked = spread(docs, "doc_id").select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -193,7 +194,7 @@ def dedup_substrings(
     All JVM column work (split/slice/md5/sequence); no Python, no
     cartesian anywhere."""
     toks = F.split(normalized_text(F.col(text)), " ")
-    base = docs.select(
+    base = spread(docs, "doc_id").select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_toks")
     )
     # window start positions 0..n-k (empty when the doc is shorter than k)
@@ -276,8 +277,11 @@ def _shingle_int(s) -> "F.Column":
 
 
 def shingle_table(docs: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct k-word shingles."""
-    return docs.select(
+    """(doc_id, shingle) exploded distinct k-word shingles.  The input is
+    ``spread`` first: the shingle explode + per-shingle md5 is the CPU
+    hot loop, and a single-file scan would otherwise run it on one core
+    (guide §2.5 input skew; no-op when the scan is already parallel)."""
+    return spread(docs, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col(text), k)).alias("shingle")
     )
 
@@ -363,6 +367,7 @@ def _jaccard_pairs_capped(
     hset = F.array_distinct(
         F.transform(word_shingles(F.col(text), k), _md5_int)
     )
+    docs = spread(docs, "doc_id")  # parallelize the md5 shingle passes
     ish = docs.select("doc_id", F.explode(hset).alias("shingle"))
     rare = (
         ish.groupBy("shingle")
@@ -428,7 +433,7 @@ def _minhash_wide(
     oracle errors; pre-reduction keeps the product ≤ 33·2^31, exact in
     both engines).
     """
-    sh = docs.select(
+    sh = spread(docs, "doc_id").select(
         "doc_id",
         F.explode(
             F.transform(
@@ -994,7 +999,7 @@ def simhash_fast(docs: DataFrame, text: str = "text", bits: int = 16) -> DataFra
     100 TB-safe shape.  ``simhash`` stays as the oracle twin (parity
     asserted in tests)."""
     hs = F.transform(tokens(F.col(text)), _md5_int)
-    ex = docs.select("doc_id", F.explode(hs).alias("_h"))
+    ex = spread(docs, "doc_id").select("doc_id", F.explode(hs).alias("_h"))
     sums = ex.groupBy("doc_id").agg(
         *[
             F.sum(
