@@ -4487,8 +4487,11 @@ def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatio-temporal graph into chains); fixture yields 576 cores in 303
     clusters at sf0.01."""
     from .ops.dbscan import st_dbscan
+    from .plans.spread import spread
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the md5 coordinate derivation is the CPU hot loop and the events
+    # table is a single-row-group file — spread the scan first (§2.5)
+    ev = spread(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     hx = F.conv(
         F.substring(F.md5(F.concat(F.lit("x"), F.col("event_id").cast("string"))), 1, 15),
         16,

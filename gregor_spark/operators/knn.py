@@ -317,7 +317,12 @@ def within_distance_join_geodesic(
     if not 0 <= max_abs_lat < 90:
         raise ValueError("max_abs_lat must be in [0, 90)")
     from ..functions.geometry import haversine_km
+    from ..plans.spread import spread
 
+    # the 9-way neighborhood explode + haversine rescore is the hot
+    # loop; a single-file scan would run it on one core (guide §2.5 —
+    # no-op when the input already has >= default-parallelism splits)
+    pts = spread(pts, id_col)
     wlat = radius_km / KM_PER_DEG_LAT
     wlon = radius_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
     # one ring in each direction because the cell IS the (conservative)

@@ -175,7 +175,10 @@ def st_edges(
         raise ValueError("max_abs_lat must be in [0, 90)")
     from ..functions.geometry import haversine_km
     from ..operators.knn import KM_PER_DEG_LAT, KM_PER_DEG_LON_EQ
+    from ..plans.spread import spread
 
+    # 27-way neighborhood explode + haversine = the hot loop (§2.5)
+    pts = spread(pts, id_col)
     wlat = eps_km / KM_PER_DEG_LAT
     wlon = eps_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
     eps_t_us = int(eps_t_s * 1_000_000)

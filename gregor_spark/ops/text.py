@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.spread import spread
+
 # whitespace-robust tokenizer: every maximal run of non-space chars
 TOKEN_RE = "[^ ]+"
 
@@ -95,7 +97,8 @@ def fingerprint(docs: DataFrame, text: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(1000000007),
     )
-    return docs.select("doc_id", fp.alias("fp"))
+    # interpreted HOF fold = the CPU hot loop; spread single-file scans
+    return spread(docs, "doc_id").select("doc_id", fp.alias("fp"))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -166,6 +169,7 @@ def repetition_metrics(
     pure array expression.  Both paths join on doc_id (co-partitioned by
     the aggregate's own shuffle).
     """
+    docs = spread(docs, "doc_id")  # parallelize explode + bigram array work
     toks = tokens(F.col(text))
     n = F.size(toks)
     bigrams = F.transform(
@@ -249,7 +253,7 @@ def contamination_check(
     caller's concern (pass them pre-filtered).
     """
     def grams(df: DataFrame) -> DataFrame:
-        return df.select(
+        return spread(df, "doc_id").select(
             "doc_id",
             F.explode(
                 F.array_distinct(
@@ -323,7 +327,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
-    tok = docs.select(
+    tok = spread(docs, "doc_id").select(
         "doc_id", F.explode(tokens(F.lower(F.col(text)))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -395,7 +399,8 @@ def lm_score(
             prev, t, lambda p, c: F.struct(p.alias("prev"), c.alias("cur"))
         )
         return (
-            df.filter(F.size(t) > 0)
+            spread(df, "doc_id")
+            .filter(F.size(t) > 0)
             .select("doc_id", F.explode(pairs).alias("b"))
             .select("doc_id", "b.prev", "b.cur")
         )
@@ -570,7 +575,9 @@ def bpe_train(
         raise ValueError("n_merges must be >= 1")
     spark = docs.sparkSession
     enc = _materialize_truncated(
-        docs.select("doc_id", _bpe_encode(F.col(text)).alias("_enc"))
+        spread(docs, "doc_id").select(
+            "doc_id", _bpe_encode(F.col(text)).alias("_enc")
+        )
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -665,7 +672,8 @@ def dsir_weights(
             10,
         ).cast("long")
         return (
-            df.where(F.size(t) >= 2)
+            spread(df, "doc_id")
+            .where(F.size(t) >= 2)
             .select("doc_id", F.explode(pairs).alias("p"))
             .select("doc_id", (h % F.lit(m)).alias("bucket"))
         )
@@ -825,7 +833,9 @@ def bpe_train_bytes(
         raise ValueError("n_merges must be >= 1")
     spark = docs.sparkSession
     enc = _materialize_truncated(
-        docs.select("doc_id", _bpe_encode_bytes(F.col(text)).alias("_enc"))
+        spread(docs, "doc_id").select(
+            "doc_id", _bpe_encode_bytes(F.col(text)).alias("_enc")
+        )
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
