@@ -1,0 +1,270 @@
+"""Single-task exact twins for the iterative graph loops (r8).
+
+Why: each distributed round of the synchronous loops (Bellman-Ford,
+BFS frontier, quantized PageRank, LPA, k-core peel, h-index coreness)
+costs one join + one groupBy over stats-truncated checkpoints — ~3
+stages of pure scheduler latency per round on a graph one task chews
+through in milliseconds.  Profiled at sf0.1/local[32]: cost_distance =
+125 stages / 13.3 s for a 256-cell grid; pagerank 35 jobs / 4.6 s;
+bfs_hops 37 jobs / 3.6 s.  This is the r7 union-find lesson
+(``dedup._single_task_components``) applied to the rest of the family.
+
+How: below ``small_graph_edges`` directed/undirected edges (default
+2,000,000 ≈ 48 MB of int64 triples in one task — the same bounded-work
+class as the k-means k×dim driver collect), the edge table runs through
+ONE Arrow-batched ``mapInPandas`` task computing the identical integer
+recurrence in numpy; above it, the distributed loop engages unchanged.
+Every recurrence here is integer-exact and order-independent (min-plus,
+int sums, argmax with a total tie rule), so both paths are bit-identical
+by construction — parity is pinned in tests/test_graph_local.py and the
+DuckDB oracles replay the same rounds.
+
+The gate counts a MATERIALIZED edge table (``_materialize_truncated``)
+that the chosen path then consumes, so the count never re-runs the
+upstream candidate join (the ADVICE r7 lesson on dedup_clusters'
+un-materialized count).  ``SPARK_GRAFT_SMALL_GRAPH`` overrides the
+threshold (0 disables every fast path — used by the parity tests and
+the honest-scaling benches, where the loop is the subject).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SMALL_EDGES = 2_000_000
+
+
+def small_graph_threshold(default: int = DEFAULT_SMALL_EDGES) -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_SMALL_GRAPH", str(default)))
+    except ValueError:  # pragma: no cover
+        return default
+
+
+def _collect_batches(batches, cols):
+    parts = {c: [] for c in cols}
+    for pdf in batches:
+        for c in cols:
+            parts[c].append(pdf[c].to_numpy())
+    return {
+        c: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
+        for c, v in parts.items()
+    }
+
+
+def _index_ids(*arrays):
+    """Dense re-index: unique sorted ids -> 0..n-1 (order-independent)."""
+    ids = np.unique(np.concatenate([a for a in arrays if a.size] or
+                                   [np.empty(0, dtype=np.int64)]))
+    return ids
+
+
+def sssp_local(
+    edges: DataFrame, sources: DataFrame, max_rounds: int
+) -> DataFrame:
+    """(id, dist) for every node incident to ``edges`` or listed in
+    ``sources`` — the exact ≤``max_rounds``-edge min-plus fixpoint of
+    the DIRECTED edge table (callers pass both directions for
+    undirected graphs), integer arithmetic identical to the distributed
+    ``sssp_bounded`` rounds.  Early-exits when a round changes nothing
+    (the recurrence is monotone, so the remaining rounds are no-ops —
+    the ≤r-bounded result is already the fixpoint)."""
+    tagged = edges.select(
+        F.col("u").cast("long"), F.col("v").cast("long"),
+        F.col("w").cast("long"), F.lit(0).alias("_t"),
+    ).unionByName(
+        sources.select(
+            F.col("id").cast("long").alias("u"),
+            F.lit(0).cast("long").alias("v"),
+            F.lit(0).cast("long").alias("w"),
+            F.lit(1).alias("_t"),
+        )
+    )
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v", "w", "_t"])
+        is_edge = d["_t"] == 0
+        eu, ev, ew = d["u"][is_edge], d["v"][is_edge], d["w"][is_edge]
+        if ew.size and ew.min() < 0:
+            raise ValueError("edge weights must be non-negative")
+        src = d["u"][~is_edge]
+        ids = _index_ids(eu, ev, src)
+        n = ids.size
+        iu = np.searchsorted(ids, eu)
+        iv = np.searchsorted(ids, ev)
+        isrc = np.searchsorted(ids, src)
+        BIG = np.int64(1 << 62)
+        dist = np.full(n, BIG, dtype=np.int64)
+        dist[isrc] = 0
+        for _ in range(int(max_rounds)):
+            active = dist[iu] < BIG
+            if not active.any():
+                break
+            nd = np.full(n, BIG, dtype=np.int64)
+            np.minimum.at(nd, iv[active], dist[iu[active]] + ew[active])
+            new = np.minimum(dist, nd)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        out = pd.DataFrame({"id": ids, "dist": dist})
+        out["dist"] = out["dist"].astype("object")
+        out.loc[dist >= BIG, "dist"] = None
+        yield out
+
+    return tagged.coalesce(1).mapInPandas(run, "id long, dist long")
+
+
+def bfs_local(edges: DataFrame, sources: DataFrame, max_hops: int) -> DataFrame:
+    """(id, hops) — BFS levels capped at ``max_hops`` over the DIRECTED
+    edge table; exact twin of the ``bfs_hops`` rounds (unit weights)."""
+    unit = edges.select("u", "v", F.lit(1).cast("long").alias("w"))
+    return sssp_local(unit, sources, max_hops).select(
+        "id", F.col("dist").alias("hops")
+    )
+
+
+def pagerank_local(
+    edges: DataFrame, iters: int, damping_pct: int
+) -> DataFrame:
+    """(id, rank_q) for every node incident to the DIRECTED edge table —
+    the exact integer-mass recurrence of ``pagerank_quantized``
+    (floor-division send, exact remainders kept).  Isolated nodes never
+    reach this function (they keep PR_SCALE; the caller coalesces)."""
+    from .graph import PR_SCALE
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = ids.size
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, iu, 1)
+        rank = np.full(n, PR_SCALE, dtype=np.int64)
+        dp = np.int64(int(damping_pct))
+        for _ in range(int(iters)):
+            send_total = (rank * dp) // 100
+            per_edge = np.where(deg > 0, send_total // np.maximum(deg, 1), 0)
+            keep = rank - deg * per_edge
+            inflow = np.zeros(n, dtype=np.int64)
+            np.add.at(inflow, iv, per_edge[iu])
+            rank = keep + inflow
+        yield pd.DataFrame({"id": ids, "rank_q": rank})
+
+    return edges.coalesce(1).mapInPandas(run, "id long, rank_q long")
+
+
+def lpa_local(edges: DataFrame, rounds: int) -> DataFrame:
+    """(id, label) for every node incident to the DIRECTED edge table —
+    the exact synchronous LPA recurrence of ``lpa_communities``
+    (argmax neighbor-label count, ties to the SMALLEST label)."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        label = ids.copy()
+        for _ in range(int(rounds)):
+            nb = label[iu]  # label arriving at iv
+            # group by (v, nb-label): count, then argmax (cnt desc,
+            # label asc) == lexicographic min of (-cnt, label)
+            order = np.lexsort((nb, iv))
+            gv, gl = iv[order], nb[order]
+            boundary = np.ones(gv.size, dtype=bool)
+            boundary[1:] = (gv[1:] != gv[:-1]) | (gl[1:] != gl[:-1])
+            starts = np.flatnonzero(boundary)
+            counts = np.diff(np.append(starts, gv.size))
+            grp_v, grp_l = gv[starts], gl[starts]
+            # per target v, pick min (-count, label); grp arrays are
+            # sorted by (v, label) so a stable argsort on -count within
+            # v keeps label ties in ascending label order
+            best = np.lexsort((grp_l, -counts, grp_v))
+            first = np.ones(best.size, dtype=bool)
+            bv = grp_v[best]
+            first[1:] = bv[1:] != bv[:-1]
+            sel = best[first]
+            new = label.copy()
+            new[grp_v[sel]] = grp_l[sel]
+            if np.array_equal(new, label):
+                break
+            label = new
+        yield pd.DataFrame({"id": ids, "label": label})
+
+    return edges.coalesce(1).mapInPandas(run, "id long, label long")
+
+
+def kcore_local(edges: DataFrame, k: int) -> DataFrame:
+    """(id, core_deg) — the k-core survivors with in-core degrees, the
+    exact fixpoint of the bulk peel (unique, so any peel order agrees).
+    ``edges`` is the canonical UNDIRECTED table (u != v, distinct)."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = ids.size
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        alive_e = np.ones(iu.size, dtype=bool)
+        alive_n = np.ones(n, dtype=bool)
+        while True:
+            deg = np.zeros(n, dtype=np.int64)
+            np.add.at(deg, iu[alive_e], 1)
+            np.add.at(deg, iv[alive_e], 1)
+            drop = alive_n & (deg < k)
+            if not drop.any():
+                yield pd.DataFrame(
+                    {"id": ids[alive_n], "core_deg": deg[alive_n]}
+                )
+                return
+            alive_n &= ~drop
+            alive_e &= alive_n[iu] & alive_n[iv]
+            if not alive_n.any():
+                yield pd.DataFrame(
+                    {"id": np.empty(0, dtype=np.int64),
+                     "core_deg": np.empty(0, dtype=np.int64)}
+                )
+                return
+
+    return edges.coalesce(1).mapInPandas(run, "id long, core_deg long")
+
+
+def coreness_local(edges: DataFrame) -> DataFrame:
+    """(id, coreness) — exact core numbers via the same h-index
+    iteration as ``coreness`` (converges to the unique decomposition;
+    the distributed op iterates the identical non-increasing map, so
+    the fixpoints coincide).  ``edges`` is the DIRECTED table."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = ids.size
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, iu, 1)
+        c = deg.copy()
+        while True:
+            cv = c[iv]  # neighbor value arriving at iu
+            order = np.lexsort((-cv, iu))
+            gu, gval = iu[order], cv[order]
+            # h-index per group: rank r=1.. within each gu run (values
+            # descending), h = max over min(rank, value)
+            idx = np.arange(gu.size)
+            first = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+            run_len = np.diff(np.append(first, gu.size))
+            rank = idx - np.repeat(idx[first], run_len) + 1
+            m = np.minimum(gval, rank)
+            new = np.zeros(n, dtype=np.int64)
+            np.maximum.at(new, gu, m)
+            if np.array_equal(new, c):
+                yield pd.DataFrame({"id": ids, "coreness": c})
+                return
+            c = new
+
+    return edges.coalesce(1).mapInPandas(run, "id long, coreness long")

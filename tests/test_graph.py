@@ -312,11 +312,15 @@ def test_kcore_brute_parity(spark):
         assert got == _brute_kcore(pairs, k), f"k={k}"
 
 
-def test_kcore_rejects_bad_k_and_caps_rounds(spark):
+def test_kcore_rejects_bad_k_and_caps_rounds(spark, monkeypatch):
     from gregor_spark.ops.graph import kcore_nodes
 
     with pytest.raises(ValueError):
         kcore_nodes(_edges(spark, [(0, 1)]), 0)
+    # the round cap is the DISTRIBUTED peel's budget guard; the r8
+    # single-task fast path converges exactly and has no cap, so force
+    # the loop to pin the guard behavior
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
     chain = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError):
         kcore_nodes(_edges(spark, chain), 2, max_rounds=2)

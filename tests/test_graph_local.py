@@ -1,0 +1,85 @@
+"""r8 parity: the single-task graph fast paths (ops/graph_local.py)
+must be bit-identical to the distributed loops they replace.  Each op
+runs twice on the same random graph — once with the small-graph gate on
+(the default; the graph is tiny so the fast path engages) and once with
+SPARK_GRAFT_SMALL_GRAPH=0 forcing the distributed loop — and the full
+row sets must match exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gregor_spark.ops import graph as G
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # deterministic pseudo-random multigraph-ish pair table: ~600 nodes,
+    # ~1500 canonical edges, several components, hubs and tendrils
+    n, m = 600, 1500
+    e = spark.range(m).select(
+        (F.xxhash64(F.col("id"), F.lit(1)) % n).alias("doc_a"),
+        (F.xxhash64(F.col("id"), F.lit(2)) % (n // 3)).alias("doc_b"),
+    ).select(F.abs("doc_a").alias("doc_a"), F.abs("doc_b").alias("doc_b"))
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    w = e.select(
+        "doc_a", "doc_b",
+        (F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(97)) + 1).alias("w"),
+    )
+    src = spark.range(5).select((F.col("id") * 7).alias("doc_id"))
+    return ids.cache(), e.cache(), w.cache(), src.cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _both(monkeypatch, fn):
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    fast = _rows(fn())
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
+    slow = _rows(fn())
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    assert fast == slow
+    assert len(fast) > 0
+    return fast
+
+
+def test_pagerank_parity(spark, graph, monkeypatch):
+    ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.pagerank_quantized(ids, e, iters=3))
+
+
+def test_lpa_parity(spark, graph, monkeypatch):
+    ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.lpa_communities(ids, e, rounds=3))
+
+
+def test_bfs_parity(spark, graph, monkeypatch):
+    ids, e, _w, src = graph
+    _both(monkeypatch, lambda: G.bfs_hops(ids, e, src, max_hops=4))
+
+
+def test_sssp_parity(spark, graph, monkeypatch):
+    ids, _e, w, src = graph
+    _both(monkeypatch, lambda: G.sssp_bounded(ids, w, src, max_rounds=6))
+
+
+def test_sssp_negative_weight_raises(spark, graph):
+    ids, _e, w, src = graph
+    bad = w.withColumn("w", F.col("w") - 200)
+    with pytest.raises(Exception, match="non-negative"):
+        G.sssp_bounded(ids, bad, src, max_rounds=2).collect()
+
+
+def test_kcore_parity(spark, graph, monkeypatch):
+    _ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.kcore_nodes(e, k=3))
+
+
+def test_coreness_parity(spark, graph, monkeypatch):
+    _ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.coreness(e))
