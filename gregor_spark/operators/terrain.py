@@ -431,6 +431,28 @@ def flow_accumulation(
         ).alias("p"),
     )
 
+    # Small-forest fast path (r8): below the small-graph threshold the
+    # Wyllie rounds are pure scheduler latency (profiled 48 jobs /
+    # 3.9 s at sf0.1) — one task computes the identical integer
+    # subtree sizes (graph_local.subtree_sizes_local); above it the
+    # O(log n) Euler-tour/Wyllie ranking below engages unchanged.
+    from ..ops.graph_local import small_graph_threshold, subtree_sizes_local
+
+    thr = small_graph_threshold()
+    if thr and base.count() <= thr:
+        sizes = subtree_sizes_local(
+            edges.select("u", F.col("p").alias("v"))
+        )
+        return (
+            base.join(sizes, base["_k"] == sizes["id"], "left")
+            .select(
+                "row",
+                "col",
+                "code",
+                F.coalesce("n_up", F.lit(0).cast("long")).alias("n_up"),
+            )
+        )
+
     # arc ids: DOWN(k) = 2k, UP(k) = 2k+1
     def down(c):
         return c * F.lit(2)

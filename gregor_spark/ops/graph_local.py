@@ -234,6 +234,51 @@ def kcore_local(edges: DataFrame, k: int) -> DataFrame:
     return edges.coalesce(1).mapInPandas(run, "id long, core_deg long")
 
 
+def subtree_sizes_local(edges: DataFrame) -> DataFrame:
+    """(id, n_up) — upstream-subtree sizes of a pointer FOREST given as
+    (u child → p parent) edges: n_up = number of strict descendants of
+    the node, the D8 flow-accumulation quantity.  Exact integers; the
+    forest invariant (≤1 parent, acyclic) is the caller's contract
+    (flow_direction_d8 guarantees it: elevation strictly decreases).
+
+    One task: depth by vectorized pointer jumping (O(log depth)
+    rounds), then one ``np.add.at`` sweep per depth level from the
+    deepest up — every step integer-exact, so the result matches the
+    Euler-tour/Wyllie distributed ranking bit-for-bit."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = ids.size
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        parent = np.arange(n)
+        parent[iu] = iv  # roots (sinks) point to themselves
+        # depth via pointer doubling
+        # invariant: depth[u] = dist(u -> jmp[u]); doubling preserves it
+        depth = (parent != np.arange(n)).astype(np.int64)
+        jmp = parent.copy()
+        while True:
+            nxt = jmp[jmp]
+            if np.array_equal(nxt, jmp):
+                break
+            depth = depth + depth[jmp]
+            jmp = nxt
+        size = np.ones(n, dtype=np.int64)
+        if n:
+            order = np.argsort(depth, kind="stable")
+            # walk levels deepest-first; each level adds its sizes to
+            # the parents in one vectorized scatter-add
+            maxd = int(depth.max())
+            bounds = np.searchsorted(depth[order], np.arange(maxd + 2))
+            for lvl in range(maxd, 0, -1):
+                sel = order[bounds[lvl]:bounds[lvl + 1]]
+                np.add.at(size, parent[sel], size[sel])
+        yield pd.DataFrame({"id": ids, "n_up": size - 1})
+
+    return edges.coalesce(1).mapInPandas(run, "id long, n_up long")
+
+
 def coreness_local(edges: DataFrame) -> DataFrame:
     """(id, coreness) — exact core numbers via the same h-index
     iteration as ``coreness`` (converges to the unique decomposition;

@@ -83,3 +83,39 @@ def test_kcore_parity(spark, graph, monkeypatch):
 def test_coreness_parity(spark, graph, monkeypatch):
     _ids, e, _w, _src = graph
     _both(monkeypatch, lambda: G.coreness(e))
+
+
+def test_flow_accum_parity(spark, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from gregor_spark.operators.terrain import flow_accumulation
+
+    n = 24
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("int").alias("row"),
+        (F.col("id") % n).cast("int").alias("col"),
+    )
+    val = (
+        (F.col("row") * 13 + F.col("col") * 7) % 29
+        + (F.col("row") + F.col("col")) * 0.5
+    ).cast("double")
+    cells = g.select(
+        "row",
+        "col",
+        F.when((F.col("row") * 11 + F.col("col") * 3) % 17 == 0, None)
+        .otherwise(val)
+        .alias("value"),
+    )
+
+    def rows():
+        return sorted(
+            tuple(r) for r in flow_accumulation(cells).collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    fast = rows()
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
+    slow = rows()
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    assert fast == slow
+    assert len(fast) > 0

@@ -411,9 +411,13 @@ def test_flow_accum_partition_invariance(spark):
     assert a == b
 
 
-def test_flow_accum_round_cap_raises(spark):
+def test_flow_accum_round_cap_raises(spark, monkeypatch):
     from gregor_spark.operators.terrain import flow_accumulation
 
+    # the round cap guards the DISTRIBUTED Wyllie ranking; the r8
+    # single-task fast path computes the exact sizes with no cap, so
+    # force the distributed loop to pin the guard behavior
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
     cells = spark.createDataFrame(
         [(0, c, float(99 - c)) for c in range(9)],
         "row int, col int, value double",
