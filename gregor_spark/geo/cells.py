@@ -172,6 +172,28 @@ def polyfill(
     return polyfill_rings([(xs, ys, False)], res, bounds, classify)
 
 
+def _single_rect(rings) -> tuple[float, float, float, float] | None:
+    """(minx, miny, maxx, maxy) when ``rings`` is exactly one non-hole
+    ring whose vertices are the four corners of an axis-aligned
+    rectangle (closing vertex optional); else None."""
+    if len(rings) != 1 or rings[0][2]:
+        return None
+    xs = np.asarray(rings[0][0], dtype=np.float64)
+    ys = np.asarray(rings[0][1], dtype=np.float64)
+    if xs.size > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    if xs.size != 4:
+        return None
+    ux, uy = np.unique(xs), np.unique(ys)
+    if ux.size != 2 or uy.size != 2:
+        return None
+    corners = {(x, y) for x, y in zip(xs.tolist(), ys.tolist())}
+    want = {(x, y) for x in ux.tolist() for y in uy.tolist()}
+    if corners != want:
+        return None
+    return float(ux[0]), float(uy[0]), float(ux[1]), float(uy[1])
+
+
 def polyfill_rings(
     rings: list,
     res: int,
@@ -203,18 +225,73 @@ def polyfill_rings(
     # shared-edge ties) can never apply there and the refine skip is safe
     delta = 1e-9 * max(w, h)
     exp_area = (w + 2 * delta) * (h + 2 * delta)
-    out_ix, out_iy, out_full = [], [], []
-    for iy in range(iy0, iy1 + 1):
-        cminy = miny + iy * h
-        for ix in range(ix0, ix1 + 1):
-            cminx = minx + ix * w
+
+    # r8 fast path for the overwhelmingly common single axis-aligned
+    # rectangle ring: classify the whole candidate grid with vectorized
+    # strict-margin compares — cells strictly inside are covered+full,
+    # cells with no expanded-bbox overlap are uncovered, and ONLY the
+    # boundary band (O(perimeter) cells) runs the exact clip kernel.
+    # Decisions are identical to the kernel loop by construction: the
+    # margins are strict, so every cell the compares cannot prove is
+    # handed to the same kernel, and a strictly-interior cell's kernel
+    # area equals exp_area to ~1e-16 relative — far inside the 1e-12
+    # full-test slack.  (Profiled: zones.cover(res=8) on the 2×2 box
+    # fixture was 2.9 s of per-cell Python; the band is ~3% of cells.)
+    rect = _single_rect(rings)
+    if rect is not None:
+        rx0, ry0, rx1, ry1 = rect
+        ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+        iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+        cminx = minx + ixs * w
+        cminy = miny + iys * h
+        gx = np.broadcast_to(cminx[None, :], (iys.size, ixs.size))
+        gy = np.broadcast_to(cminy[:, None], (iys.size, ixs.size))
+        inner = (
+            (gx - delta > rx0)
+            & (gx + w + delta < rx1)
+            & (gy - delta > ry0)
+            & (gy + h + delta < ry1)
+        )
+        outer = (
+            (gx - delta >= rx1)
+            | (gx + w + delta <= rx0)
+            | (gy - delta >= ry1)
+            | (gy + h + delta <= ry0)
+        )
+        band = ~(inner | outer)
+        covered = inner.copy()
+        full = inner.copy()
+        for biy, bix in zip(*np.nonzero(band)):
+            cx0 = minx + ixs[bix] * w
+            cy0 = miny + iys[biy] * h
             a_exp = K.intersection_area_rect_rings(
-                rings, cminx - delta, cminy - delta, cminx + w + delta, cminy + h + delta
+                rings, cx0 - delta, cy0 - delta, cx0 + w + delta, cy0 + h + delta
             )
             if a_exp > 0.0:
-                out_ix.append(ix)
-                out_iy.append(iy)
-                out_full.append(a_exp >= exp_area * (1.0 - 1e-12))
+                covered[biy, bix] = True
+                full[biy, bix] = a_exp >= exp_area * (1.0 - 1e-12)
+        # np.nonzero is row-major — identical emission order to the loop
+        sel_iy, sel_ix = np.nonzero(covered)
+        out_ix = ixs[sel_ix].tolist()
+        out_iy = iys[sel_iy].tolist()
+        out_full = full[sel_iy, sel_ix].tolist()
+    else:
+        out_ix, out_iy, out_full = [], [], []
+        for iy in range(iy0, iy1 + 1):
+            cminy = miny + iy * h
+            for ix in range(ix0, ix1 + 1):
+                cminx = minx + ix * w
+                a_exp = K.intersection_area_rect_rings(
+                    rings,
+                    cminx - delta,
+                    cminy - delta,
+                    cminx + w + delta,
+                    cminy + h + delta,
+                )
+                if a_exp > 0.0:
+                    out_ix.append(ix)
+                    out_iy.append(iy)
+                    out_full.append(a_exp >= exp_area * (1.0 - 1e-12))
     if not out_ix:
         empty = np.empty(0, dtype=np.int64)
         return (empty, np.empty(0, dtype=bool)) if classify else empty

@@ -55,6 +55,16 @@ def local_df(spark: SparkSession, rows: list[tuple], ddl: str) -> DataFrame:
     if not rows:
         sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
         return spark.sql(f"SELECT {sel} WHERE FALSE")
+    if len(rows) > 4096:
+        # r8: a VALUES literal this large spends seconds in the SQL
+        # parser (profiled 5.8 s for a 66k-row zone cover).  The Arrow
+        # createDataFrame path ships the rows as record batches — data
+        # lands JVM-side with no Python-worker round trip at scan time,
+        # which is the property this module exists for.
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=[n for n, _ in cols])
+        return spark.createDataFrame(pdf, schema=ddl)
     body = ",".join("(" + ",".join(_lit(v) for v in r) + ")" for r in rows)
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)

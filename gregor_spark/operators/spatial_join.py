@@ -304,9 +304,17 @@ def spatial_hash_join(
 
     spark = facts.sparkSession
     cover_pairs = zones.cover(res, bounds)
-    cover = local_df(spark, cover_pairs, "zone_id long, cell_id long, _full boolean")
     if broadcast_cover is None:
         broadcast_cover = choose_broadcast(n_cover_rows=len(cover_pairs))
+    # the broadcast path ships cover_pairs in the UDF closure and never
+    # touches a cover DataFrame — only build it for the join paths
+    cover = (
+        None
+        if broadcast_cover
+        else local_df(
+            spark, cover_pairs, "zone_id long, cell_id long, _full boolean"
+        )
+    )
 
     keyed = with_cell_id(facts, res, bounds, x=x, y=y)
     fact_cols = facts.columns

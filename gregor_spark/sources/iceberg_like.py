@@ -94,6 +94,15 @@ def write_table(
     prior = []
     if mode == "append" and os.path.exists(os.path.join(path, MANIFEST)):
         prior = read_manifest(path).get("snapshots", [])
+    # Iceberg write.distribution-mode=hash (r8, guide §6): cluster rows
+    # by bucket before the partitioned write so each bucket lands in ONE
+    # file per commit instead of one per upstream task.  A 64-partition
+    # × 64-bucket write used to cut 4096 files, and every read_table
+    # paid a 4096-path distributed listing job (profiled 8–39 s per
+    # north-pipeline call at 2M docs).  File size now equals bucket
+    # size — the caller's n_buckets is the file-sizing knob, exactly as
+    # in Iceberg.
+    out = out.repartition(n_buckets, F.col("bucket"))
     out.write.mode(mode).partitionBy("bucket").parquet(path)
     all_files = _walk_data_files(path, "bucket")
     now_ms = int(time.time() * 1000)
