@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from .dedup import _materialize_truncated
 from .graph_local import (
     bfs_local,
+    link_pred_local,
+    triangles_local,
+    wedge_count,
     coreness_local,
     kcore_local,
     lpa_local,
@@ -57,6 +60,24 @@ def triangle_counts(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Small-graph fast path (r8): the wedge self-join + closure
+    # semi-join is one numpy task below the threshold; the extra
+    # wedge-count gate bounds the in-task pair generation (a 2M-edge
+    # hub graph has quadratic wedges — that shape stays distributed).
+    thr = small_graph_threshold()
+    if thr and e.count() <= thr and wedge_count(e) <= 50_000_000:
+        tl = triangles_local(e)
+        return tl.select(
+            "id",
+            "degree",
+            "n_tri",
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.col("n_tri").cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).alias("lcc"),
+        )
     both = e.select(F.col("u").alias("id")).unionByName(
         e.select(F.col("v").alias("id"))
     )
@@ -316,6 +337,25 @@ def link_prediction(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Small-graph fast path (r8): same wedge-bounded one-task twin; the
+    # jaccard division below is the identical Spark expression on the
+    # identical integers, so doubles match bit-for-bit.
+    thr = small_graph_threshold()
+    if thr and e.count() <= thr and wedge_count(e) <= 50_000_000:
+        out = link_pred_local(e, min_common)
+        return out.select(
+            "x",
+            "y",
+            "common",
+            "deg_x",
+            "deg_y",
+            (
+                F.col("common").cast("double")
+                / (
+                    F.col("deg_x") + F.col("deg_y") - F.col("common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
     dir_e = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -234,6 +234,136 @@ def kcore_local(edges: DataFrame, k: int) -> DataFrame:
     return edges.coalesce(1).mapInPandas(run, "id long, core_deg long")
 
 
+def _group_pairs(sizes: np.ndarray):
+    """Vectorized ordered in-group pair indices: for contiguous groups
+    of the given sizes laid out back-to-back, return (i_idx, j_idx)
+    with i before j inside the same group — the numpy equivalent of a
+    per-group ``triu_indices``."""
+    total = int(sizes.sum())
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pos = np.arange(total) - np.repeat(starts, sizes)
+    left_rep = np.repeat(sizes, sizes) - pos - 1
+    i_idx = np.repeat(np.arange(total), left_rep)
+    off = np.concatenate([[0], np.cumsum(left_rep)[:-1]])
+    j_idx = np.arange(int(left_rep.sum())) - np.repeat(off, left_rep) + i_idx + 1
+    return i_idx, j_idx
+
+
+def triangles_local(edges: DataFrame) -> DataFrame:
+    """(id, degree, n_tri) — exact per-node triangle counts over the
+    canonical undirected edge table, the one-task twin of
+    ``triangle_counts``'s degree-ordered wedge method (same
+    orientation, same closure test, pure integer counting)."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = max(ids.size, 1)
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, iu, 1)
+        np.add.at(deg, iv, 1)
+        # orient low (degree, id) -> high; ids are sorted so index
+        # order IS id order
+        u_first = (deg[iu] < deg[iv]) | ((deg[iu] == deg[iv]) & (iu < iv))
+        src = np.where(u_first, iu, iv)
+        dst = np.where(u_first, iv, iu)
+        enc_sorted = np.sort(src.astype(np.int64) * n + dst)
+        # wedges at each oriented source, out-neighbors in rank order
+        order = np.lexsort((dst, deg[dst], src))
+        s2, d2 = src[order], dst[order]
+        first = np.flatnonzero(np.r_[True, s2[1:] != s2[:-1]]) if s2.size else np.empty(0, dtype=np.int64)
+        sizes = np.diff(np.append(first, s2.size))
+        i_idx, j_idx = _group_pairs(sizes)
+        wx, wy, wsrc = d2[i_idx], d2[j_idx], s2[i_idx]
+        probe = wx.astype(np.int64) * n + wy
+        loc = np.searchsorted(enc_sorted, probe)
+        loc = np.clip(loc, 0, max(enc_sorted.size - 1, 0))
+        closed = (
+            enc_sorted[loc] == probe if enc_sorted.size else np.zeros(0, bool)
+        )
+        n_tri = np.zeros(n, dtype=np.int64)
+        for arr in (wsrc[closed], wx[closed], wy[closed]):
+            np.add.at(n_tri, arr, 1)
+        yield pd.DataFrame(
+            {"id": ids, "degree": deg[: ids.size], "n_tri": n_tri[: ids.size]}
+        )
+
+    return edges.coalesce(1).mapInPandas(run, "id long, degree long, n_tri long")
+
+
+def link_pred_local(edges: DataFrame, min_common: int) -> DataFrame:
+    """(x, y, common, deg_x, deg_y) — exact common-neighbor counts for
+    2-hop non-edges, the one-task twin of ``link_prediction``'s wedge
+    join (same candidate set, same counts; the jaccard division is left
+    to the caller's identical Spark expression)."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = max(ids.size, 1)
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        w = np.concatenate([iu, iv])
+        x = np.concatenate([iv, iu])
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, w, 1)
+        order = np.lexsort((x, w))
+        w2, x2 = w[order], x[order]
+        first = np.flatnonzero(np.r_[True, w2[1:] != w2[:-1]]) if w2.size else np.empty(0, dtype=np.int64)
+        sizes = np.diff(np.append(first, w2.size))
+        i_idx, j_idx = _group_pairs(sizes)
+        px, py = x2[i_idx], x2[j_idx]  # px < py (sorted within group)
+        enc = px.astype(np.int64) * n + py
+        uniq, counts = (
+            np.unique(enc, return_counts=True)
+            if enc.size
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        keep = counts >= int(min_common)
+        uniq, counts = uniq[keep], counts[keep]
+        # drop existing edges (canonical u<v by id == by index)
+        e_enc = np.sort(
+            np.minimum(iu, iv).astype(np.int64) * n + np.maximum(iu, iv)
+        )
+        loc = np.searchsorted(e_enc, uniq)
+        loc = np.clip(loc, 0, max(e_enc.size - 1, 0))
+        is_edge = e_enc[loc] == uniq if e_enc.size else np.zeros(0, bool)
+        uniq, counts = uniq[~is_edge], counts[~is_edge]
+        cx = (uniq // n).astype(np.int64)
+        cy = (uniq % n).astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "x": ids[cx],
+                "y": ids[cy],
+                "common": counts,
+                "deg_x": deg[cx],
+                "deg_y": deg[cy],
+            }
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        run, "x long, y long, common long, deg_x long, deg_y long"
+    )
+
+
+def wedge_count(edges: DataFrame) -> int:
+    """Σ d(d−1)/2 over the canonical undirected edge table — the size
+    of the pair-generation work both wedge fast paths would do in one
+    task; callers gate on it (one tiny aggregate over cached edges)."""
+    both = edges.select(F.col("u").alias("id")).unionByName(
+        edges.select(F.col("v").alias("id"))
+    )
+    row = (
+        both.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)).alias("w"))
+        .collect()
+    )
+    return int(row[0]["w"] or 0)
+
+
 def subtree_sizes_local(edges: DataFrame) -> DataFrame:
     """(id, n_up) — upstream-subtree sizes of a pointer FOREST given as
     (u child → p parent) edges: n_up = number of strict descendants of

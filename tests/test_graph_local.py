@@ -119,3 +119,18 @@ def test_flow_accum_parity(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_triangles_parity(spark, graph, monkeypatch):
+    _ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.triangle_counts(e))
+
+
+def test_link_pred_parity(spark, graph, monkeypatch):
+    _ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.link_prediction(e, min_common=2))
+
+
+def test_graph_summary_parity(spark, graph, monkeypatch):
+    _ids, e, _w, _src = graph
+    _both(monkeypatch, lambda: G.graph_summary(e))
