@@ -20,10 +20,20 @@ def graph(spark):
     # deterministic pseudo-random multigraph-ish pair table: ~600 nodes,
     # ~1500 canonical edges, several components, hubs and tendrils
     n, m = 600, 1500
-    e = spark.range(m).select(
+    raw = spark.range(m).select(
         (F.xxhash64(F.col("id"), F.lit(1)) % n).alias("doc_a"),
         (F.xxhash64(F.col("id"), F.lit(2)) % (n // 3)).alias("doc_b"),
     ).select(F.abs("doc_a").alias("doc_a"), F.abs("doc_b").alias("doc_b"))
+    # canonical pair-table contract (a < b, unique) — what every engine
+    # pair producer emits and the graph ops document as their input
+    e = (
+        raw.where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
     ids = spark.range(n).select(F.col("id").alias("doc_id"))
     w = e.select(
         "doc_a", "doc_b",
