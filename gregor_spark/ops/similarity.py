@@ -717,6 +717,91 @@ def kmeans_assign(
     return base.mapInPandas(go, out_schema)
 
 
+def _spark_round_half_up(x: float, digits: int) -> float:
+    """Replicate Spark's ``round()`` on DOUBLE: BigDecimal.valueOf(x)
+    (the shortest decimal repr, same as Python ``repr``) quantized
+    HALF_UP.  Python's ``round``/numpy round half-even instead."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            q, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _kmeans_fit_local(
+    base: DataFrame, k: int, iters: int, key: str, round_to: int
+) -> list[list[float]]:
+    """One-task exact twin of the kmeans_fit training loop (see the
+    fast-path comment in :func:`kmeans_fit`).  Returns the trained
+    centroids; the only driver traffic is the k×dim centroid collect —
+    the same bounded class as the distributed loop's means collect."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys_l, vecs_l = [], []
+        for pdf in batches:
+            if len(pdf):
+                keys_l.append(pdf[key].to_numpy(np.int64))
+                vecs_l.append(np.asarray(pdf["_v"].tolist(), dtype=np.float64))
+        if not keys_l:
+            yield pd.DataFrame({"cid": [], "pos": [], "val": []})
+            return
+        keys = np.concatenate(keys_l)
+        V = np.concatenate(vecs_l, axis=0)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(b"km" + str(int(x)).encode()).hexdigest()[:15], 16)
+                for x in keys
+            ),
+            dtype=np.int64,
+            count=keys.size,
+        )
+        order = np.lexsort((keys, h))
+        cents = [
+            [round(float(x), round_to) for x in V[i]] for i in order[:k]
+        ]
+        for _ in range(int(iters)):
+            C = np.asarray(cents, dtype=np.float64)
+            diff = V[:, None, :] - C[None, :, :]
+            sq = diff * diff
+            # the expr path folds left-to-right: 0.0 + t1 + t2 + ... —
+            # np.add.accumulate performs the identical sequential adds
+            d2 = np.add.accumulate(sq, axis=2)[:, :, -1]
+            cid = np.argmin(d2, axis=1)  # first min == smaller cid on ties
+            new = []
+            for i in range(len(cents)):
+                members = V[cid == i]
+                if len(members) == 0:
+                    new.append(list(cents[i]))
+                    continue
+                mean = members.sum(axis=0) / len(members)
+                new.append(
+                    [_spark_round_half_up(float(x), round_to) for x in mean]
+                )
+            cents = new
+        rows = [
+            (int(c), int(p), float(v))
+            for c, vec_c in enumerate(cents)
+            for p, v in enumerate(vec_c)
+        ]
+        yield pd.DataFrame(rows, columns=["cid", "pos", "val"])
+
+    out = (
+        base.coalesce(1)
+        .mapInPandas(run, "cid long, pos long, val double")
+        .collect()
+    )  # k×dim rows — driver-bounded by construction
+    if not out:
+        raise ValueError("kmeans_fit: empty corpus")
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+    return [[d[p] for p in sorted(d)] for _, d in sorted(by_cid.items())]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -758,6 +843,23 @@ def kmeans_fit(
         F.col(key).cast("long").alias(key),
         F.col(vec).cast("array<double>").alias("_v"),
     )
+    # Small-corpus fast path (r8): the training loop is 2 driver-
+    # synchronized jobs PER ITERATION (codegen-compiled assign + means
+    # collect) — pure latency below the threshold.  One task runs the
+    # identical loop in numpy (same md5 init ordering, the distance
+    # fold replayed with sequential ``np.add.accumulate`` adds, the
+    # same rounding semantics) and ships back only the k×dim centroid
+    # table; the final assignment below is the same map-only
+    # kmeans_assign either way.  Parity pinned in
+    # tests/test_kmeans_local.py; above the threshold the distributed
+    # loop (one corpus pass per iteration) engages unchanged.
+    from .graph_local import small_graph_threshold
+
+    thr = small_graph_threshold(200_000)
+    n_vec = df.count() if thr else None
+    if thr and 0 < n_vec <= thr:
+        cents = _kmeans_fit_local(base, k, iters, key, round_to)
+        return kmeans_assign(df, cents, vec=vec, key=key, method=method), cents
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("km"), F.col(key).cast("string"))), 1, 15),
         16,
