@@ -133,9 +133,36 @@ def segment_intersections(
     px = F.col("_ax1") + F.col("_t") * (F.col("_ax2") - F.col("_ax1"))
     py = F.col("_ay1") + F.col("_t") * (F.col("_ay2") - F.col("_ay1"))
     q = q.withColumn("px", px).withColumn("py", py)
-    own = (F.floor(F.col("px") / F.lit(float(w))).cast("long") == F.col("_cx")) & (
-        F.floor(F.col("py") / F.lit(float(w))).cast("long") == F.col("_cy")
-    )
+    # Ownership in EXACT arithmetic (r8, ADVICE fix): the true point is
+    # the int64 rational N/D with D = d1−d2 ≠ 0 under `proper`, so the
+    # owning cell is floor(N / (D·w)) exactly.  The float-derived floor
+    # is only a ±1 candidate — when the crossing lies exactly on a grid
+    # line (every crossing of an axis-parallel segment ON a grid line),
+    # rounding yields e.g. 499.99999999999994 and floor lands one cell
+    # low, a cell outside the partner's bbox explode, silently dropping
+    # the pair (~20% of configurations in the ADVICE simulation).  The
+    # candidate is corrected by exact integer comparison against
+    # c·(D·w) ≤ N < (c+1)·(D·w), sign-normalized so D·w > 0.
+    d_raw = d1 - d2
+    neg = d_raw < 0
+    den = F.when(neg, -d_raw).otherwise(d_raw)
+
+    def exact_own(c_float, n1, delta):
+        n_raw = n1 * d_raw + d1 * delta
+        n = F.when(neg, -n_raw).otherwise(n_raw)
+        m = den * F.lit(w)
+        c0 = F.floor(c_float / F.lit(float(w))).cast("long")
+        lo_ok = c0 * m <= n
+        hi_ok = n < (c0 + F.lit(1)) * m
+        return (
+            F.when(lo_ok & hi_ok, c0)
+            .when(~lo_ok, c0 - F.lit(1))
+            .otherwise(c0 + F.lit(1))
+        )
+
+    own_cx = exact_own(F.col("px"), F.col("_ax1"), F.col("_ax2") - F.col("_ax1"))
+    own_cy = exact_own(F.col("py"), F.col("_ay1"), F.col("_ay2") - F.col("_ay1"))
+    own = (own_cx == F.col("_cx")) & (own_cy == F.col("_cy"))
     return q.where(own).select(
         F.col("_aid").alias(id_a), F.col("_bid").alias(id_b), "px", "py"
     )

@@ -223,3 +223,33 @@ def test_snap_zero_length_segment_and_tiebreak(spark):
         cell=20,
     ).collect()
     assert len(out) == 1 and out[0].seg_id == 3 and out[0].d2 == 100.0
+
+
+def test_seg_intersections_grid_line_crossings(spark):
+    """r8 ADVICE regression: crossings whose intersection point lies
+    EXACTLY on a cell boundary (axis-parallel segment lying on a grid
+    line) must be owned by exactly one cell and never dropped."""
+    from gregor_spark.operators.overlay import segment_intersections
+
+    cell = 500
+    # vertical B exactly on the x=500 grid line; horizontal A segments
+    # crossing it at integer y values, several on y-grid lines too
+    a_rows = [
+        (i, 100, y, 900, y) for i, y in enumerate(range(0, 2600, 250))
+    ]
+    b_rows = [(0, 500, -100, 500, 2700)]
+    a = spark.createDataFrame(
+        a_rows, "a_id long, x1 long, y1 long, x2 long, y2 long"
+    )
+    b = spark.createDataFrame(
+        b_rows, "b_id long, x1 long, y1 long, x2 long, y2 long"
+    )
+    out = segment_intersections(a, b, cell).collect()
+    # every horizontal strictly crosses B once (endpoints at y -100/2700
+    # are beyond every A's y, Ax range 100..900 strictly brackets 500)
+    assert len(out) == len(a_rows)
+    assert {(r["a_id"], r["b_id"]) for r in out} == {
+        (i, 0) for i in range(len(a_rows))
+    }
+    for r in out:
+        assert r["px"] == 500.0
