@@ -1100,7 +1100,15 @@ def connected_components_twostar(
 
     Each round is two groupBy-min passes + an anti-join convergence
     probe over materialized inputs (`_materialize_truncated` — constant
-    plan size and constant stats arithmetic at any round count)."""
+    plan size and constant stats arithmetic at any round count).
+
+    ``small_graph_edges`` (default 2M, ON): below the threshold the
+    single-task union-find replaces the loop — identical labels, but
+    ``round_hook`` is never invoked and the ``max_iters`` convergence
+    contract does not apply (union-find always converges exactly).
+    Callers pinning round counts or hook behavior pass 0 to force the
+    loop; the gate counts the already-materialized edge table, so no
+    upstream lineage is re-executed for the count."""
     import time as _time
 
     # canonical undirected edge set, self-loops dropped

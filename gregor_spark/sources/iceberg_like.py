@@ -649,7 +649,15 @@ def zorder_table(
     Scale shape: one range Exchange (sampled bounds) + a within-
     partition sort; stats collection reads footers, never data pages.
     ``n_files`` sizes the layout — at cluster scale pick
-    ``total_bytes / 128 MiB``."""
+    ``total_bytes / 128 MiB``.
+
+    Schema note (r7+): the written data files carry the derived columns
+    ``cell_id``, ``_ix`` and ``_iy`` in addition to the input schema —
+    the tile coordinates are the Hilbert skip index and keep the two
+    curves' per-file rectangles comparable, so ``read_zordered`` and
+    plain parquet readers will see them; drop them after read if the
+    original schema is required.  Pre-r7 Morton tables lack ``_ix`` /
+    ``_iy``."""
     from ..operators.spatial_join import cell_tile_cols, with_cell_id
 
     if curve not in ("morton", "hilbert"):
