@@ -1034,27 +1034,44 @@ def _single_task_components(docs: DataFrame, edges: DataFrame, key: str) -> Data
     utype = dict(edges.dtypes)["u"]
 
     def _uf(batches):
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
+        """Vectorized min-hooking (Shiloach–Vishkin shape): each round
+        points every edge's larger current label at the smaller one
+        (``np.minimum.at``), then pointer-doubles to full compression —
+        O(log n) all-numpy rounds (r8; the per-edge Python dict loop
+        this replaces measured 3.2 s on the sf0.1 ST-DBSCAN graph).
+        Labels converge to the component MINIMUM — the same unique
+        result as any union-find, parity-pinned in tests."""
+        import numpy as _np
         import pandas as _pd
 
+        us, vs = [], []
         for pdf in batches:
-            for u, v in zip(pdf["u"], pdf["v"]):
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    if rv < ru:
-                        ru, rv = rv, ru
-                    parent[rv] = ru
-        rows = [(x, find(x)) for x in parent]
-        yield _pd.DataFrame(rows, columns=["u", "v"])
+            if len(pdf):
+                us.append(pdf["u"].to_numpy())
+                vs.append(pdf["v"].to_numpy())
+        if not us:
+            yield _pd.DataFrame({"u": [], "v": []})
+            return
+        u = _np.concatenate(us)
+        v = _np.concatenate(vs)
+        ids = _np.unique(_np.concatenate([u, v]))
+        iu = _np.searchsorted(ids, u)
+        iv = _np.searchsorted(ids, v)
+        p = _np.arange(ids.size, dtype=_np.int64)
+        while True:
+            a, b = p[iu], p[iv]
+            lo = _np.minimum(a, b)
+            hi = _np.maximum(a, b)
+            before = p.copy()
+            _np.minimum.at(p, hi, lo)
+            while True:
+                pp = p[p]
+                if _np.array_equal(pp, p):
+                    break
+                p = pp
+            if _np.array_equal(p, before):
+                break
+        yield _pd.DataFrame({"u": ids, "v": ids[p]})
 
     roots = edges.coalesce(1).mapInPandas(_uf, f"u {utype}, v {utype}")
     ids = docs.select(F.col(key).alias("id"))
