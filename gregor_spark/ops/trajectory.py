@@ -555,6 +555,15 @@ def track_similarity(
         .join(packed.select(F.col("_u").alias("_a"), F.col("_trk").alias("_ta")), "_a")
         .join(packed.select(F.col("_u").alias("_b"), F.col("_trk").alias("_tb")), "_b")
     )
+    # per-pair DP work is independent and heavy; AQE's size-based
+    # coalescing sees a few KB of packed arrays and serializes every DP
+    # onto one core — pin the pair table to the session parallelism
+    # before the Arrow stage (results are partition-invariant, pinned
+    # in tests/test_trajectory.py; at cluster scale this exchange moves
+    # only packed candidate pairs, already the small side)
+    joined = joined.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "_a", "_b"
+    )
 
     key_t = pairs.schema[a].dataType
     out_schema = T.StructType(
@@ -585,7 +594,27 @@ def track_similarity(
         )
         return 12742.0176 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
 
+    def _hav_row_pairs(lons0, lats0, lons, lats):
+        # elementwise twin of _hav_row (arrays on both sides — the same
+        # IEEE expression per element, so values are identical)
+        dphi = np.radians(lats - lats0)
+        dlmb = np.radians(lons - lons0)
+        h = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(np.radians(lats0)) * np.cos(np.radians(lats))
+            * np.sin(dlmb / 2) ** 2
+        )
+        return 12742.0176 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
     def _dp(ta, tb) -> float:
+        # Anti-diagonal vectorized DP (r8): cells on diagonal i+j=k
+        # depend only on diagonals k−1 and k−2, so each diagonal is one
+        # numpy step — n+m vector ops instead of n·m Python iterations
+        # (profiled: the rolling-row loop was a 2.9 s single-task
+        # stage).  Every cell still evaluates the IDENTICAL expression
+        # on the identical operands (min/max picks and one add for
+        # DTW), so values are bit-equal to the rolling-row loop —
+        # pinned against the brute recursion in tests/test_trajectory.
         ax, ay = _xy(ta)
         bx, by = _xy(tb)
         n, m = len(ax), len(bx)
@@ -594,22 +623,34 @@ def track_similarity(
                 f"track pair DP size {n}x{m} exceeds max_len={max_len}^2; "
                 "pre-simplify or raise max_len"
             )
-        prev = np.empty(m, dtype=np.float64)
-        for i in range(n):
-            d = _hav_row(ax[i], ay[i], bx, by)
-            cur = np.empty(m, dtype=np.float64)
-            for j in range(m):
-                if i == 0 and j == 0:
-                    best = 0.0
-                elif i == 0:
-                    best = cur[j - 1]
-                elif j == 0:
-                    best = prev[j]
-                else:
-                    best = min(prev[j - 1], prev[j], cur[j - 1])
-                cur[j] = max(d[j], best) if is_frechet else d[j] + best
-            prev = cur
-        return float(prev[m - 1])
+        INF = np.inf
+        prev2 = prev1 = None  # (values, i_offset) of diagonals k-2, k-1
+        for k in range(n + m - 1):
+            i0 = max(0, k - m + 1)
+            i1 = min(k, n - 1)
+            ii = np.arange(i0, i1 + 1)
+            jj = k - ii
+            d = _hav_row_pairs(ax[ii], ay[ii], bx[jj], by[jj])
+
+            def gather(diag, idx):
+                if diag is None:
+                    return np.full(ii.size, INF)
+                vals, off = diag
+                pos = idx - off
+                ok = (pos >= 0) & (pos < vals.size)
+                return np.where(ok, vals[np.clip(pos, 0, vals.size - 1)], INF)
+
+            up = gather(prev1, ii - 1)      # (i-1, j)
+            left = gather(prev1, ii)        # (i, j-1)
+            diag = gather(prev2, ii - 1)    # (i-1, j-1)
+            best = np.minimum(np.minimum(diag, up), left)
+            best = np.where((ii == 0) & (jj == 0), 0.0, best)
+            # boundary rows/cols have exactly one predecessor; the min
+            # over {existing, INF, INF} selects it, matching the loop
+            cur = np.maximum(d, best) if is_frechet else d + best
+            prev2, prev1 = prev1, (cur, i0)
+        # the last diagonal (k = n+m−2) holds exactly the (n−1, m−1) cell
+        return float(prev1[0][-1])
 
     def fn(it):
         for pdf in it:
