@@ -406,9 +406,18 @@ def lm_score(
         )
 
     tb = bigrams(train)
-    cb = tb.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
-    cp = tb.groupBy("prev").agg(F.count("*").alias("cp"))
-    v = tb.agg(F.count_distinct("cur").cast("double").alias("v"))
+    # ONE pass over the training corpus (r8): cp and V are exact
+    # integer derivations of the (prev, cur) count table — cp = Σ_cur
+    # cb, V = |distinct cur with cb > 0| — so the bigram explode runs
+    # once instead of three times; cb is vocabulary²-bounded, so the
+    # lazy checkpoint caches a tiny table for its three consumers.
+    cb = (
+        tb.groupBy("prev", "cur")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    cp = cb.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    v = cb.agg(F.count_distinct("cur").cast("double").alias("v"))
     p = (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(k_smooth)) / (
         F.coalesce(F.col("cp"), F.lit(0)).cast("double") + F.lit(k_smooth) * F.col("v")
     )
@@ -680,10 +689,22 @@ def dsir_weights(
 
     tf = feats(target)
     rf = feats(docs)
-    tc = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
-    rc = rf.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tt = tf.agg(F.count("*").cast("double").alias("tt"))
-    rt = rf.agg(F.count("*").cast("double").alias("rt"))
+    # totals derive exactly from the bucket count tables (Σ counts), so
+    # each corpus is featurized ONCE instead of twice (r8); the count
+    # tables are n_buckets-bounded — lazy-checkpoint for their two
+    # consumers (the totals and the broadcast joins)
+    tc = (
+        tf.groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=False)
+    )
+    rc = (
+        rf.groupBy("bucket")
+        .agg(F.count("*").alias("cr"))
+        .localCheckpoint(eager=False)
+    )
+    tt = tc.agg(F.sum("ct").cast("double").alias("tt"))
+    rt = rc.agg(F.sum("cr").cast("double").alias("rt"))
     k = F.lit(float(k_smooth))
     p_t = (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + k) / (
         F.col("tt") + k * F.lit(float(m))
