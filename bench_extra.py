@@ -169,7 +169,6 @@ def report(path):
                 st["fetch_wait"] = st.get("fetch_wait", 0) + srm.get(
                     "Fetch Wait Time", 0
                 )
-                pym = m.get("Python Metrics") or {}
     by_desc = {}
     for sid, st in sorted(stages.items()):
         desc = jobs.get(stage_job.get(sid, -1), "?")

@@ -178,7 +178,10 @@ def test_write_table_manifest_without_rescan(spark, tmp_path):
     manifest = write_table(df, path, bucket_by="k", n_buckets=8)
     after = set(tracker.getJobIdsForGroup(None) or [])
     new_jobs = after - before
-    assert len(new_jobs) <= 1, f"write_table launched extra jobs: {new_jobs}"
+    # r8: the hash write-distribution repartition (one file per bucket)
+    # makes the write itself a shuffle + write pair of AQE jobs; the pin
+    # is that MANIFEST construction adds no data-rescanning job on top
+    assert len(new_jobs) <= 2, f"write_table launched extra jobs: {new_jobs}"
     assert manifest["total_rows"] == 1000
     assert sum(manifest["bucket_rows"].values()) == 1000
     # counts agree with an actual read-back
