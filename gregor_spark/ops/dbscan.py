@@ -98,6 +98,32 @@ def cluster_from_edges(
     # lesson — never recompute the candidate join per consumer)
     edges = pair_edges.select(a, b).localCheckpoint(eager=True)
 
+    # Small-graph fast path (r8): the degrees→cores→components→borders
+    # back half is ~25 stages of scheduler latency on an ε-graph one
+    # task labels in milliseconds (profiled: 29 stages / 6–9 s wall for
+    # st_dbscan in a warm session).  One numpy task computes the
+    # identical integer/min-rule labels (graph_local.dbscan_labels_local
+    # — same core rule, same component minima, same border min); above
+    # the threshold the distributed pipeline below runs unchanged.
+    from .graph_local import dbscan_labels_local, small_graph_threshold
+
+    thr = small_graph_threshold()
+    if thr and edges.count() <= thr:
+        lab = dbscan_labels_local(
+            edges.select(F.col(a).alias("u"), F.col(b).alias("v")),
+            int(min_pts),
+        )
+        ids = pts.select(F.col(id_col).alias("id"))
+        out = ids.join(lab, "id", "left")
+        iso_core = F.lit(1 >= int(min_pts))  # isolated: only itself in N_eps
+        return out.select(
+            F.col("id").alias(id_col),
+            F.coalesce("is_core", iso_core).alias("is_core"),
+            F.when(
+                F.col("is_core").isNull() & iso_core, F.col("id")
+            ).otherwise(F.col("cluster_id")).alias("cluster_id"),
+        )
+
     deg = (
         edges.select(F.col(a).alias("id"))
         .unionByName(edges.select(F.col(b).alias("id")))

@@ -348,6 +348,66 @@ def link_pred_local(edges: DataFrame, min_common: int) -> DataFrame:
     )
 
 
+def dbscan_labels_local(edges: DataFrame, min_pts: int) -> DataFrame:
+    """(id, is_core, cluster_id) for every node INCIDENT to the
+    exactly-once ε-edge table — the one-task twin of
+    ``cluster_from_edges``'s back half: same core rule (own point
+    counted), same component-minimum cluster ids over core-core edges,
+    same min-rule border assignment; noise keeps NULL.  Isolated points
+    (no edges at all) never reach this function — the caller handles
+    them with the identical rule."""
+
+    def run(batches):
+        d = _collect_batches(batches, ["u", "v"])
+        ids = _index_ids(d["u"], d["v"])
+        n = ids.size
+        iu = np.searchsorted(ids, d["u"])
+        iv = np.searchsorted(ids, d["v"])
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, iu, 1)
+        np.add.at(deg, iv, 1)
+        core = deg + 1 >= int(min_pts)
+        # components over core-core edges (min-hooking + doubling —
+        # converges to the component-minimum index == minimum id,
+        # since ids are sorted ascending)
+        ce = core[iu] & core[iv]
+        cu, cv = iu[ce], iv[ce]
+        p = np.arange(n, dtype=np.int64)
+        while cu.size:
+            a_l, b_l = p[cu], p[cv]
+            lo = np.minimum(a_l, b_l)
+            hi = np.maximum(a_l, b_l)
+            before = p.copy()
+            np.minimum.at(p, hi, lo)
+            while True:
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            if np.array_equal(p, before):
+                break
+        BIG = np.int64(1 << 62)
+        clust = np.where(core, ids[p], BIG)
+        # border: non-core with >= 1 core neighbor takes the MIN
+        # adjacent core cluster id
+        src = np.concatenate([iu, iv])
+        dst = np.concatenate([iv, iu])
+        bm = (~core[src]) & core[dst]
+        border = np.full(n, BIG, dtype=np.int64)
+        np.minimum.at(border, src[bm], clust[dst[bm]])
+        out_c = np.where(core, clust, border)
+        res = pd.DataFrame({"id": ids, "is_core": core})
+        res["cluster_id"] = pd.array(
+            np.where(out_c >= BIG, 0, out_c), dtype="Int64"
+        )
+        res.loc[out_c >= BIG, "cluster_id"] = pd.NA
+        yield res
+
+    return edges.coalesce(1).mapInPandas(
+        run, "id long, is_core boolean, cluster_id long"
+    )
+
+
 def wedge_count(edges: DataFrame) -> int:
     """Σ d(d−1)/2 over the canonical undirected edge table — the size
     of the pair-generation work both wedge fast paths would do in one

@@ -144,3 +144,31 @@ def test_link_pred_parity(spark, graph, monkeypatch):
 def test_graph_summary_parity(spark, graph, monkeypatch):
     _ids, e, _w, _src = graph
     _both(monkeypatch, lambda: G.graph_summary(e))
+
+
+def test_dbscan_labels_parity(spark, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from gregor_spark.ops.dbscan import dbscan
+
+    n = 400
+    u1 = F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(10000)) / 10000.0
+    u2 = F.pmod(F.xxhash64(F.col("id"), F.lit(6)), F.lit(10000)) / 10000.0
+    pts = spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (F.lit(-0.25) + u1 * 2.0).alias("lon"),
+        (F.lit(9.75) + u2 * 2.0).alias("lat"),
+    ).cache()
+
+    def rows():
+        return sorted(
+            tuple(r) for r in dbscan(pts, eps_km=8.0, min_pts=3).collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    fast = rows()
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
+    slow = rows()
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    assert fast == slow
+    assert len(fast) == n
