@@ -588,6 +588,18 @@ def bpe_train(
             "doc_id", _bpe_encode(F.col(text)).alias("_enc")
         )
     )
+    # Below the small-corpus gate the per-round replace stays LAZY over
+    # the materialized base encoding (r8): each round's argmax then
+    # re-applies rank cheap literal replaces instead of paying a
+    # per-round checkpoint job — 6 fewer jobs of pure scheduler latency
+    # per training.  At scale the per-round materialization returns
+    # (recomputing r corpus-wide replace passes in round r is the wrong
+    # trade there); either way the replace semantics are identical.
+    from .graph_local import small_graph_threshold
+
+    lazy_rounds = bool(small_graph_threshold(100_000)) and (
+        docs.count() <= small_graph_threshold(100_000)
+    )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = _bpe_top_pair(enc)
@@ -595,14 +607,13 @@ def bpe_train(
             break
         l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
         merges.append((rank, l, r, cnt))
-        enc = _materialize_truncated(
-            enc.select(
-                "doc_id",
-                F.replace(
-                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-                ).alias("_enc"),
-            )
+        nxt = enc.select(
+            "doc_id",
+            F.replace(
+                F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ).alias("_enc"),
         )
+        enc = nxt if lazy_rounds else _materialize_truncated(nxt)
     mdf = spark.createDataFrame(
         merges, "rank long, left string, right string, cnt long"
     )
@@ -858,6 +869,11 @@ def bpe_train_bytes(
             "doc_id", _bpe_encode_bytes(F.col(text)).alias("_enc")
         )
     )
+    from .graph_local import small_graph_threshold
+
+    lazy_rounds = bool(small_graph_threshold(100_000)) and (
+        docs.count() <= small_graph_threshold(100_000)
+    )  # see bpe_train: lazy replace chain below the gate, 6 fewer jobs
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = _bpe_top_pair_bytes(enc)
@@ -865,14 +881,13 @@ def bpe_train_bytes(
             break
         l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
         merges.append((rank, l, r, cnt))
-        enc = _materialize_truncated(
-            enc.select(
-                "doc_id",
-                F.replace(
-                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-                ).alias("_enc"),
-            )
+        nxt = enc.select(
+            "doc_id",
+            F.replace(
+                F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ).alias("_enc"),
         )
+        enc = nxt if lazy_rounds else _materialize_truncated(nxt)
     mdf = spark.createDataFrame(
         merges, "rank long, left string, right string, cnt long"
     )
