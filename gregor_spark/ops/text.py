@@ -548,6 +548,110 @@ def _bpe_top_pair(enc_df: DataFrame):
     )
 
 
+def _bpe_train_merges_local(
+    enc_df: DataFrame, n_merges: int, split_segments: bool
+) -> list[tuple[int, str, str, int]]:
+    """One-task exact twin of the BPE merge loop (r8): all ``n_merges``
+    rounds of count-adjacent-pairs → argmax → non-overlapping merge run
+    over token ARRAYS in a single numpy task, returning just the merges
+    table (≤ n_merges rows collected).  Semantics replicated exactly:
+
+    * pairs counted per segment with ≥2 units, ALL adjacent positions
+      (incl. overlapping duplicates) — the arrays_zip shape;
+    * argmax ties broken on (left, right) compared as UTF-8 BYTES —
+      Spark's binary string ordering;
+    * the merge applies left-to-right non-overlapping (the greedy
+      single-pass rule a literal ``(L)(R)`` replace implements; the
+      l == r run case skips the consumed position exactly like
+      ``replace``).
+
+    The distributed per-round loop is the scale path; this replaces 7+
+    sequential driver-synchronized jobs with one for small corpora
+    (parity pinned in tests/test_bpe.py::test_bpe_local_parity)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as _pd
+
+        texts: list[str] = []
+        for pdf in batches:
+            texts.extend(pdf["_enc"].tolist())
+        vocab: dict[str, int] = {}
+        seqs = []
+        SEP = -1
+        for enc in texts:
+            if enc is None or len(enc) <= 1:
+                continue
+            segs = enc.split(" ") if split_segments else [enc]
+            arr: list[int] = []
+            for s in segs:
+                if len(s) <= 1:
+                    continue
+                for t in s[1:-1].split(")("):
+                    i = vocab.get(t)
+                    if i is None:
+                        i = len(vocab)
+                        vocab[t] = i
+                    arr.append(i)
+                arr.append(SEP)
+            if arr:
+                seqs.append(np.asarray(arr, dtype=np.int64))
+        a = (
+            np.concatenate(seqs)
+            if seqs
+            else np.empty(0, dtype=np.int64)
+        )
+        names = [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(int(n_merges)):
+            if a.size < 2:
+                break
+            la, ra = a[:-1], a[1:]
+            mask = (la >= 0) & (ra >= 0)
+            if not mask.any():
+                break
+            V = np.int64(len(names) + 1)
+            codes = la[mask] * V + ra[mask]
+            uniq, cnts = np.unique(codes, return_counts=True)
+            mx = int(cnts.max())
+            cand = uniq[cnts == mx].tolist()
+            best = min(
+                cand,
+                key=lambda c: (
+                    names[int(c // V)].encode("utf-8"),
+                    names[int(c % V)].encode("utf-8"),
+                ),
+            )
+            l_id, r_id = int(best // V), int(best % V)
+            l, r = names[l_id], names[r_id]
+            merges.append((rank, l, r, mx))
+            new_id = len(names)
+            names.append(l + r)
+            idx = np.flatnonzero((a[:-1] == l_id) & (a[1:] == r_id))
+            if l_id == r_id and idx.size:
+                keep, last = [], -2
+                for p in idx.tolist():
+                    if p == last + 1:
+                        continue
+                    keep.append(p)
+                    last = p
+                idx = np.asarray(keep, dtype=np.int64)
+            a[idx] = new_id
+            a = np.delete(a, idx + 1)
+        yield _pd.DataFrame(
+            merges, columns=["rank", "left", "right", "cnt"]
+        ) if merges else _pd.DataFrame(
+            {"rank": [], "left": [], "right": [], "cnt": []}
+        )
+
+    rows = (
+        enc_df.coalesce(1)
+        .mapInPandas(run, "rank long, left string, right string, cnt long")
+        .collect()
+    )
+    return [(int(r["rank"]), r["left"], r["right"], int(r["cnt"])) for r in rows]
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
@@ -600,6 +704,23 @@ def bpe_train(
     lazy_rounds = bool(small_graph_threshold(100_000)) and (
         docs.count() <= small_graph_threshold(100_000)
     )
+    if lazy_rounds:
+        # r8 small-corpus path: ALL rounds in one task (see
+        # _bpe_train_merges_local) — one job instead of 2 per round;
+        # the returned encoding is the same lazy replace chain the
+        # per-round loop would build, evaluated by Spark's replace.
+        merges = _bpe_train_merges_local(enc, n_merges, split_segments=False)
+        for _rank, l, r, _cnt in merges:
+            enc = enc.select(
+                "doc_id",
+                F.replace(
+                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("_enc"),
+            )
+        mdf = spark.createDataFrame(
+            merges, "rank long, left string, right string, cnt long"
+        )
+        return mdf, enc
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = _bpe_top_pair(enc)
@@ -607,13 +728,14 @@ def bpe_train(
             break
         l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
         merges.append((rank, l, r, cnt))
-        nxt = enc.select(
-            "doc_id",
-            F.replace(
-                F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-            ).alias("_enc"),
+        enc = _materialize_truncated(
+            enc.select(
+                "doc_id",
+                F.replace(
+                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("_enc"),
+            )
         )
-        enc = nxt if lazy_rounds else _materialize_truncated(nxt)
     mdf = spark.createDataFrame(
         merges, "rank long, left string, right string, cnt long"
     )
@@ -873,7 +995,22 @@ def bpe_train_bytes(
 
     lazy_rounds = bool(small_graph_threshold(100_000)) and (
         docs.count() <= small_graph_threshold(100_000)
-    )  # see bpe_train: lazy replace chain below the gate, 6 fewer jobs
+    )
+    if lazy_rounds:
+        # see bpe_train: one-task trainer below the gate (segments kept
+        # by the space separator — split_segments=True)
+        merges = _bpe_train_merges_local(enc, n_merges, split_segments=True)
+        for _rank, l, r, _cnt in merges:
+            enc = enc.select(
+                "doc_id",
+                F.replace(
+                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("_enc"),
+            )
+        mdf = spark.createDataFrame(
+            merges, "rank long, left string, right string, cnt long"
+        )
+        return mdf, enc
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = _bpe_top_pair_bytes(enc)
@@ -881,13 +1018,14 @@ def bpe_train_bytes(
             break
         l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
         merges.append((rank, l, r, cnt))
-        nxt = enc.select(
-            "doc_id",
-            F.replace(
-                F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
-            ).alias("_enc"),
+        enc = _materialize_truncated(
+            enc.select(
+                "doc_id",
+                F.replace(
+                    F.col("_enc"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+                ).alias("_enc"),
+            )
         )
-        enc = nxt if lazy_rounds else _materialize_truncated(nxt)
     mdf = spark.createDataFrame(
         merges, "rank long, left string, right string, cnt long"
     )

@@ -328,3 +328,40 @@ def test_bpe_apply_bytes_counts(spark):
     out = bpe_apply_bytes(df, [("C3", "A9"), ("6C", "6C")]).collect()[0]
     assert out["n_bytes"] == 12
     assert out["n_tokens"] == 8  # per word: 68 (C3A9) (6C6C) 6F
+
+
+def test_bpe_local_parity(spark, monkeypatch):
+    """r8: the one-task trainer must reproduce the per-round distributed
+    loop exactly — merges AND final encodings, both variants, on a
+    corpus with repeated-token runs, short docs, parens and non-ASCII."""
+    from gregor_spark.ops.text import bpe_train, bpe_train_bytes
+
+    rows = [
+        (0, "aa aa aa aa bb aa aa"),
+        (1, "the cat sat on the mat the cat"),
+        (2, ""),
+        (3, "x"),
+        (4, "lo lo lo lo lo"),
+        (5, "héllo wörld héllo wörld héllo"),
+        (6, "(parens) stay (safe) here (parens)"),
+        (7, "the the the the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        m1, e1 = bpe_train(docs, n_merges=5)
+        m2, e2 = bpe_train_bytes(docs, n_merges=5)
+        return (
+            [tuple(r) for r in m1.collect()],
+            sorted(tuple(r) for r in e1.collect()),
+            [tuple(r) for r in m2.collect()],
+            sorted(tuple(r) for r in e2.collect()),
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    fast = run()
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
+    slow = run()
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    assert fast == slow
+    assert len(fast[0]) == 5
