@@ -364,6 +364,19 @@ def _jaccard_pairs_capped(
     20k docs: 222 s → 27 s, 8×; the recompute multiplies with corpus
     size, so at 100 TB it is the difference between 4 passes and 1).
     """
+    # Small-corpus fast path (r8): the capped pipeline is 4 sequential
+    # materializations (~11 jobs of scheduler latency) on corpora one
+    # task rescans in well under a second — run the identical
+    # histogram → rare-semi-join → bounded pairs → exact set rescore in
+    # ONE numpy/python task (same md5 60-bit ints, same ≤max_df cap,
+    # the same single float64 division per pair).  Parity pinned in
+    # tests/test_round4.py::test_jaccard_capped_local_parity; above the
+    # gate the distributed shape below runs unchanged.
+    from .graph_local import small_graph_threshold
+
+    thr = small_graph_threshold(20_000)
+    if thr and docs.count() <= thr:
+        return _jaccard_capped_local(docs, text, k, threshold, max_df)
     hset = F.array_distinct(
         F.transform(word_shingles(F.col(text), k), _md5_int)
     )
@@ -413,6 +426,84 @@ def _jaccard_pairs_capped(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _jaccard_capped_local(
+    docs: DataFrame, text: str, k: int, threshold: float, max_df: int
+) -> DataFrame:
+    """One-task exact twin of the capped-candidate jaccard (see the
+    fast-path comment in ``_jaccard_pairs_capped``)."""
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from .graph_local import _group_pairs
+
+        ids_l, sets_l = [], []
+        for pdf in batches:
+            for doc_id, hs in zip(pdf["doc_id"], pdf["_set"]):
+                ids_l.append(int(doc_id))
+                sets_l.append(_np.asarray(hs, dtype=_np.int64))
+        cols = ["doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"]
+        if not ids_l:
+            yield _pd.DataFrame({c: [] for c in cols})
+            return
+        ids = _np.asarray(ids_l, dtype=_np.int64)
+        order = _np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sets_l = [sets_l[i] for i in order]
+        n_docs = ids.size
+        doc_of = _np.repeat(
+            _np.arange(n_docs), [s.size for s in sets_l]
+        )
+        hs = (
+            _np.concatenate(sets_l)
+            if any(s.size for s in sets_l)
+            else _np.empty(0, dtype=_np.int64)
+        )
+        # df histogram over distinct per-doc shingles; rare postings
+        uh, inv, cnt = _np.unique(hs, return_inverse=True, return_counts=True)
+        rare = cnt[inv] <= max_df
+        rh, rd = inv[rare], doc_of[rare]
+        o = _np.lexsort((rd, rh))
+        rh, rd = rh[o], rd[o]
+        first = (
+            _np.flatnonzero(_np.r_[True, rh[1:] != rh[:-1]])
+            if rh.size
+            else _np.empty(0, dtype=_np.int64)
+        )
+        sizes = _np.diff(_np.append(first, rh.size))
+        i_idx, j_idx = _group_pairs(sizes)
+        codes = _np.unique(rd[i_idx] * n_docs + rd[j_idx])
+        sets_py = [set(s.tolist()) for s in sets_l]
+        rows = []
+        for code in codes.tolist():
+            a, b = code // n_docs, code % n_docs
+            sa, sb = sets_py[a], sets_py[b]
+            nc = len(sa & sb)
+            na, nb = len(sa), len(sb)
+            ja = float(nc) / float(na + nb - nc)
+            if ja >= threshold:
+                rows.append((int(ids[a]), int(ids[b]), nc, na, nb, ja))
+        yield _pd.DataFrame(rows, columns=cols) if rows else _pd.DataFrame(
+            {c: [] for c in cols}
+        )
+
+    hset = F.array_distinct(
+        F.transform(word_shingles(F.col(text), k), _md5_int)
+    )
+    # the md5 shingle pass runs PARALLEL (spread scan); only the tiny
+    # (doc_id, int-set) table crosses the repartition(1) exchange into
+    # the single combining task
+    pre = spread(
+        docs.select("doc_id", F.col(text).alias("text")), "doc_id"
+    ).select("doc_id", hset.alias("_set"))
+    return pre.repartition(1).mapInPandas(
+        run,
+        "doc_a long, doc_b long, n_common long, n_a long, n_b long, "
+        "jaccard double",
     )
 
 

@@ -540,3 +540,53 @@ def test_geojson_all_holes_zone_raises():
             zoneset_to_geojson(zones)
     finally:
         ZoneSet.zone_rings = orig
+
+
+def test_jaccard_capped_local_parity(spark, monkeypatch):
+    """r8: the one-task capped-jaccard twin must match the distributed
+    capped pipeline row-for-row (same md5 ints, same cap, same exact
+    rescore) on a corpus with boilerplate, twins and short docs."""
+    from pyspark.sql import functions as F
+
+    from gregor_spark.ops.dedup import jaccard_pairs
+
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(24)),
+            lambda j: F.substring(
+                F.md5(
+                    F.concat(
+                        (F.col("id") - F.col("id") % 3).cast("string"),
+                        F.lit("_"),
+                        j.cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+        ),
+    )
+    hot = F.pmod(F.hash("id"), F.lit(10)) < 4
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            hot, F.concat(F.lit("common boilerplate header text "), body)
+        ).otherwise(body).alias("text"),
+    ).cache()
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in jaccard_pairs(
+                docs, threshold=0.2, max_df=8
+            ).collect()
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    fast = rows()
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
+    slow = rows()
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    assert fast == slow
+    assert len(fast) > 0
