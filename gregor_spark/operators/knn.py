@@ -319,12 +319,43 @@ def within_distance_join_geodesic(
     from ..functions.geometry import haversine_km
     from ..plans.spread import spread
 
+    wlat = radius_km / KM_PER_DEG_LAT
+    wlon = radius_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
+
+    # One-task candidate twin (r8, operators/pairs_local.py): below the
+    # small-points gate the exactly-once candidate pairs come from a
+    # single numpy task with the identical cell arithmetic, and the
+    # SAME haversine rescore below runs over them — bit-identical
+    # edges, no explode, no shuffle join.  keys callers (co-location)
+    # and non-long ids keep the distributed join.
+    if not keys:
+        from .pairs_local import eligible, local_candidate_pairs
+
+        if eligible(pts, id_col, lon, lat):
+            sel = pts.select(
+                F.col(id_col).alias("_id"),
+                F.col(lon).cast("double").alias("_lon"),
+                F.col(lat).cast("double").alias("_lat"),
+            )
+            cand = local_candidate_pairs(sel, wlon, wlat)
+            if cand is not None:
+                kmc = haversine_km(
+                    F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat")
+                )
+                return (
+                    cand.withColumn("_km", kmc)
+                    .filter(F.col("_km") <= F.lit(float(radius_km)))
+                    .select(
+                        F.col("_aid").alias(f"a_{id_col}"),
+                        F.col("_bid").alias(f"b_{id_col}"),
+                        F.col("_km").alias("km"),
+                    )
+                )
+
     # the 9-way neighborhood explode + haversine rescore is the hot
     # loop; a single-file scan would run it on one core (guide §2.5 —
     # no-op when the input already has >= default-parallelism splits)
     pts = spread(pts, id_col)
-    wlat = radius_km / KM_PER_DEG_LAT
-    wlon = radius_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
     # one ring in each direction because the cell IS the (conservative)
     # radius in that dimension
     offsets = [

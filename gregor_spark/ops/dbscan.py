@@ -203,13 +203,50 @@ def st_edges(
     from ..operators.knn import KM_PER_DEG_LAT, KM_PER_DEG_LON_EQ
     from ..plans.spread import spread
 
-    # 27-way neighborhood explode + haversine = the hot loop (§2.5)
-    pts = spread(pts, id_col)
     wlat = eps_km / KM_PER_DEG_LAT
     wlon = eps_km / (KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat)))
     eps_t_us = int(eps_t_s * 1_000_000)
 
     us = F.unix_micros(F.col(ts).cast("timestamp"))
+
+    # One-task candidate twin (r8, operators/pairs_local.py): same
+    # construction as within_distance_join_geodesic's, with the time
+    # bucket as the third cell axis; the identical Catalyst haversine +
+    # |Δt| rescore below runs over the emitted candidates, so the edge
+    # set is bit-identical to the distributed join's.
+    from ..operators.pairs_local import eligible, local_candidate_pairs
+
+    if eligible(pts, id_col, lon, lat):
+        sel = pts.select(
+            F.col(id_col).alias("_id"),
+            F.col(lon).cast("double").alias("_lon"),
+            F.col(lat).cast("double").alias("_lat"),
+            us.alias("_us"),
+        )
+        cand = local_candidate_pairs(sel, wlon, wlat, eps_t_us=eps_t_us)
+        if cand is not None:
+            kmc = haversine_km(
+                F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat")
+            )
+            return (
+                cand.withColumn("_km", kmc)
+                .withColumn("_dt_us", F.abs(F.col("_aus") - F.col("_bus")))
+                .filter(
+                    (F.col("_km") <= F.lit(float(eps_km)))
+                    & (F.col("_dt_us") <= F.lit(eps_t_us))
+                )
+                .select(
+                    F.col("_aid").alias(f"a_{id_col}"),
+                    F.col("_bid").alias(f"b_{id_col}"),
+                    F.col("_km").alias("km"),
+                    (F.col("_dt_us").cast("double") / F.lit(1000000.0)).alias(
+                        "dt_s"
+                    ),
+                )
+            )
+
+    # 27-way neighborhood explode + haversine = the hot loop (§2.5)
+    pts = spread(pts, id_col)
     cx = F.floor(F.col(lon) / F.lit(wlon)).cast("long")
     cy = F.floor(F.col(lat) / F.lit(wlat)).cast("long")
     cz = F.floor(us / F.lit(eps_t_us)).cast("long")
