@@ -731,6 +731,56 @@ def _spark_round_half_up(x: float, digits: int) -> float:
     )
 
 
+def _md5_init_order(keys: np.ndarray) -> np.ndarray:
+    """The seeded-init ordering of kmeans_fit: ascending
+    md5('km' || key), ties by key — one ordering drives every codebook
+    trained over the same key set (the pq_train invariant)."""
+    import hashlib
+
+    h = np.fromiter(
+        (
+            int(hashlib.md5(b"km" + str(int(x)).encode()).hexdigest()[:15], 16)
+            for x in keys
+        ),
+        dtype=np.int64,
+        count=keys.size,
+    )
+    return np.lexsort((keys, h))
+
+
+def _kmeans_loop_np(
+    order: np.ndarray, V: np.ndarray, k: int, iters: int, round_to: int
+) -> list[list[float]]:
+    """The exact kmeans_fit recurrence in numpy — shared by the
+    one-task trainer and the fused PQ trainer so the two can never
+    drift.  Identical operands per step: seeded-init rows, the expr
+    path's sequential left-to-right distance adds
+    (``np.add.accumulate``), first-min ties (== smaller cid), Spark's
+    HALF_UP rounding for means, previous centroid carried through empty
+    clusters."""
+    cents = [[round(float(x), round_to) for x in V[i]] for i in order[:k]]
+    for _ in range(int(iters)):
+        C = np.asarray(cents, dtype=np.float64)
+        diff = V[:, None, :] - C[None, :, :]
+        sq = diff * diff
+        # the expr path folds left-to-right: 0.0 + t1 + t2 + ... —
+        # np.add.accumulate performs the identical sequential adds
+        d2 = np.add.accumulate(sq, axis=2)[:, :, -1]
+        cid = np.argmin(d2, axis=1)  # first min == smaller cid on ties
+        new = []
+        for i in range(len(cents)):
+            members = V[cid == i]
+            if len(members) == 0:
+                new.append(list(cents[i]))
+                continue
+            mean = members.sum(axis=0) / len(members)
+            new.append(
+                [_spark_round_half_up(float(x), round_to) for x in mean]
+            )
+        cents = new
+    return cents
+
+
 def _kmeans_fit_local(
     base: DataFrame, k: int, iters: int, key: str, round_to: int
 ) -> list[list[float]]:
@@ -738,7 +788,6 @@ def _kmeans_fit_local(
     fast-path comment in :func:`kmeans_fit`).  Returns the trained
     centroids; the only driver traffic is the k×dim centroid collect —
     the same bounded class as the distributed loop's means collect."""
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys_l, vecs_l = [], []
@@ -751,37 +800,7 @@ def _kmeans_fit_local(
             return
         keys = np.concatenate(keys_l)
         V = np.concatenate(vecs_l, axis=0)
-        h = np.fromiter(
-            (
-                int(hashlib.md5(b"km" + str(int(x)).encode()).hexdigest()[:15], 16)
-                for x in keys
-            ),
-            dtype=np.int64,
-            count=keys.size,
-        )
-        order = np.lexsort((keys, h))
-        cents = [
-            [round(float(x), round_to) for x in V[i]] for i in order[:k]
-        ]
-        for _ in range(int(iters)):
-            C = np.asarray(cents, dtype=np.float64)
-            diff = V[:, None, :] - C[None, :, :]
-            sq = diff * diff
-            # the expr path folds left-to-right: 0.0 + t1 + t2 + ... —
-            # np.add.accumulate performs the identical sequential adds
-            d2 = np.add.accumulate(sq, axis=2)[:, :, -1]
-            cid = np.argmin(d2, axis=1)  # first min == smaller cid on ties
-            new = []
-            for i in range(len(cents)):
-                members = V[cid == i]
-                if len(members) == 0:
-                    new.append(list(cents[i]))
-                    continue
-                mean = members.sum(axis=0) / len(members)
-                new.append(
-                    [_spark_round_half_up(float(x), round_to) for x in mean]
-                )
-            cents = new
+        cents = _kmeans_loop_np(_md5_init_order(keys), V, k, iters, round_to)
         rows = [
             (int(c), int(p), float(v))
             for c, vec_c in enumerate(cents)
@@ -1033,6 +1052,67 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
+
+    # Fused small-corpus fast path (r8): per subspace, the gated
+    # kmeans_fit pays a count job + a one-task collect — 2m jobs of
+    # pure latency that ONE task over the full vectors replays exactly
+    # (each codebook trains on a numpy slice of the same cast
+    # array<double>, driven by the one shared md5 init ordering — the
+    # documented pq_train invariant).  Parity pinned in
+    # tests/test_kmeans_local.py; above the threshold (or with
+    # SPARK_GRAFT_SMALL_GRAPH=0) the per-subspace kmeans_fit loops run
+    # unchanged.
+    from .graph_local import small_graph_threshold
+
+    thr = small_graph_threshold(200_000)
+    if thr and 0 < df.count() <= thr:
+        base = df.select(
+            F.col(key).cast("long").alias(key),
+            F.col(vec).cast("array<double>").alias("_v"),
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            keys_l, vecs_l = [], []
+            for pdf in batches:
+                if len(pdf):
+                    keys_l.append(pdf[key].to_numpy(np.int64))
+                    vecs_l.append(
+                        np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+                    )
+            if not keys_l:
+                yield pd.DataFrame({"m": [], "cid": [], "pos": [], "val": []})
+                return
+            keys = np.concatenate(keys_l)
+            V = np.concatenate(vecs_l, axis=0)
+            order = _md5_init_order(keys)
+            rows = []
+            for i in range(m):
+                cents = _kmeans_loop_np(
+                    order, V[:, i * sub_dim:(i + 1) * sub_dim],
+                    k, iters, round_to,
+                )
+                rows.extend(
+                    (int(i), int(c), int(p), float(v))
+                    for c, vec_c in enumerate(cents)
+                    for p, v in enumerate(vec_c)
+                )
+            yield pd.DataFrame(rows, columns=["m", "cid", "pos", "val"])
+
+        out = (
+            base.coalesce(1)
+            .mapInPandas(run, "m long, cid long, pos long, val double")
+            .collect()
+        )  # m·k·sub_dim rows — driver-bounded by construction
+        if not out:
+            raise ValueError("kmeans_fit: empty corpus")
+        books_arr: list[list[list[float]]] = [
+            [[0.0] * sub_dim for _ in range(k)] for _ in range(m)
+        ]
+        for r in out:
+            books_arr[int(r["m"])][int(r["cid"])][int(r["pos"])] = float(
+                r["val"]
+            )
+        return books_arr
 
     def _train(i: int) -> list[list[float]]:
         sliced = df.select(F.col(key), _pq_sub(vec, i, sub_dim).alias("_sub"))

@@ -36,3 +36,19 @@ def test_kmeans_fit_local_parity(spark, monkeypatch):
     assert c_fast == c_slow
     assert rows_fast == rows_slow
     assert len(rows_fast) == 300
+
+
+def test_pq_train_fused_parity(spark, monkeypatch):
+    """The fused one-task PQ trainer must return the exact codebooks the
+    per-subspace kmeans_fit loops produce (one shared md5 init ordering
+    drives every subspace on both paths)."""
+    from gregor_spark.ops.similarity import pq_train
+
+    emb = _emb(spark, n=200, dim=16).cache()
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    fused = pq_train(emb, m=4, k=5, iters=2)
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_GRAPH", "0")
+    looped = pq_train(emb, m=4, k=5, iters=2)
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_GRAPH", raising=False)
+    assert fused == looped
+    assert len(fused) == 4 and all(len(b) == 5 for b in fused)
