@@ -960,33 +960,95 @@ def cost_distance(
     v = cells.where(F.col(value).isNotNull())
     if nodata is not None:
         v = v.where(F.col(value) != nodata)
-    if v.where(F.col(value) <= 0).limit(1).count():
+    # ONE agg job: the eager positivity check (pinned by
+    # test_cost_distance_multi_source_nodata_and_invariance) and the small-raster gate count
+    # share the same action (r8 job-fold)
+    n_cells, min_c = v.agg(F.count(F.lit(1)), F.min(value)).first()
+    if min_c is not None and min_c <= 0:
         raise ValueError("cost surface must be strictly positive")
     key = (F.col("row").cast("long") * F.lit(4294967296)) + F.col("col").cast("long")
     base = v.select("row", "col", F.col(value).alias("c"), key.alias("cell"))
-    right = base.select(
-        F.col("row").alias("_r2"), F.col("col").alias("_c2"),
-        F.col("c").alias("_c_b"), F.col("cell").alias("_k2"),
-    )
-    parts = []
-    for dr, dc, k_half in ((0, 1, 500000.0), (1, 0, 500000.0),
-                           (1, 1, 707106.7811865476), (1, -1, 707106.7811865476)):
-        shifted = base.select(
-            (F.col("row") + F.lit(dr)).alias("_r2"),
-            (F.col("col") + F.lit(dc)).alias("_c2"),
-            F.col("c").alias("_c_a"), F.col("cell").alias("_k1"),
+    shifts = ((0, 1, 500000.0), (1, 0, 500000.0),
+              (1, 1, 707106.7811865476), (1, -1, 707106.7811865476))
+    from ..ops.graph_local import small_graph_threshold
+
+    thr = small_graph_threshold()
+    if thr and n_cells * 8 <= thr:
+        # One-task edge builder (r8): the 4 shift self-joins + union
+        # cost several AQE stages and a many-task checkpoint for a grid
+        # one task enumerates instantly.  Identical arithmetic: int64
+        # packed keys, float64 (c_a + c_b) * k_half then floor — the
+        # same IEEE tree as the join expressions; above the gate the
+        # distributed joins run unchanged.
+        import numpy as np
+        import pandas as pd
+
+        def build(batches):
+            rs, cs, vs = [], [], []
+            for pdf in batches:
+                if len(pdf):
+                    rs.append(pdf["row"].to_numpy(np.int64))
+                    cs.append(pdf["col"].to_numpy(np.int64))
+                    vs.append(pdf["c"].to_numpy(np.float64))
+            if not rs:
+                yield pd.DataFrame({"src": [], "dst": [], "w": []})
+                return
+            row = np.concatenate(rs)
+            col = np.concatenate(cs)
+            c = np.concatenate(vs)
+            cell = row * np.int64(4294967296) + col
+            order = np.argsort(cell, kind="stable")
+            cell, row, col, c = cell[order], row[order], col[order], c[order]
+            outs = []
+            for dr, dc, k_half in shifts:
+                tgt = (row + np.int64(dr)) * np.int64(4294967296) + (
+                    col + np.int64(dc)
+                )
+                j = np.searchsorted(cell, tgt)
+                ok = (j < cell.size) & (
+                    cell[np.minimum(j, cell.size - 1)] == tgt
+                )
+                i = np.nonzero(ok)[0]
+                jj = j[ok]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "src": cell[i],
+                            "dst": cell[jj],
+                            "w": np.floor(
+                                (c[i] + c[jj]) * np.float64(k_half)
+                            ).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+        edges = base.select("row", "col", "c").coalesce(1).mapInPandas(
+            build, "src long, dst long, w long"
         )
-        parts.append(
-            shifted.join(right, ["_r2", "_c2"]).select(
-                F.col("_k1").alias("src"),
-                F.col("_k2").alias("dst"),
-                F.floor((F.col("_c_a") + F.col("_c_b")) * F.lit(k_half))
-                .cast("long").alias("w"),
+    else:
+        right = base.select(
+            F.col("row").alias("_r2"), F.col("col").alias("_c2"),
+            F.col("c").alias("_c_b"), F.col("cell").alias("_k2"),
+        )
+        parts = []
+        for dr, dc, k_half in shifts:
+            shifted = base.select(
+                (F.col("row") + F.lit(dr)).alias("_r2"),
+                (F.col("col") + F.lit(dc)).alias("_c2"),
+                F.col("c").alias("_c_a"), F.col("cell").alias("_k1"),
             )
-        )
-    edges = parts[0]
-    for e in parts[1:]:
-        edges = edges.unionByName(e)
+            parts.append(
+                shifted.join(right, ["_r2", "_c2"]).select(
+                    F.col("_k1").alias("src"),
+                    F.col("_k2").alias("dst"),
+                    F.floor((F.col("_c_a") + F.col("_c_b")) * F.lit(k_half))
+                    .cast("long").alias("w"),
+                )
+            )
+        edges = parts[0]
+        for e in parts[1:]:
+            edges = edges.unionByName(e)
     src = sources.select(
         ((F.col("row").cast("long") * F.lit(4294967296))
          + F.col("col").cast("long")).alias("cell")

@@ -670,12 +670,17 @@ def sssp_bounded(
     src = sources.select(F.col(key).alias("id")).distinct()
     # Small-graph fast path (r8): profiled 125 stages / 13.3 s for the
     # 16-round relaxation over a 256-cell grid — one task computes the
-    # identical integer min-plus fixpoint (and validates weights
-    # in-task, saving the extra pre-scan action).
-    if dir_e.where(F.col("w") < 0).limit(1).count():
+    # identical integer min-plus fixpoint.  The eager weight validation
+    # folds into the gate count: ONE agg job over the materialized
+    # table instead of a limit-probe plus a count (the ValueError stays
+    # eager, as the error-contract tests pin).
+    n_dir, min_w = dir_e.agg(
+        F.count(F.lit(1)), F.min("w")
+    ).first()
+    if min_w is not None and min_w < 0:
         raise ValueError("edge weights must be non-negative")
     thr = small_graph_threshold()
-    if thr and dir_e.count() <= thr:
+    if thr and n_dir <= thr:
         res = sssp_local(dir_e, src, max_rounds)
         return nodes.join(res, "id", "left").select(
             F.col("id").alias(key), "dist"
