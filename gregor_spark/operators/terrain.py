@@ -327,6 +327,8 @@ def watershed_basins(
     `_materialize_truncated` stats fix)."""
     from ..ops.dedup import connected_components_twostar
 
+    from ..ops.dedup import _materialize_truncated
+
     d8 = flow_direction_d8(cells, value=value, nodata=nodata)
     key = (F.col("row").cast("long") * F.lit(4294967296)) + F.col("col").cast("long")
 
@@ -340,7 +342,14 @@ def watershed_basins(
         .when(F.col("code").isin(8, 16, 32), -1)
         .otherwise(0)
     )
-    base = d8.select("row", "col", "code", key.alias("_k"))
+    # materialize the D8 pass ONCE: edges, the component nodes and the
+    # final label join all consume it — unmaterialized, the focal
+    # explode+groupBy pipeline re-executed per consumer (profiled r8:
+    # two identical 64-task stages per run; flow_accumulation already
+    # pins its base the same way)
+    base = _materialize_truncated(
+        d8.select("row", "col", "code", key.alias("_k"))
+    )
     edges = base.where(F.col("code") > 0).select(
         F.col("_k").alias("src"),
         (
