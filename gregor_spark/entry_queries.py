@@ -1683,10 +1683,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard doc keeps or drops (with its canonical dup_of) against index
     matches, re-ingestion, and smaller-id shard matches.  The oracle
     replays the banding and both equi-joins in SQL."""
+    from .plans.stats import pin_small
+
     docs = _docs(spark, sf_dir)
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     shard = docs.filter(F.col("doc_id") % 2 == 1)
-    index = D.minhash_bands(existing)
+    # the op consumes the index twice (band-min agg + re-ingestion ids);
+    # a persisted read_table rescans cheaply, but THIS index is a derived
+    # lineage — pin it so the existing-corpus minhash runs once (r8)
+    index = pin_small(D.minhash_bands(existing))
     out = D.dedup_incremental(shard, index)
     return out.select(
         "doc_id", F.col("keep").cast("int").alias("keep"), "dup_of"

@@ -618,7 +618,14 @@ def lsh_candidate_pairs(
     minhash rows within any band.  Equi-join on (band, band_key) — the
     classic sub-quadratic LSH join; exact Jaccard re-scoring is the
     caller's follow-up (jaccard_pairs on the candidates)."""
-    banded = minhash_bands(docs, text, k, num_perm, rows_per_band)
+    from ..plans.stats import pin_small
+
+    # pin the bands below the size cap: the broadcast build of a small
+    # self-join never ReusedExchange-unifies with the probe side, so an
+    # unpinned plan runs the whole minhash pipeline twice (r8 profile);
+    # at corpus scale both sides are shuffle exchanges and reuse kicks
+    # in, so the plan is left untouched
+    banded = pin_small(minhash_bands(docs, text, k, num_perm, rows_per_band))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -654,7 +661,11 @@ def lsh_candidate_edges_star(
     ``dedup_incremental`` skew-immune.  Use ``lsh_candidate_pairs`` only
     when the downstream consumer needs every pairwise edge (e.g. exact
     jaccard re-scoring of individual candidates)."""
-    banded = minhash_bands(docs, text, k, num_perm, rows_per_band)
+    from ..plans.stats import pin_small
+
+    # same double-compute guard as lsh_candidate_pairs: the group-min
+    # aggregate and the join probe both consume the bands
+    banded = pin_small(minhash_bands(docs, text, k, num_perm, rows_per_band))
     gm = banded.groupBy(
         F.col("band").alias("g_band"), F.col("band_key").alias("g_key")
     ).agg(F.min("doc_id").alias("g_min"))
