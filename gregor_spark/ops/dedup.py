@@ -310,7 +310,11 @@ def jaccard_pairs(
     """
     if max_df is not None:
         return _jaccard_pairs_capped(docs, text, k, threshold, max_df)
-    sh = shingle_table(docs, text, k)
+    from ..plans.stats import pin_small
+
+    # three consumers (sizes + both self-join sides) — pinned below the
+    # size cap so the shingle explode runs once (r8; see plans/stats.py)
+    sh = pin_small(shingle_table(docs, text, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
