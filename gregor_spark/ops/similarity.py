@@ -941,29 +941,84 @@ def semdedup(
     of the ordering and keeps the same scale shape.
     """
     from ..model.localdf import local_df
+    from ..plans.stats import pin_small
 
     _assigned, cents = kmeans_fit(
         df, k=k, iters=iters, vec=vec, key=key, method=method
     )
 
-    def side(join_key: str) -> DataFrame:
-        # independent assignment pass per side: the cogroup inputs must
-        # not share lineage (see near_dup_pairs); centroids are trained
-        # once and quantized, so both passes are bit-identical.
-        a = kmeans_assign(df, cents, vec=vec, key=key, method=method, keep_vec=True)
-        b = a.select(
-            F.col(key).cast("long").alias("k"),
-            F.col("cid").alias("g"),
-            F.col("_v").alias("v"),
-        ).withColumn("_b", F.pmod(F.hash(F.col("k")), F.lit(n_blocks)).cast("int"))
-        pairs = local_df(
-            df.sparkSession,
-            [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
-            "i int, j int",
-        )
-        return b.join(F.broadcast(pairs), b["_b"] == pairs[join_key]).select(
-            "g", "k", "v", "i", "j"
-        )
+    pairs = local_df(
+        df.sparkSession,
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "i int, j int",
+    )
+
+    av = kmeans_assign(
+        df, cents, vec=vec, key=key, method=method, keep_vec=True
+    ).select(
+        F.col(key).cast("long").alias("k"),
+        F.col("cid").alias("g"),
+        F.col("_v").alias("v"),
+        F.col("cid"),
+        F.col(key),
+    )
+    avp = pin_small(av)
+
+    if avp is not av:
+        # pinned (small corpus): ONE assignment pass feeds both cogroup
+        # sides AND the final keep/drop join.  The analyzer's
+        # ambiguous-self-join check is satisfied with per-side Dataset
+        # aliases + qualified column refs (same groups, same per-group
+        # matmul → identical verdicts); above the cap the fresh-lineage
+        # two-pass construction below runs unchanged.
+        _assigned = avp.select(key, "cid")
+
+        def side(join_key: str) -> DataFrame:
+            tag = f"s{join_key}"
+            b = avp.alias(tag)
+            p = pairs.alias(f"p{tag}")
+            bcol = F.pmod(
+                F.hash(F.col(f"{tag}.k")), F.lit(n_blocks)
+            ).cast("int")
+            return b.join(
+                F.broadcast(p), bcol == F.col(f"p{tag}.{join_key}")
+            ).select(
+                F.col(f"{tag}.g").alias("g"),
+                F.col(f"{tag}.k").alias("k"),
+                F.col(f"{tag}.v").alias("v"),
+                F.col(f"p{tag}.i").alias("i"),
+                F.col(f"p{tag}.j").alias("j"),
+            )
+    else:
+
+        def side(join_key: str) -> DataFrame:
+            # independent assignment pass per side: the cogroup inputs
+            # must not share lineage (see near_dup_pairs); centroids are
+            # trained once and quantized, so both passes are
+            # bit-identical.
+            a = kmeans_assign(
+                df, cents, vec=vec, key=key, method=method, keep_vec=True
+            )
+            b = a.select(
+                F.col(key).cast("long").alias("k"),
+                F.col("cid").alias("g"),
+                F.col("_v").alias("v"),
+            ).withColumn(
+                "_b", F.pmod(F.hash(F.col("k")), F.lit(n_blocks)).cast("int")
+            )
+            p = local_df(
+                df.sparkSession,
+                [
+                    (i, j)
+                    for i in range(n_blocks)
+                    for j in range(n_blocks)
+                    if i <= j
+                ],
+                "i int, j int",
+            )
+            return b.join(F.broadcast(p), b["_b"] == p[join_key]).select(
+                "g", "k", "v", "i", "j"
+            )
 
     def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         diag = (
