@@ -151,24 +151,29 @@ def local_candidate_pairs(
             for c in cols:
                 parts[c].append(pdf[c].to_numpy())
         if parts["_id"]:
-            ids = np.concatenate(parts["_id"]).astype(np.int64, copy=False)
+            ids_raw = np.concatenate(parts["_id"])
             lon = np.concatenate(parts["_lon"]).astype(np.float64, copy=False)
             lat = np.concatenate(parts["_lat"]).astype(np.float64, copy=False)
             us = np.concatenate(parts["_us"]) if temporal else None
         else:
-            ids = np.empty(0, dtype=np.int64)
+            ids_raw = np.empty(0, dtype=np.int64)
             lon = lat = np.empty(0, dtype=np.float64)
             us = np.empty(0, dtype=np.int64) if temporal else None
 
-        # rows a NULL/NaN coordinate keeps out of the distributed join
-        # (NULL keys never match; NaN pairs always fail the rescore)
-        # are dropped up front — same final edge set either way
+        # rows a NULL id or NULL/NaN coordinate keeps out of the
+        # distributed join (NULL ids never pass a<b; NULL keys never
+        # match; NaN pairs always fail the rescore) are dropped up
+        # front — same final edge set either way.  A null-bearing long
+        # column arrives as float64 (NaN for nulls).
         keep = np.isfinite(lon) & np.isfinite(lat)
+        if ids_raw.dtype != np.int64:
+            keep &= np.isfinite(ids_raw.astype(np.float64, copy=False))
         if temporal:
             us = np.asarray(us)
             usf_all = us.astype(np.float64, copy=False)
             keep &= np.isfinite(usf_all)
-        ids, lon, lat = ids[keep], lon[keep], lat[keep]
+        ids = ids_raw[keep].astype(np.int64)
+        lon, lat = lon[keep], lat[keep]
         if temporal:
             # the cell bucket uses the double promotion (exactly what
             # Catalyst's floor(us / eps) does); the emitted micros stay

@@ -21,7 +21,10 @@ def _toggle(monkeypatch, on: bool):
 
 
 def _canon(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
 
 
 def _pts(spark, n=1500, temporal=False, seed=11):
@@ -38,6 +41,7 @@ def _pts(spark, n=1500, temporal=False, seed=11):
         (n, None, 10.0, 1_700_000_000),
         (n + 1, 0.5, None, 1_700_000_100),
         (7, -0.1, 10.1, 1_700_000_200),
+        (None, 0.4, 10.4, 1_700_000_300),  # NULL id: never pairs (a<b)
     ]
     df = spark.createDataFrame(
         rows, "point_id long, lon double, lat double, tsec long"
